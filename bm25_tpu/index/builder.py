@@ -1,0 +1,58 @@
+"""End-to-end index build pipeline: raw texts -> scored CSC index (+ save).
+
+The TPU-native counterpart of the reference's canonical build flow
+(``/root/reference/bm25_test.py:16-36``: tokenize -> BM25().index -> save).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Sequence
+
+from bm25_tpu.scoring import BM25Params, ScoredIndex, build_scored_index
+from bm25_tpu.text.tokenizer import Tokenizer
+
+from .io import save_index
+
+
+@dataclass
+class BuildStats:
+    num_docs: int
+    vocab_size: int
+    nnz: int
+    tokenize_seconds: float
+    score_seconds: float
+
+    @property
+    def docs_per_second(self) -> float:
+        total = self.tokenize_seconds + self.score_seconds
+        return self.num_docs / total if total > 0 else float("inf")
+
+
+def build_index(
+    corpus: Sequence[str],
+    params: BM25Params | None = None,
+    tokenizer: Tokenizer | None = None,
+    save_to: str | None = None,
+    save_corpus: bool = True,
+) -> tuple[ScoredIndex, BuildStats]:
+    """Tokenize + score a corpus; optionally persist in bm25s layout."""
+    tokenizer = tokenizer or Tokenizer()
+    t0 = time.perf_counter()
+    tok = tokenizer.tokenize_corpus(corpus)
+    t1 = time.perf_counter()
+    index = build_scored_index(
+        tok.ids, vocab_size=len(tok.vocab), params=params, vocab=tok.vocab
+    )
+    t2 = time.perf_counter()
+    stats = BuildStats(
+        num_docs=index.num_docs,
+        vocab_size=index.vocab_size,
+        nnz=index.nnz,
+        tokenize_seconds=t1 - t0,
+        score_seconds=t2 - t1,
+    )
+    if save_to is not None:
+        save_index(save_to, index, corpus=list(corpus) if save_corpus else None)
+    return index, stats

@@ -1,0 +1,193 @@
+"""On-disk index format: bm25s v0.2.12-compatible save/load.
+
+Artifact set (byte-compatible with ``/root/reference/animal_index_bm25/``,
+produced there by ``bm25s.BM25.save`` — see ``/root/reference/bm25_test.py:35``):
+
+* ``data.csc.index.npy``    float32 (nnz,)  precomputed BM25 contributions
+* ``indices.csc.index.npy`` int32   (nnz,)  doc ids, ascending per column
+* ``indptr.csc.index.npy``  int32   (V+1,)  token-column offsets
+* ``vocab.index.json``      term -> id, plus the ``""`` padding token at id V
+* ``params.index.json``     k1/b/delta/method/idf_method/dtype/int_dtype/
+                            num_docs/version/backend
+* ``corpus.jsonl``          one ``{"id": i, "text": ...}`` object per line
+* ``corpus.mmindex.json``   byte offset of each line for mmap/seek access
+
+Doc lengths are not persisted by the format (they are baked into the scores),
+so ``load_index`` reconstructs ``doc_lengths`` as zeros unless the caller
+recomputes them; searching needs only the scores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from bm25_tpu.scoring import BM25Params, ScoredIndex
+
+FORMAT_VERSION = "0.2.12"
+PAD_TOKEN = ""
+
+
+def _params_to_json(p: BM25Params, num_docs: int) -> dict:
+    return {
+        "k1": p.k1,
+        "b": p.b,
+        "delta": p.delta,
+        "method": p.method,
+        "idf_method": p.effective_idf_method,
+        "dtype": "float32",
+        "int_dtype": "int32",
+        "num_docs": num_docs,
+        "version": FORMAT_VERSION,
+        "backend": "jax-tpu",
+    }
+
+
+def save_index(
+    path: str | os.PathLike,
+    index: ScoredIndex,
+    corpus: list[str] | None = None,
+    doc_ids: list | None = None,
+) -> None:
+    """Write a scored index (and optionally its corpus) in bm25s layout."""
+    path = os.fspath(path)
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "data.csc.index.npy"), index.data.astype(np.float32))
+    np.save(
+        os.path.join(path, "indices.csc.index.npy"), index.indices.astype(np.int32)
+    )
+    np.save(os.path.join(path, "indptr.csc.index.npy"), index.indptr.astype(np.int32))
+
+    vocab = dict(index.vocab) if index.vocab else {
+        str(i): i for i in range(index.vocab_size)
+    }
+    if PAD_TOKEN not in vocab:
+        vocab[PAD_TOKEN] = len(vocab)
+    with open(os.path.join(path, "vocab.index.json"), "w") as f:
+        json.dump(vocab, f)
+
+    with open(os.path.join(path, "params.index.json"), "w") as f:
+        json.dump(_params_to_json(index.params, index.num_docs), f, indent=4)
+
+    if index.token_offsets is not None and np.any(index.token_offsets):
+        np.save(
+            os.path.join(path, "nonoccurrence_array.index.npy"),
+            index.token_offsets.astype(np.float32),
+        )
+
+    # doc lengths are an extension record (bm25s does not persist them);
+    # stored so engines can round-trip avgdl without re-tokenizing.
+    np.save(
+        os.path.join(path, "doc_lengths.index.npy"),
+        index.doc_lengths.astype(np.int32),
+    )
+
+    if corpus is not None:
+        save_corpus(path, corpus, doc_ids=doc_ids)
+
+
+def save_corpus(path: str | os.PathLike, corpus: list[str], doc_ids=None) -> None:
+    """Write corpus.jsonl + corpus.mmindex.json (line byte offsets)."""
+    path = os.fspath(path)
+    os.makedirs(path, exist_ok=True)
+    offsets = []
+    pos = 0
+    with open(os.path.join(path, "corpus.jsonl"), "wb") as f:
+        for i, text in enumerate(corpus):
+            offsets.append(pos)
+            did = doc_ids[i] if doc_ids is not None else i
+            line = json.dumps({"id": did, "text": text}) + "\n"
+            data = line.encode("utf-8")
+            f.write(data)
+            pos += len(data)
+    with open(os.path.join(path, "corpus.mmindex.json"), "w") as f:
+        json.dump(offsets, f)
+
+
+def load_index(path: str | os.PathLike) -> ScoredIndex:
+    """Load a bm25s-format index directory into a host ScoredIndex."""
+    path = os.fspath(path)
+    data = np.load(os.path.join(path, "data.csc.index.npy"))
+    indices = np.load(os.path.join(path, "indices.csc.index.npy"))
+    indptr = np.load(os.path.join(path, "indptr.csc.index.npy"))
+    with open(os.path.join(path, "params.index.json")) as f:
+        pj = json.load(f)
+    method = pj.get("method", "lucene")
+    idf_method = pj.get("idf_method")
+    params = BM25Params(
+        k1=float(pj.get("k1", 1.5)),
+        b=float(pj.get("b", 0.75)),
+        delta=float(pj.get("delta", 0.5)),
+        method=method,
+        idf_method=None if idf_method == method else idf_method,
+    )
+    vocab = None
+    vpath = os.path.join(path, "vocab.index.json")
+    if os.path.exists(vpath):
+        with open(vpath) as f:
+            vocab = json.load(f)
+        # drop the "" padding symbol if it is not a real matrix column
+        if PAD_TOKEN in vocab and vocab[PAD_TOKEN] >= len(indptr) - 1:
+            vocab = {k: v for k, v in vocab.items() if k != PAD_TOKEN}
+    num_docs = int(pj["num_docs"])
+    dlpath = os.path.join(path, "doc_lengths.index.npy")
+    if os.path.exists(dlpath):
+        doc_lengths = np.load(dlpath)
+    else:
+        doc_lengths = np.zeros(num_docs, dtype=np.int32)
+    token_offsets = None
+    nopath = os.path.join(path, "nonoccurrence_array.index.npy")
+    if os.path.exists(nopath):
+        token_offsets = np.load(nopath)
+    return ScoredIndex(
+        indptr=indptr,
+        indices=indices,
+        data=data,
+        num_docs=num_docs,
+        doc_lengths=doc_lengths,
+        params=params,
+        vocab=vocab,
+        token_offsets=token_offsets,
+    )
+
+
+@dataclass
+class MMapCorpus:
+    """Seekable corpus reader over corpus.jsonl using corpus.mmindex.json.
+
+    Mirrors the byte-offset convention of the reference artifacts
+    (``/root/reference/animal_index_bm25/corpus.mmindex.json``) so individual
+    documents are retrievable without loading the whole file.
+    """
+
+    path: str
+    offsets: list[int]
+
+    @classmethod
+    def open(cls, index_dir: str | os.PathLike) -> "MMapCorpus":
+        index_dir = os.fspath(index_dir)
+        with open(os.path.join(index_dir, "corpus.mmindex.json")) as f:
+            offsets = json.load(f)
+        return cls(path=os.path.join(index_dir, "corpus.jsonl"), offsets=offsets)
+
+    def __len__(self) -> int:
+        return len(self.offsets)
+
+    def __getitem__(self, i: int):
+        if not 0 <= i < len(self.offsets):
+            raise IndexError(i)
+        with open(self.path, "rb") as f:
+            f.seek(self.offsets[i])
+            line = f.readline()
+        return json.loads(line)
+
+    def batch(self, ids) -> list:
+        with open(self.path, "rb") as f:
+            out = []
+            for i in ids:
+                f.seek(self.offsets[int(i)])
+                out.append(json.loads(f.readline()))
+        return out

@@ -1,0 +1,140 @@
+"""CPU reference engine (scipy CSC) — search-semantics oracle and bench baseline.
+
+Re-implements, from its observable behaviour, the reference's sparse scorer
+``BM25v`` (``/root/reference/bm25_native.py:32-214``):
+
+* index = pre-scored doc x token ``scipy.sparse.csc_matrix`` + doc lengths,
+* ``search(queries[Q,T] int32, top_k)``: negative token ids are padding and
+  are dropped per query (``bm25_native.py:151``), scores = sum of gathered
+  CSC columns, top-k via argpartition + descending sort of the k slice
+  (``bm25_native.py:204-214``),
+* token-id bounds check against the vocab size (``bm25_native.py:116-121``).
+
+Tie-breaking contract (stricter than the reference, which inherits numpy
+argpartition's arbitrary order): among equal scores the smaller doc id wins,
+matching the stability fixup of the reference's CPU top-k kernel
+(``/root/reference/operations/topk.mojo:234-258``).  All device engines are
+tested against this oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .scoring import BM25Params, ScoredIndex, build_scored_index
+
+
+def topk_descending(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k (indices, values) sorted by descending value, ties -> smaller index.
+
+    Semantics of ``_topk`` (``/root/reference/bm25_native.py:204-214``) plus
+    the deterministic tie order of ``_top_k_cpu``
+    (``/root/reference/operations/topk.mojo:234-258``).
+    """
+    n = scores.shape[-1]
+    k = min(k, n)
+    if k == n:
+        idx = np.arange(n)
+    else:
+        # argpartition alone is tie-unstable at the k-th boundary: tied
+        # candidates with smaller indices can be left outside the partition.
+        # Rebuild the candidate set exactly: everything strictly above the
+        # threshold, then the smallest-index ties at the threshold.
+        part = np.argpartition(scores, -k)[-k:]
+        kth_val = scores[part].min()
+        above = np.flatnonzero(scores > kth_val)
+        ties = np.flatnonzero(scores == kth_val)
+        idx = np.concatenate([above, ties[: k - len(above)]])
+    # stable two-key sort: primary score desc, secondary index asc
+    order = np.lexsort((idx, -scores[idx]))
+    idx = idx[order]
+    return idx.astype(np.int32), scores[idx].astype(np.float32)
+
+
+class ReferenceEngine:
+    """Host scipy-CSC BM25 engine with BM25v-compatible API."""
+
+    def __init__(self, k1: float = 1.5, b: float = 0.75):
+        self.params = BM25Params(k1=k1, b=b)
+        self.doc_toks: sp.csc_matrix | None = None
+        self.doc_lengths = np.zeros((0,), dtype=np.int32)
+        self.token_offsets: np.ndarray | None = None
+        self.num_docs = 0
+
+    # -- BM25v-compatible API ------------------------------------------------
+
+    def index(self, doc_toks: sp.csc_matrix, doc_lengths: np.ndarray) -> None:
+        """Index a pre-scored doc x token CSC matrix (bm25_native.py:59-74)."""
+        self.doc_toks = doc_toks.tocsc()
+        self.doc_toks.sort_indices()
+        self.doc_lengths = np.asarray(doc_lengths)
+        self.num_docs = doc_toks.shape[0]
+
+    @classmethod
+    def from_scored_index(cls, idx: ScoredIndex) -> "ReferenceEngine":
+        eng = cls(k1=idx.params.k1, b=idx.params.b)
+        eng.params = idx.params
+        eng.index(idx.to_csc(), idx.doc_lengths)
+        eng.token_offsets = idx.token_offsets
+        return eng
+
+    @classmethod
+    def fit(cls, doc_token_ids: list[np.ndarray], vocab_size: int | None = None,
+            params: BM25Params | None = None) -> "ReferenceEngine":
+        return cls.from_scored_index(
+            build_scored_index(doc_token_ids, vocab_size=vocab_size, params=params)
+        )
+
+    @property
+    def avg_doc_length(self) -> float:
+        return float(np.mean(self.doc_lengths)) if self.num_docs else 0.0
+
+    def search(
+        self, queries: np.ndarray, top_k: int = 100
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched top-k search over padded query-token-id rows.
+
+        Args:
+            queries: (Q, T) int32; negative entries are padding/OOV.
+            top_k: number of results per query.
+
+        Returns:
+            (top_docs (Q, k) int32, top_scores (Q, k) float32), each row sorted
+            by descending score.
+        """
+        if self.doc_toks is None:
+            raise ValueError("index not built; call index() first")
+        queries = np.asarray(queries)
+        if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
+            raise ValueError("queries must be a 2-D integer array of token ids")
+        if queries.size and int(queries.max()) >= self.doc_toks.shape[1]:
+            raise ValueError(
+                f"max token id {int(queries.max())} out of range for vocab of "
+                f"{self.doc_toks.shape[1]} tokens"
+            )
+        if len(queries) == 0:
+            return (np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32))
+
+        k = min(top_k, self.num_docs)
+        top_docs = np.zeros((queries.shape[0], k), dtype=np.int32)
+        top_scores = np.zeros((queries.shape[0], k), dtype=np.float32)
+        for i in range(len(queries)):
+            q = queries[i]
+            q = q[q >= 0]
+            scores = np.asarray(self.doc_toks[:, q].sum(axis=1)).ravel()
+            if self.token_offsets is not None and len(q):
+                scores = scores + float(self.token_offsets[q].sum())
+            top_docs[i], top_scores[i] = topk_descending(scores, k)
+        return top_docs, top_scores
+
+    def get_scores(self, query_ids: np.ndarray) -> np.ndarray:
+        """Dense per-doc scores for one query (list/array of token ids)."""
+        if self.doc_toks is None:
+            raise ValueError("index not built; call index() first")
+        q = np.asarray(query_ids)
+        q = q[q >= 0]
+        scores = np.asarray(self.doc_toks[:, q].sum(axis=1)).ravel()
+        if self.token_offsets is not None and len(q):
+            scores = scores + float(self.token_offsets[q].sum())
+        return scores.astype(np.float32)

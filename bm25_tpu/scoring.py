@@ -1,0 +1,235 @@
+"""BM25 scoring math (host side, NumPy) — the semantics oracle.
+
+Implements the score-matrix precomputation that the whole engine rests on:
+every (doc, token) pair with tf > 0 gets a precomputed BM25 contribution, so
+query scoring degenerates to "sum the score-matrix entries for the query's
+token ids" (the reference's design: ``/root/reference/bm25.py:111-121`` dense,
+``/root/reference/bm25_native.py:129-158`` sparse-CSC).
+
+Supported methods mirror bm25s v0.2.12 (the library the reference's on-disk
+format comes from, ``/root/reference/animal_index_bm25/params.index.json``):
+
+=============  ==========================================  ==============================
+method         idf                                         tf saturation
+=============  ==========================================  ==============================
+``lucene``     ln(1 + (N-df+0.5)/(df+0.5))                 tf / (tf + k1*norm)
+``robertson``  ln((N-df+0.5)/(df+0.5))                     tf(k1+1) / (tf + k1*norm)
+``atire``      ln(N/df)                                    tf(k1+1) / (tf + k1*norm)
+``bm25l``      ln((N+1)/(df+0.5))                          (k1+1)(c+d)/(k1+c+d), c=tf/norm
+``bm25+``      ln((N+1)/df)                                tf(k1+1)/(k1*norm + tf) + d
+``classic``    ln(1 + (N-df+0.5)/(df+0.5))                 tf(k1+1) / (tf + k1*norm)
+=============  ==========================================  ==============================
+
+with ``norm = 1 - b + b*dl/avgdl`` and ``d = delta``.  ``lucene`` is verified
+bit-exactly against the bundled reference index (tests/test_scoring.py);
+``classic`` reproduces the reference's own dense scorer
+(``/root/reference/bm25.py:96-121``).  For ``bm25l``/``bm25+`` the tf=0
+score is nonzero but doc-independent; it is returned as a per-token offset
+vector (bm25s's "nonoccurrence array") so sparse storage stays exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import scipy.sparse as sp
+
+METHODS = ("lucene", "robertson", "atire", "bm25l", "bm25+", "classic")
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    """Scoring hyper-parameters, serialized to params.index.json.
+
+    Defaults match the bundled reference index
+    (``/root/reference/animal_index_bm25/params.index.json``).
+    """
+
+    k1: float = 1.5
+    b: float = 0.75
+    delta: float = 0.5
+    method: str = "lucene"
+    idf_method: str | None = None  # None -> same as method
+
+    def __post_init__(self):
+        if self.method not in METHODS:
+            raise ValueError(f"unknown method {self.method!r}; one of {METHODS}")
+
+    @property
+    def effective_idf_method(self) -> str:
+        return self.idf_method or self.method
+
+
+def idf(method: str, num_docs: int, df: np.ndarray) -> np.ndarray:
+    """Inverse document frequency for each term. df: int array (V,)."""
+    N = float(num_docs)
+    df = df.astype(np.float64)
+    if method in ("lucene", "classic"):
+        return np.log(1.0 + (N - df + 0.5) / (df + 0.5))
+    if method == "robertson":
+        return np.log(np.maximum((N - df + 0.5) / (df + 0.5), np.finfo(np.float64).tiny))
+    if method == "atire":
+        return np.log(N / np.maximum(df, 1.0))
+    if method == "bm25l":
+        return np.log((N + 1.0) / (df + 0.5))
+    if method == "bm25+":
+        return np.log((N + 1.0) / np.maximum(df, 1.0))
+    raise ValueError(f"unknown idf method {method!r}")
+
+
+def tf_saturation(
+    method: str, tf: np.ndarray, dl_norm: np.ndarray, k1: float, delta: float
+) -> np.ndarray:
+    """Length-normalized tf saturation. dl_norm = 1 - b + b*dl/avgdl per entry."""
+    if method == "lucene":
+        return tf / (tf + k1 * dl_norm)
+    if method in ("robertson", "atire", "classic"):
+        return tf * (k1 + 1.0) / (tf + k1 * dl_norm)
+    if method == "bm25l":
+        c = tf / dl_norm
+        return (k1 + 1.0) * (c + delta) / (k1 + c + delta)
+    if method == "bm25+":
+        return tf * (k1 + 1.0) / (k1 * dl_norm + tf) + delta
+    raise ValueError(f"unknown scoring method {method!r}")
+
+
+def zero_tf_offset(method: str, k1: float, delta: float) -> float:
+    """Score contribution at tf=0 (doc-independent; nonzero for bm25l/bm25+)."""
+    if method == "bm25l":
+        return (k1 + 1.0) * delta / (k1 + delta)
+    if method == "bm25+":
+        return delta
+    return 0.0
+
+
+@dataclass
+class ScoredIndex:
+    """Host-side scored inverted index (CSC over token columns).
+
+    Layout identical to the reference's on-disk triplet
+    (``/root/reference/animal_index_bm25``): column t's postings live at
+    ``indptr[t]:indptr[t+1]`` in ``indices`` (doc ids, ascending) and ``data``
+    (precomputed BM25 contributions, float32).
+    """
+
+    indptr: np.ndarray  # int32/int64 (V+1,)
+    indices: np.ndarray  # int32 (nnz,) doc ids
+    data: np.ndarray  # float32 (nnz,)
+    num_docs: int
+    doc_lengths: np.ndarray  # int32 (D,)
+    params: BM25Params
+    vocab: dict[str, int] | None = None
+    # per-token doc-independent offset added once per occurring query token
+    # (bm25s "nonoccurrence" correction; all-zero except bm25l/bm25+)
+    token_offsets: np.ndarray | None = None
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.indptr) - 1
+
+    @property
+    def nnz(self) -> int:
+        return len(self.data)
+
+    @property
+    def avgdl(self) -> float:
+        return float(np.mean(self.doc_lengths)) if self.num_docs else 0.0
+
+    def to_csc(self) -> sp.csc_matrix:
+        return sp.csc_matrix(
+            (self.data, self.indices, self.indptr),
+            shape=(self.num_docs, self.vocab_size),
+        )
+
+    def df(self) -> np.ndarray:
+        return np.diff(self.indptr).astype(np.int32)
+
+
+def build_scored_index(
+    doc_token_ids: list[np.ndarray],
+    vocab_size: int | None = None,
+    params: BM25Params | None = None,
+    vocab: dict[str, int] | None = None,
+    dtype=np.float32,
+) -> ScoredIndex:
+    """Build the scored CSC index from per-doc token-id arrays.
+
+    Vectorized equivalent of the reference's fit loop
+    (``/root/reference/bm25.py:76-121``) without the dense (docs x vocab)
+    materialization: tf via a COO->CSC sparse build, df from column nnz.
+    Postings within each token column are sorted by doc id (ascending), which
+    fixes a deterministic accumulation order for all downstream kernels.
+    """
+    params = params or BM25Params()
+    num_docs = len(doc_token_ids)
+    doc_lengths = np.array([len(t) for t in doc_token_ids], dtype=np.int32)
+    if vocab_size is None:
+        if vocab is not None:
+            vocab_size = len(vocab)
+        else:
+            vocab_size = int(max((int(t.max()) for t in doc_token_ids if len(t)), default=-1)) + 1
+
+    total = int(doc_lengths.sum())
+    flat_tokens = np.empty(total, dtype=np.int64)
+    flat_docs = np.empty(total, dtype=np.int64)
+    pos = 0
+    for d, toks in enumerate(doc_token_ids):
+        n = len(toks)
+        flat_tokens[pos : pos + n] = toks
+        flat_docs[pos : pos + n] = d
+        pos += n
+
+    # tf matrix: duplicates in COO are summed on conversion.
+    ones = np.ones(total, dtype=np.float64)
+    tf_csc = sp.coo_matrix(
+        (ones, (flat_docs, flat_tokens)), shape=(num_docs, vocab_size)
+    ).tocsc()
+    tf_csc.sum_duplicates()
+    tf_csc.sort_indices()
+
+    df = np.diff(tf_csc.indptr)
+    avgdl = float(doc_lengths.mean()) if num_docs else 0.0
+
+    idf_vec = idf(params.effective_idf_method, num_docs, df)
+    if avgdl > 0:
+        dl_norm_per_doc = 1.0 - params.b + params.b * (
+            doc_lengths.astype(np.float64) / avgdl
+        )
+    else:
+        dl_norm_per_doc = np.full(num_docs, 1.0 - params.b)
+
+    # Per-nnz transform: data[i] = idf[col(i)] * sat(tf[i], dl_norm[row(i)]).
+    nnz = tf_csc.nnz
+    col_of = np.repeat(np.arange(vocab_size, dtype=np.int64), df)
+    row_of = tf_csc.indices.astype(np.int64)
+    # bm25s computes the score arrays in the target dtype (float32): idf and
+    # the length norm are rounded to `dtype` BEFORE the saturation/product, so
+    # we do the same to stay bit-exact with the reference artifacts
+    # (verified in tests/test_scoring.py against animal_index_bm25).
+    sat = tf_saturation(
+        params.method,
+        tf_csc.data.astype(dtype),
+        dl_norm_per_doc.astype(dtype)[row_of],
+        dtype(params.k1),
+        dtype(params.delta),
+    )
+    base = dtype(zero_tf_offset(params.method, params.k1, params.delta))
+    idf_low = idf_vec.astype(dtype)
+    # Sparse entries store score(tf) - score(0); score(0) goes to token_offsets.
+    scores = (idf_low[col_of] * (sat - base)).astype(dtype)
+    token_offsets = (idf_low * base).astype(dtype) if base != 0.0 else np.zeros(
+        vocab_size, dtype=dtype
+    )
+
+    assert len(scores) == nnz
+    return ScoredIndex(
+        indptr=tf_csc.indptr.astype(np.int32) if nnz < 2**31 else tf_csc.indptr,
+        indices=tf_csc.indices.astype(np.int32),
+        data=scores,
+        num_docs=num_docs,
+        doc_lengths=doc_lengths,
+        params=params,
+        vocab=vocab,
+        token_offsets=token_offsets,
+    )

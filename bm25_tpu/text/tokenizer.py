@@ -1,0 +1,214 @@
+"""Corpus/query tokenization: lowercase -> regex split -> stopwords -> stem.
+
+Reproduces the observable pipeline of the reference index builder
+(``/root/reference/bm25_test.py:16``: ``bm25s.tokenize(corpus,
+stopwords="en", stemmer=Stemmer.Stemmer("english"))``):
+
+* lowercase,
+* split with the word pattern ``(?u)\\b\\w\\w+\\b`` (tokens of >= 2 word
+  characters, so "a" and the "s" left over from "human's" are dropped),
+* remove stopwords,
+* Snowball-English stemming ("feline"->"felin", "fly"->"fli", ...).
+
+Parity with the bundled ``animal_index_bm25`` artifacts is asserted in
+``tests/test_text.py``.
+
+Padding/OOV contract (unifying the reference's two conventions): padded query
+matrices use ``-1`` for both padding and out-of-vocabulary terms, and scoring
+treats negative ids as zero-contribution (``/root/reference/bm25_native.py:151``
+drops negative ids; we deliberately do NOT replicate the OOV->id-0 bug of
+``/root/reference/main.py:247``).
+
+A native C++ fast path (bm25_tpu/native) is used automatically for corpus
+tokenization when the shared library has been built; the pure-Python path is
+the fallback and the semantics oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+
+from .stopwords import get_stopwords
+
+TOKEN_PATTERN = r"(?u)\b\w\w+\b"
+
+# bm25s appends an empty-string token to the saved vocabulary as the padding
+# symbol (see ``/root/reference/animal_index_bm25/vocab.index.json`` entry
+# ``"": 20``).  We keep that on-disk convention for interop but map it to
+# PAD_ID in memory.
+PAD_TOKEN = ""
+PAD_ID = -1
+
+
+def _make_stemmer(spec) -> Callable[[str], str] | None:
+    if spec is None:
+        return None
+    if callable(spec):
+        return spec
+    if isinstance(spec, str):
+        name = spec.lower()
+        if name in ("snowball", "snowball-en", "english", "porter2"):
+            try:
+                from nltk.stem import SnowballStemmer
+            except ImportError as e:  # pragma: no cover - nltk is baked in
+                raise RuntimeError(
+                    "nltk is required for the built-in Snowball stemmer"
+                ) from e
+            return SnowballStemmer("english").stem
+        raise ValueError(f"Unknown stemmer spec {spec!r}")
+    raise TypeError(f"stemmer must be None, str or callable, got {type(spec)}")
+
+
+@dataclass
+class TokenizedCorpus:
+    """Token-id representation of a corpus.
+
+    Attributes:
+        ids: one int32 array of token ids per document (duplicates preserved —
+            term frequency is derived downstream).
+        vocab: term -> id mapping (contiguous ids ``0..len(vocab)-1``).
+    """
+
+    ids: list[np.ndarray]
+    vocab: dict[str, int]
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.ids)
+
+    @property
+    def doc_lengths(self) -> np.ndarray:
+        return np.array([len(x) for x in self.ids], dtype=np.int32)
+
+
+@dataclass
+class Tokenizer:
+    """Configurable text -> token-id pipeline (host side)."""
+
+    stopwords: object = "en"
+    stemmer: object = "snowball-en"
+    token_pattern: str = TOKEN_PATTERN
+    lower: bool = True
+    use_native: bool = True
+
+    _stop: frozenset = field(init=False, repr=False)
+    _stem: Callable[[str], str] | None = field(init=False, repr=False)
+    _regex: re.Pattern = field(init=False, repr=False)
+    _stem_cache: dict = field(init=False, repr=False, default_factory=dict)
+
+    def __post_init__(self):
+        self._stop = get_stopwords(self.stopwords)
+        self._stem = _make_stemmer(self.stemmer)
+        self._regex = re.compile(self.token_pattern)
+        self._stem_cache = {}
+
+    # -- low level ---------------------------------------------------------
+
+    def words(self, text: str) -> list[str]:
+        """Split one text into stemmed, stopword-filtered surface words."""
+        if self.lower:
+            text = text.lower()
+        out = []
+        stop = self._stop
+        stem = self._stem
+        cache = self._stem_cache
+        for w in self._regex.findall(text):
+            if w in stop:
+                continue
+            if stem is not None:
+                s = cache.get(w)
+                if s is None:
+                    s = stem(w)
+                    cache[w] = s
+                w = s
+            out.append(w)
+        return out
+
+    # -- corpus ------------------------------------------------------------
+
+    def tokenize_corpus(
+        self, texts: Sequence[str], vocab: dict[str, int] | None = None
+    ) -> TokenizedCorpus:
+        """Tokenize a corpus, building (or extending from scratch) a vocab.
+
+        New terms get ids in first-occurrence order, matching the id-assignment
+        style visible in ``/root/reference/animal_index_bm25/vocab.index.json``.
+        """
+        native = None
+        if self.use_native and vocab is None and self._is_native_compatible():
+            from bm25_tpu.native import loader as _native_loader
+
+            native = _native_loader.get()
+        if native is not None:
+            return native.tokenize_corpus(texts, stopwords=self._stop)
+
+        if vocab is None:
+            vocab = {}
+        ids: list[np.ndarray] = []
+        for text in texts:
+            ws = self.words(text)
+            doc = np.empty(len(ws), dtype=np.int32)
+            for j, w in enumerate(ws):
+                tid = vocab.get(w)
+                if tid is None:
+                    tid = len(vocab)
+                    vocab[w] = tid
+                doc[j] = tid
+            ids.append(doc)
+        return TokenizedCorpus(ids=ids, vocab=vocab)
+
+    def _is_native_compatible(self) -> bool:
+        return (
+            self.lower
+            and self.token_pattern == TOKEN_PATTERN
+            and isinstance(self.stemmer, str)
+            and self.stemmer.lower() in ("snowball", "snowball-en", "english", "porter2")
+        )
+
+    # -- queries -----------------------------------------------------------
+
+    def tokenize_queries(
+        self,
+        texts: Sequence[str],
+        vocab: dict[str, int],
+        pad_to: int | None = None,
+    ) -> np.ndarray:
+        """Tokenize queries against a fixed vocab into a padded int32 matrix.
+
+        Returns shape ``(Q, T)`` with PAD_ID (-1) padding; OOV terms are also
+        PAD_ID (they contribute zero to scores).
+        """
+        rows = []
+        for text in texts:
+            ws = self.words(text)
+            row = [vocab[w] for w in ws if w in vocab]
+            rows.append(row)
+        width = max((len(r) for r in rows), default=0)
+        if pad_to is not None:
+            if width > pad_to:
+                raise ValueError(
+                    f"query has {width} tokens, more than pad_to={pad_to}"
+                )
+            width = pad_to
+        width = max(width, 1)
+        out = np.full((len(rows), width), PAD_ID, dtype=np.int32)
+        for i, row in enumerate(rows):
+            out[i, : len(row)] = row
+        return out
+
+
+def pad_token_lists(rows: Iterable[Sequence[int]], pad_to: int | None = None) -> np.ndarray:
+    """Pad variable-length token-id lists to a (Q, T) int32 matrix with -1."""
+    rows = [list(r) for r in rows]
+    width = max((len(r) for r in rows), default=0)
+    if pad_to is not None:
+        width = max(width, pad_to)
+    width = max(width, 1)
+    out = np.full((len(rows), width), PAD_ID, dtype=np.int32)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+    return out

@@ -1,0 +1,50 @@
+"""Tokenizer parity against the bundled reference index vocabulary."""
+
+import numpy as np
+
+from bm25_tpu.text.tokenizer import Tokenizer, pad_token_lists
+
+
+def test_tokenize_animal_corpus_matches_reference_vocab(
+    animal_corpus, reference_artifacts
+):
+    tok = Tokenizer()
+    out = tok.tokenize_corpus(animal_corpus)
+    ref_vocab = {k: v for k, v in reference_artifacts["vocab"].items() if k != ""}
+    # identical term sets after stopwords + stemming
+    assert set(out.vocab) == set(ref_vocab)
+    # identical per-document multisets of terms
+    inv = {v: k for k, v in out.vocab.items()}
+    ref_terms_by_doc = [
+        ["cat", "felin", "like", "purr"],
+        ["dog", "human", "best", "friend", "love", "play"],
+        ["bird", "beauti", "anim", "can", "fli"],
+        ["fish", "creatur", "live", "water", "swim"],
+    ]
+    for ids, expected in zip(out.ids, ref_terms_by_doc):
+        assert sorted(inv[t] for t in ids) == sorted(expected)
+
+
+def test_tokenizer_pattern_drops_short_tokens():
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(["a I x ok yes"])
+    inv = {v: k for k, v in out.vocab.items()}
+    assert [inv[t] for t in out.ids[0]] == ["ok", "yes"]
+
+
+def test_query_tokenization_oov_and_padding(animal_corpus):
+    tok = Tokenizer()
+    corpus = tok.tokenize_corpus(animal_corpus)
+    q = tok.tokenize_queries(
+        ["does the fish purr like a cat?", "zzz-unknown-term"], corpus.vocab
+    )
+    assert q.dtype == np.int32 and q.ndim == 2
+    # row 0: fish purr like cat resolved; row 1 fully OOV -> all -1
+    assert (q[0] >= 0).sum() == 4
+    assert (q[1] == -1).all()
+
+
+def test_pad_token_lists():
+    m = pad_token_lists([[1, 2, 3], [4]], pad_to=5)
+    assert m.shape == (2, 5)
+    assert m[0, 3] == -1 and m[1, 1] == -1
