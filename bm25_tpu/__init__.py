@@ -1,0 +1,46 @@
+"""bm25-tpu: a TPU-native BM25 index-and-query engine (JAX/XLA/Pallas).
+
+From-scratch re-design of the capability surface of yuhuishi-convect/mojo-bm25
+(see SURVEY.md): BM25 index build, bm25s-compatible on-disk format, batched
+top-k query on accelerator, a kernel library (top-k, gather/scatter, matmul),
+and multi-chip doc-sharded serving over a JAX device mesh.
+
+Import layering: ``import bm25_tpu`` stays host-only (numpy/scipy); JAX is
+pulled in lazily on first access to device engines / ops / parallel.
+"""
+
+from bm25_tpu.scoring import BM25Params, ScoredIndex, build_scored_index
+from bm25_tpu.reference import ReferenceEngine, topk_descending
+from bm25_tpu.text.tokenizer import Tokenizer, TokenizedCorpus, pad_token_lists
+from bm25_tpu.index.builder import build_index
+from bm25_tpu.index.io import load_index, save_index, MMapCorpus
+
+__version__ = "0.1.0"
+
+_LAZY = {
+    "DenseEngine": ("bm25_tpu.models.dense", "DenseEngine"),
+    "SparseEngine": ("bm25_tpu.models.sparse", "SparseEngine"),
+    "ShardedEngine": ("bm25_tpu.parallel.sharded_engine", "ShardedEngine"),
+    "Session": ("bm25_tpu.runtime.session", "Session"),
+    "get_session": ("bm25_tpu.runtime.session", "get_session"),
+    "create_engine": ("bm25_tpu.models.auto", "create_engine"),
+}
+
+
+def __getattr__(name):
+    try:
+        module, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(module), attr)
+
+
+__all__ = [
+    "BM25Params", "ScoredIndex", "build_scored_index",
+    "ReferenceEngine", "topk_descending",
+    "Tokenizer", "TokenizedCorpus", "pad_token_lists",
+    "build_index", "load_index", "save_index", "MMapCorpus",
+    *_LAZY,
+]

@@ -1,0 +1,162 @@
+"""Dense device engine: token-major score matrix + jitted gather/sum/top-k.
+
+TPU-native re-design of the reference's flagship accelerator path, the MAX
+graph ``gather(score_matrix, query_ids, axis=1) -> sum(axis=-1) ->
+transpose -> top_k`` (``/root/reference/gpu_bm25/common.py:40-80``), with the
+reference's layout transposed for the hardware: we hold ``st[V+1, D]``
+(token-major) so a query's token gathers are contiguous row DMAs instead of
+strided column reads, the gather+sum runs as a ``lax.scan`` accumulating a
+``(Q, D)`` tile (constant memory in T, fully fused by XLA), and top-k runs
+per query over the doc axis.
+
+Padding contract: query id -1 (pad/OOV) indexes a dedicated all-zero row, so
+masking costs nothing; padded doc columns are forced to -inf before top-k so
+they can never be selected.  k, Q and T are bucketed and baked into the jit
+cache key (static shapes for XLA).
+
+Suitable for corpora where V*D fits HBM (the reference's only device mode —
+it densified the full score matrix too, ``/root/reference/main.py:244``).
+For large corpora use models.sparse (padded-postings ELL layout).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from bm25_tpu.runtime.session import Session, get_session
+from bm25_tpu.scoring import ScoredIndex
+from bm25_tpu.utils.padding import next_multiple, next_pow2_at_least
+
+NEG_INF = float("-inf")
+
+
+def make_query_step(num_docs: int, k: int):
+    """Build the jittable (st, offsets, ids) -> (top_scores, top_docs) step.
+
+    Pure function of static ``num_docs`` (real docs, un-padded) and ``k``;
+    shapes of ``ids`` (Q, T) and ``st`` (V_pad, D_pad) are taken from the
+    traced arguments.
+    """
+
+    def step(st: jax.Array, offsets: jax.Array, ids: jax.Array):
+        q, t = ids.shape
+        d_pad = st.shape[1]
+        zero_row = st.shape[0] - 1  # last row is all-zero (pad/OOV target)
+        valid = ids >= 0
+        safe = jnp.where(valid, ids, zero_row)
+
+        def body(acc, ids_t):
+            return acc + st[ids_t], None
+
+        acc0 = jnp.zeros((q, d_pad), dtype=st.dtype)
+        scores, _ = lax.scan(body, acc0, jnp.transpose(safe))
+
+        # doc-independent per-token offsets (bm25l/bm25+ nonoccurrence term)
+        qoff = jnp.sum(
+            jnp.where(valid, offsets[safe], jnp.zeros((), offsets.dtype)), axis=1
+        )
+
+        doc_ids = lax.broadcasted_iota(jnp.int32, (1, d_pad), 1)
+        masked = jnp.where(doc_ids < num_docs, scores, NEG_INF)
+        top_scores, top_docs = lax.top_k(masked, k)
+        return top_scores + qoff[:, None], top_docs.astype(jnp.int32)
+
+    return step
+
+
+@dataclass
+class DenseEngine:
+    """Device-resident dense BM25 engine (search API mirrors BM25v,
+    ``/root/reference/bm25_native.py:76-103``)."""
+
+    st: jax.Array  # (V_pad + 1 zero row, D_pad) float32, token-major
+    offsets: jax.Array  # (V_pad + 1,) float32
+    num_docs: int
+    vocab_size: int
+    session: Session
+    vocab: dict[str, int] | None = None
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_scored_index(
+        cls,
+        index: ScoredIndex,
+        session: Session | None = None,
+        max_bytes: int = 12 << 30,
+        dtype=jnp.float32,
+    ) -> "DenseEngine":
+        session = session or get_session()
+        v, d = index.vocab_size, index.num_docs
+        d_pad = next_multiple(max(d, 1), 128)
+        v_pad = next_multiple(v + 1, 8)  # +1 zero row for pad/OOV ids
+        need = v_pad * d_pad * np.dtype(np.float32).itemsize
+        if need > max_bytes:
+            raise MemoryError(
+                f"dense engine needs {need / 2**30:.1f} GiB "
+                f"({v_pad} x {d_pad} f32) > budget {max_bytes / 2**30:.1f} GiB; "
+                "use models.sparse.SparseEngine"
+            )
+        st_host = np.zeros((v_pad, d_pad), dtype=np.float32)
+        st_host[:v, :d] = index.to_csc().toarray().T
+        off_host = np.zeros((v_pad,), dtype=np.float32)
+        if index.token_offsets is not None:
+            off_host[:v] = index.token_offsets
+        return cls(
+            st=session.put(st_host.astype(dtype)),
+            offsets=session.put(off_host),
+            num_docs=d,
+            vocab_size=v,
+            session=session,
+            vocab=index.vocab,
+        )
+
+    # -- query path -----------------------------------------------------------
+
+    def _prepare(self, queries: np.ndarray) -> np.ndarray:
+        queries = np.asarray(queries)
+        if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
+            raise ValueError("queries must be a 2-D integer array of token ids")
+        if queries.size and int(queries.max()) >= self.vocab_size:
+            raise ValueError(
+                f"max token id {int(queries.max())} out of range for vocab of "
+                f"{self.vocab_size} tokens"
+            )
+        return queries.astype(np.int32)
+
+    def search(
+        self, queries: np.ndarray, top_k: int = 100
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched top-k: (Q, T) int32 (-1 = pad) -> (docs (Q,k), scores (Q,k))."""
+        queries = self._prepare(queries)
+        if len(queries) == 0:
+            return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
+        k = min(top_k, self.num_docs)
+        q_real, t_real = queries.shape
+        q_pad = next_multiple(q_real, 8)
+        t_pad = next_pow2_at_least(max(t_real, 1))
+        padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
+        padded[:q_real, :t_real] = queries
+
+        step = self.session.compile(
+            ("dense_query", self.num_docs, k, q_pad, t_pad, self.st.shape),
+            lambda: jax.jit(make_query_step(self.num_docs, k)),
+        )
+        top_scores, top_docs = step(self.st, self.offsets, self.session.put(padded))
+        return (
+            np.asarray(top_docs)[:q_real],
+            np.asarray(top_scores)[:q_real],
+        )
+
+    def get_scores(self, query_ids) -> np.ndarray:
+        """Dense (D,) scores for a single query (reference bm25.py:124)."""
+        ids = np.asarray(query_ids, dtype=np.int32).reshape(1, -1)
+        docs, scores = self.search(ids, top_k=self.num_docs)
+        out = np.zeros(self.num_docs, dtype=np.float32)
+        out[docs[0]] = scores[0]
+        return out

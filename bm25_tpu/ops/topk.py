@@ -1,0 +1,277 @@
+"""Top-k kernel family: dispatcher, Pallas two-stage TPU kernel, fused sampling.
+
+TPU re-design of the reference's crown-jewel kernel set
+(``/root/reference/operations/topk.mojo``):
+
+* ``top_k`` dispatcher with axis / largest / sorted options (``topk.mojo:109``)
+* a **two-stage** large-N path: stage 1 extracts per-block top-k candidates,
+  stage 2 merges ``num_blocks * k`` candidates (``topk.mojo:576-661`` /
+  ``:670-830``, TRT-LLM style) — re-invented for TPU vector lanes: instead of
+  warp shuffles, each stage runs k rounds of (row-max, first-argmax, mask)
+  over a VMEM-resident tile, so ties deterministically pick the smaller index
+  (the stability contract of ``_top_k_cpu``, ``topk.mojo:234-258``)
+* ``top_k_fused_sampling``: top-k + temperature softmax sampling
+  (``topk.mojo:271-407``), with JAX PRNG keys instead of a global seed.
+
+Dispatch: XLA's native ``lax.top_k`` is used where it wins (large k, CPU);
+the Pallas path covers small-k/large-N on TPU.  Both share semantics and are
+golden-tested against each other and numpy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from bm25_tpu.ops.registry import register_op
+from bm25_tpu.utils.padding import cdiv, next_multiple
+
+NEG_INF = float("-inf")
+
+# Pallas path limits (analog of the reference's block-size heuristic,
+# topk.mojo:1019-1027 and <=8 blocks per input, :1079-1081)
+_PALLAS_MAX_K = 64
+_PALLAS_MIN_N = 4096
+_PALLAS_CHUNK = 16384
+_PALLAS_MAX_BLOCKS = 16
+
+
+# ---------------------------------------------------------------------------
+# public dispatcher
+# ---------------------------------------------------------------------------
+
+
+def top_k(
+    x: jax.Array,
+    k: int,
+    axis: int = -1,
+    largest: bool = True,
+    sorted: bool = True,  # noqa: A002 - mirrors the reference signature
+    implementation: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Return (values, indices) of the k largest (or smallest) along ``axis``.
+
+    Results are always sorted (descending for largest, ascending for
+    smallest); ties resolve to the smaller index.  ``sorted=False`` is
+    accepted for API parity and returns the sorted order (a valid instance
+    of the unspecified-order contract).
+    """
+    x = jnp.asarray(x)
+    if not 1 <= k <= x.shape[axis]:
+        raise ValueError(f"k={k} out of range for axis of {x.shape[axis]}")
+    axis = axis % x.ndim
+    if axis != x.ndim - 1:
+        x_moved = jnp.moveaxis(x, axis, -1)
+        v, i = top_k(x_moved, k, -1, largest, sorted, implementation)
+        return jnp.moveaxis(v, -1, axis), jnp.moveaxis(i, -1, axis)
+
+    neg = not largest
+    if neg:
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            # avoid INT_MIN overflow: promote to float for selection
+            xs = -x.astype(jnp.float32)
+        else:
+            xs = -x
+    else:
+        xs = x
+
+    impl = implementation
+    if impl == "auto":
+        n = x.shape[-1]
+        on_tpu = jax.devices()[0].platform == "tpu"
+        use_pallas = (
+            on_tpu
+            and jnp.issubdtype(xs.dtype, jnp.floating)
+            and k <= _PALLAS_MAX_K
+            and n >= _PALLAS_MIN_N
+        )
+        impl = "pallas" if use_pallas else "lax"
+
+    if impl == "lax":
+        v, i = lax.top_k(xs, k)
+    elif impl == "pallas":
+        v, i = _pallas_topk_lastaxis(xs, k)
+    else:
+        raise ValueError(f"unknown implementation {implementation!r}")
+
+    if neg:
+        v = (-v).astype(x.dtype)
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            v = jnp.take_along_axis(x, i, axis=-1)
+    return v, i
+
+
+register_op("top_k")(top_k)
+
+
+# ---------------------------------------------------------------------------
+# Pallas two-stage kernel (TPU)
+# ---------------------------------------------------------------------------
+
+
+def _extract_topk_rounds(x, col_ids, k, vals_ref, idxs_ref):
+    """k rounds of (row max, first argmax, mask out) over a VMEM tile.
+
+    Writes one (rows,) column of vals/idxs per round.  argmax returns the
+    first maximal position -> smaller original index wins ties.
+    """
+
+    def body(i, cur):
+        m = jnp.max(cur, axis=1)
+        am = jnp.argmax(cur, axis=1)
+        rows = cur.shape[0]
+        sel = jnp.take_along_axis(col_ids, am[:, None], axis=1)[:, 0]
+        vals_ref[:, i] = m
+        idxs_ref[:, i] = sel
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, cur.shape, 1) == am[:, None]
+        )
+        return jnp.where(onehot, NEG_INF, cur)
+
+    lax.fori_loop(0, k, body, x, unroll=False)
+
+
+def _stage1_kernel(n_real: int, chunk: int, k: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    def kernel(x_ref, vals_ref, idxs_ref):
+        j = pl.program_id(1)
+        x = x_ref[:]
+        base = j * chunk
+        col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        # mask the tail chunk's padding
+        x = jnp.where(base + col < n_real, x, NEG_INF)
+        _extract_topk_rounds(x, base + col, k, vals_ref, idxs_ref)
+
+    return kernel
+
+
+def _stage2_kernel(k: int):
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    def kernel(cand_vals_ref, cand_idxs_ref, vals_ref, idxs_ref):
+        x = cand_vals_ref[:]
+        _extract_topk_rounds(x, cand_idxs_ref[:], k, vals_ref, idxs_ref)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pallas_topk_lastaxis(x: jax.Array, k: int):
+    """Two-stage Pallas top-k over the last axis of a float array."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = x.shape
+    n = orig_shape[-1]
+    b = int(np.prod(orig_shape[:-1], dtype=np.int64)) if x.ndim > 1 else 1
+    x2 = x.reshape(b, n)
+
+    chunk = min(_PALLAS_CHUNK, next_multiple(n, 128))
+    nblocks = min(cdiv(n, chunk), _PALLAS_MAX_BLOCKS)
+    chunk = next_multiple(cdiv(n, nblocks), 128)
+    nblocks = cdiv(n, chunk)
+    n_pad = chunk * nblocks
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n)), constant_values=NEG_INF)
+
+    row_tile = 8
+    b_pad = next_multiple(b, row_tile)
+    if b_pad != b:
+        x2 = jnp.pad(x2, ((0, b_pad - b), (0, 0)), constant_values=NEG_INF)
+
+    # interpreter mode lets the same kernels run (and be tested) on CPU
+    interpret = jax.devices()[0].platform != "tpu"
+
+    grid = (b_pad // row_tile, nblocks)
+    cand_vals, cand_idxs = pl.pallas_call(
+        _stage1_kernel(n, chunk, k),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((row_tile, chunk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((row_tile, k), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, k), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, nblocks * k), x2.dtype),
+            jax.ShapeDtypeStruct((b_pad, nblocks * k), jnp.int32),
+        ),
+    )(x2)
+
+    if nblocks == 1:
+        vals, idxs = cand_vals, cand_idxs
+    else:
+        vals, idxs = pl.pallas_call(
+            _stage2_kernel(k),
+            grid=(b_pad // row_tile,),
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec((row_tile, nblocks * k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_tile, nblocks * k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((row_tile, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_tile, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b_pad, k), x2.dtype),
+                jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+            ),
+        )(cand_vals, cand_idxs)
+
+    vals = vals[:b]
+    idxs = idxs[:b]
+    out_shape = orig_shape[:-1] + (k,)
+    return vals.reshape(out_shape), idxs.reshape(out_shape)
+
+
+# ---------------------------------------------------------------------------
+# fused top-k sampling
+# ---------------------------------------------------------------------------
+
+
+def top_k_fused_sampling(
+    key: jax.Array,
+    x: jax.Array,
+    k: int,
+    temperature: float | jax.Array = 1.0,
+    axis: int = -1,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k + temperature softmax sampling of one index per row.
+
+    Semantics of ``top_k_fused_sampling_cpu`` / ``_top_k_sampling``
+    (``/root/reference/operations/topk.mojo:271-407``): select the k largest,
+    softmax over ``(v - max) / max(temperature, 1e-6)``, sample one; returns
+    ``(topk_values, sampled_index)`` where the sampled index has size 1 on
+    ``axis`` (out_idxs shape convention of the reference test harness,
+    ``/root/reference/test_topk.mojo:64-77``).  ``temperature -> 0`` becomes
+    greedy argmax.
+    """
+    vals, idxs = top_k(x, k, axis=axis, largest=True)
+    axis = axis % x.ndim
+    vals_last = jnp.moveaxis(vals, axis, -1)
+    idxs_last = jnp.moveaxis(idxs, axis, -1)
+    t = jnp.maximum(jnp.asarray(temperature, vals_last.dtype), 1e-6)
+    logits = (vals_last - vals_last[..., :1]) / t
+    choice = jax.random.categorical(key, logits.astype(jnp.float32), axis=-1)
+    sampled = jnp.take_along_axis(idxs_last, choice[..., None], axis=-1)
+    return vals, jnp.moveaxis(sampled, -1, axis)
+
+
+register_op("top_k_fused_sampling")(top_k_fused_sampling)

@@ -8,12 +8,20 @@ Must run before jax initializes, hence module-level in conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# In this container a sitecustomize registers the axon TPU plugin and forces
+# JAX_PLATFORMS=axon after env setup; override it through jax.config (must
+# happen before any backend initialization).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import json
 
@@ -92,3 +100,14 @@ def make_zipf_corpus(num_docs, vocab=2000, avg_len=40, seed=0):
 @pytest.fixture(scope="session")
 def zipf_corpus_small():
     return make_zipf_corpus(300, vocab=500, avg_len=30, seed=7)
+
+
+def strict_positions(oracle_scores: np.ndarray) -> np.ndarray:
+    """Mask of top-k positions whose doc id is uniquely determined by score:
+    not tied with a neighbour inside the list, and not the final position
+    (which can tie with the excluded (k+1)-th doc)."""
+    strict = np.ones_like(oracle_scores, dtype=bool)
+    strict[:, 1:] &= oracle_scores[:, 1:] != oracle_scores[:, :-1]
+    strict[:, :-1] &= oracle_scores[:, :-1] != oracle_scores[:, 1:]
+    strict[:, -1] = False
+    return strict

@@ -1,0 +1,97 @@
+"""Dense device engine vs the CPU oracle (runs on the simulated CPU backend)."""
+
+import numpy as np
+import pytest
+
+from conftest import strict_positions
+
+from bm25_tpu.models.dense import DenseEngine
+from bm25_tpu.reference import ReferenceEngine
+from bm25_tpu.scoring import BM25Params, build_scored_index
+from bm25_tpu.text.tokenizer import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def small_setup(request):
+    corpus = request.getfixturevalue("zipf_corpus_small")
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    dense = DenseEngine.from_scored_index(idx)
+    oracle = ReferenceEngine.from_scored_index(idx)
+    return idx, dense, oracle
+
+
+def test_dense_matches_oracle_topk(small_setup):
+    idx, dense, oracle = small_setup
+    rng = np.random.default_rng(42)
+    queries = rng.integers(-1, idx.vocab_size, size=(16, 7), dtype=np.int32)
+    k = 20
+    dd, ds = dense.search(queries, top_k=k)
+    od, os_ = oracle.search(queries, top_k=k)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    # doc ids must agree wherever scores are not tied at the boundary
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+def test_dense_full_scores_match_oracle(small_setup):
+    idx, dense, oracle = small_setup
+    q = np.array([0, 3, 9, -1], dtype=np.int32)
+    np.testing.assert_allclose(
+        dense.get_scores(q), oracle.get_scores(q), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_dense_animal_end_to_end(animal_corpus):
+    tok = Tokenizer()
+    out = tok.tokenize_corpus(animal_corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab), vocab=out.vocab)
+    dense = DenseEngine.from_scored_index(idx)
+    q = tok.tokenize_queries(["does the fish purr like a cat?"], out.vocab)
+    docs, scores = dense.search(q, top_k=2)
+    assert docs[0, 0] == 0
+    assert scores[0, 0] == pytest.approx(1.5877, abs=1e-3)
+
+
+def test_dense_oov_only_query(small_setup):
+    idx, dense, _ = small_setup
+    docs, scores = dense.search(np.full((2, 4), -1, dtype=np.int32), top_k=3)
+    np.testing.assert_array_equal(scores, 0.0)
+    np.testing.assert_array_equal(docs, [[0, 1, 2], [0, 1, 2]])
+
+
+def test_dense_rejects_out_of_range(small_setup):
+    idx, dense, _ = small_setup
+    with pytest.raises(ValueError, match="out of range"):
+        dense.search(np.array([[idx.vocab_size]], dtype=np.int32), top_k=1)
+
+
+def test_dense_k_clamped_to_num_docs(small_setup):
+    idx, dense, _ = small_setup
+    docs, scores = dense.search(np.array([[0, 1]], dtype=np.int32),
+                                top_k=idx.num_docs + 50)
+    assert docs.shape == (1, idx.num_docs)
+    # padded doc columns must never appear
+    assert docs.max() < idx.num_docs
+
+
+def test_dense_empty_batch(small_setup):
+    _, dense, _ = small_setup
+    docs, scores = dense.search(np.zeros((0, 3), dtype=np.int32), top_k=5)
+    assert docs.shape == (0, 0)
+
+
+@pytest.mark.parametrize("method", ["bm25l", "bm25+"])
+def test_dense_nonoccurrence_methods_match_oracle(zipf_corpus_small, method):
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab),
+                             params=BM25Params(method=method))
+    dense = DenseEngine.from_scored_index(idx)
+    oracle = ReferenceEngine.from_scored_index(idx)
+    q = np.array([[1, 5, 8, -1, -1]], dtype=np.int32)
+    dd, ds = dense.search(q, top_k=10)
+    od, os_ = oracle.search(q, top_k=10)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5)
+    np.testing.assert_array_equal(dd, od)

@@ -1,0 +1,69 @@
+"""Multi-chip doc-sharded engine on the simulated 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import strict_positions
+
+from bm25_tpu.parallel.mesh import make_mesh
+from bm25_tpu.parallel.sharded_engine import ShardedEngine, dryrun_sharded_step
+from bm25_tpu.reference import ReferenceEngine
+from bm25_tpu.scoring import build_scored_index
+from bm25_tpu.text.tokenizer import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    corpus = request.getfixturevalue("zipf_corpus_small")
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    oracle = ReferenceEngine.from_scored_index(idx)
+    return idx, oracle
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("data,docs", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_matches_oracle(setup, data, docs):
+    idx, oracle = setup
+    mesh = make_mesh(data * docs, data=data)
+    eng = ShardedEngine.from_scored_index(idx, mesh=mesh)
+    rng = np.random.default_rng(3)
+    queries = rng.integers(-1, idx.vocab_size, size=(16, 6), dtype=np.int32)
+    k = 17
+    dd, ds = eng.search(queries, top_k=k)
+    od, os_ = oracle.search(queries, top_k=k)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+def test_sharded_k_larger_than_shard(setup):
+    """k bigger than one shard's doc slice still returns global top-k."""
+    idx, oracle = setup
+    mesh = make_mesh(8, data=1)
+    eng = ShardedEngine.from_scored_index(idx, mesh=mesh)
+    # each shard holds ~ceil(300/8)=~40 padded docs; ask for more than a shard
+    k = 100
+    q = np.array([[0, 1, 2, 3]], dtype=np.int32)
+    dd, ds = eng.search(q, top_k=k)
+    od, os_ = oracle.search(q, top_k=k)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+
+
+def test_dryrun_hook_all_device_counts():
+    for n in (1, 2, 4, 8):
+        dryrun_sharded_step(n)
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert len(out) == 2
+    g.dryrun_multichip(8)

@@ -1,0 +1,90 @@
+"""Sparse ELL engine vs the CPU oracle."""
+
+import numpy as np
+import pytest
+
+from conftest import strict_positions
+
+from bm25_tpu.models.sparse import SparseEngine, build_ell_buckets
+from bm25_tpu.reference import ReferenceEngine
+from bm25_tpu.scoring import build_scored_index
+from bm25_tpu.text.tokenizer import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    corpus = request.getfixturevalue("zipf_corpus_small")
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    oracle = ReferenceEngine.from_scored_index(idx)
+    return idx, oracle
+
+
+def test_ell_buckets_cover_all_docs_and_nnz(setup):
+    idx, _ = setup
+    buckets = build_ell_buckets(idx, max_buckets=4)
+    total_docs = sum(b.num_real for b in buckets)
+    assert total_docs == idx.num_docs
+    seen = np.concatenate([b.doc_ids[b.doc_ids >= 0] for b in buckets])
+    assert len(np.unique(seen)) == idx.num_docs
+    # every stored (doc, token, score) triple matches the CSC
+    csr = idx.to_csc().tocsr()
+    nnz = 0
+    for b in buckets:
+        for row in range(b.num_real):
+            d = b.doc_ids[row]
+            mask = b.tok[row] >= 0
+            nnz += int(mask.sum())
+            toks = b.tok[row][mask]
+            vals = b.val[row][mask]
+            lo, hi = csr.indptr[d], csr.indptr[d + 1]
+            np.testing.assert_array_equal(np.sort(toks), np.sort(csr.indices[lo:hi]))
+            np.testing.assert_allclose(np.sort(vals), np.sort(csr.data[lo:hi]))
+    assert nnz == idx.nnz
+
+
+@pytest.mark.parametrize("max_buckets,block_rows", [(1, 64), (4, 64), (4, 2048)])
+def test_sparse_matches_oracle(setup, max_buckets, block_rows):
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(
+        idx, max_buckets=max_buckets, block_rows=block_rows
+    )
+    rng = np.random.default_rng(5)
+    queries = rng.integers(-1, idx.vocab_size, size=(12, 6), dtype=np.int32)
+    k = 15
+    dd, ds = eng.search(queries, top_k=k)
+    od, os_ = oracle.search(queries, top_k=k)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+def test_sparse_duplicate_query_tokens_count_per_occurrence(setup):
+    """A repeated query token contributes once per occurrence, matching the
+    reference's per-column gather+sum (bm25_native.py:152)."""
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx)
+    q = np.array([[3, 3, 7, -1]], dtype=np.int32)
+    dd, ds = eng.search(q, top_k=5)
+    od, os_ = oracle.search(q, top_k=5)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+
+
+def test_sparse_animal_end_to_end(animal_corpus):
+    tok = Tokenizer()
+    out = tok.tokenize_corpus(animal_corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab), vocab=out.vocab)
+    eng = SparseEngine.from_scored_index(idx)
+    q = tok.tokenize_queries(["does the fish purr like a cat?"], out.vocab)
+    docs, scores = eng.search(q, top_k=2)
+    assert docs[0, 0] == 0
+    assert scores[0, 0] == pytest.approx(1.5877, abs=1e-3)
+
+
+def test_sparse_oov_only(setup):
+    idx, _ = setup
+    eng = SparseEngine.from_scored_index(idx)
+    docs, scores = eng.search(np.full((1, 3), -1, dtype=np.int32), top_k=4)
+    np.testing.assert_array_equal(scores, 0.0)
+    assert (docs >= 0).all()
