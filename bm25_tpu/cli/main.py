@@ -1,0 +1,199 @@
+"""bm25-tpu command line: index build, query serving, bench, demo.
+
+L5 entry-point parity with the reference's scripts (SURVEY.md section 1):
+``demo`` is ``python main.py`` without the interactive-only flow
+(``/root/reference/main.py:210-264``), ``index``/``query`` replace
+``bm25_test.py``'s build/save/load, ``bench`` replaces
+``magic run benchmarks``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _read_corpus(path: str) -> list[str]:
+    docs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("{"):
+                obj = json.loads(line)
+                docs.append(obj.get("text", ""))
+            else:
+                docs.append(line)
+    return docs
+
+
+def cmd_index(args) -> int:
+    from bm25_tpu.index.builder import build_index
+    from bm25_tpu.scoring import BM25Params
+
+    corpus = _read_corpus(args.corpus)
+    params = BM25Params(k1=args.k1, b=args.b, delta=args.delta, method=args.method)
+    index, stats = build_index(corpus, params=params, save_to=args.out)
+    print(
+        f"indexed {stats.num_docs} docs, vocab {stats.vocab_size}, "
+        f"nnz {stats.nnz}, {stats.docs_per_second:.0f} docs/s -> {args.out}"
+    )
+    return 0
+
+
+def cmd_query(args) -> int:
+    import numpy as np
+
+    from bm25_tpu.index.io import MMapCorpus, load_index
+    from bm25_tpu.models.auto import create_engine
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    index = load_index(args.index)
+    if index.vocab is None:
+        print("index has no vocab.index.json; cannot map text queries", file=sys.stderr)
+        return 2
+    engine = create_engine(index, mode=args.engine)
+    tok = Tokenizer()
+    try:
+        corpus = MMapCorpus.open(args.index)
+    except FileNotFoundError:
+        corpus = None
+
+    queries = list(args.query)
+    if args.interactive:
+        print("enter queries (empty line to quit):")
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                break
+            queries.append(line)
+            _run_queries(engine, tok, index, corpus, [line], args.top_k)
+        return 0
+    if not queries:
+        print("no queries given (use positional args or --interactive)", file=sys.stderr)
+        return 2
+    _run_queries(engine, tok, index, corpus, queries, args.top_k)
+    return 0
+
+
+def _run_queries(engine, tok, index, corpus, queries, top_k):
+    import numpy as np
+
+    ids = tok.tokenize_queries(queries, index.vocab)
+    t0 = time.perf_counter()
+    docs, scores = engine.search(ids, top_k=top_k)
+    dt = time.perf_counter() - t0
+    for qi, q in enumerate(queries):
+        print(f"query: {q!r}  ({dt * 1e3:.1f} ms batch)")
+        for rank in range(docs.shape[1]):
+            d, s = int(docs[qi, rank]), float(scores[qi, rank])
+            text = ""
+            if corpus is not None:
+                text = " " + repr(corpus[d].get("text", ""))[:80]
+            print(f"  {rank + 1}. doc={d} score={s:.4f}{text}")
+
+
+def cmd_bench(args) -> int:
+    from bm25_tpu.bench.query_bench import BenchConfig, run
+
+    result = run(BenchConfig.from_env(), log=lambda *a: print(*a, file=sys.stderr))
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_demo(args) -> int:
+    """The reference's 13-doc retrieval demo (main.py:210-264), batch-safe."""
+    from bm25_tpu.index.builder import build_index
+    from bm25_tpu.models.auto import create_engine
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    docs = [
+        "The quick brown fox jumps over the lazy dog",
+        "Some other text",
+        "The quick rabbit runs past the brown fox",
+        "The quick rabbit jumps over the brown dog",
+        "The quick dog chases past the lazy fox",
+        "The quick dog runs through the tall trees",
+        "The quick brown fox jumps over the lazy dog",
+        "The brown dog sleeps under the shady tree",
+        "The brown rabbit hops under the tall tree",
+        "The brown fox runs through the forest trees",
+        "The brown fox watches the sleeping rabbit",
+        "The lazy fox watches over the sleeping dog",
+        "The lazy dog watches the quick rabbit",
+    ]
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    index, _ = build_index(docs, tokenizer=tok)
+    engine = create_engine(index)
+    query = args.query or "quick brown fox"
+    ids = tok.tokenize_queries([query], index.vocab)
+    d, s = engine.search(ids, top_k=args.top_k)
+    print(f"query: {query!r}")
+    for rank in range(d.shape[1]):
+        print(f"  {rank + 1}. score={float(s[0, rank]):.4f}  {docs[int(d[0, rank])]!r}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from bm25_tpu.index.io import load_index
+
+    idx = load_index(args.index)
+    print(json.dumps({
+        "num_docs": idx.num_docs,
+        "vocab_size": idx.vocab_size,
+        "nnz": idx.nnz,
+        "avgdl": idx.avgdl,
+        "params": {
+            "k1": idx.params.k1, "b": idx.params.b,
+            "delta": idx.params.delta, "method": idx.params.method,
+        },
+    }, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bm25-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build and save an index from a corpus file")
+    pi.add_argument("corpus", help="text file (one doc per line) or jsonl with 'text'")
+    pi.add_argument("-o", "--out", required=True)
+    pi.add_argument("--k1", type=float, default=1.5)
+    pi.add_argument("--b", type=float, default=0.75)
+    pi.add_argument("--delta", type=float, default=0.5)
+    pi.add_argument("--method", default="lucene")
+    pi.set_defaults(fn=cmd_index)
+
+    pq = sub.add_parser("query", help="query a saved index")
+    pq.add_argument("index")
+    pq.add_argument("query", nargs="*")
+    pq.add_argument("-k", "--top-k", type=int, default=5)
+    pq.add_argument("--engine", default="auto",
+                    choices=["auto", "dense", "sparse", "sharded"])
+    pq.add_argument("-i", "--interactive", action="store_true")
+    pq.set_defaults(fn=cmd_query)
+
+    pb = sub.add_parser("bench", help="run the query benchmark (JSON to stdout)")
+    pb.set_defaults(fn=cmd_bench)
+
+    pd = sub.add_parser("demo", help="13-doc retrieval demo (reference main.py)")
+    pd.add_argument("-q", "--query", default=None)
+    pd.add_argument("-k", "--top-k", type=int, default=3)
+    pd.set_defaults(fn=cmd_demo)
+
+    pn = sub.add_parser("info", help="print index stats")
+    pn.add_argument("index")
+    pn.set_defaults(fn=cmd_info)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

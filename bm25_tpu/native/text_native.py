@@ -1,0 +1,82 @@
+"""ctypes wrapper over libbm25text.so (native tokenizer + stemmer)."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+
+class NativeTextPipeline:
+    def __init__(self, so_path: str):
+        lib = ctypes.CDLL(so_path)
+        lib.bm25_tokenize_corpus.restype = ctypes.c_void_p
+        lib.bm25_tokenize_corpus.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        for name, restype in [
+            ("tok_total_tokens", ctypes.c_int64),
+            ("tok_vocab_size", ctypes.c_int64),
+            ("tok_vocab_bytes", ctypes.c_int64),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = restype
+            fn.argtypes = [ctypes.c_void_p]
+        lib.tok_copy_ids.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+        lib.tok_copy_offsets.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+        lib.tok_copy_vocab.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.tok_free.argtypes = [ctypes.c_void_p]
+        lib.bm25_stem.restype = ctypes.c_int64
+        lib.bm25_stem.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        self._lib = lib
+
+    def stem(self, word: str) -> str:
+        buf = ctypes.create_string_buffer(4 * len(word) + 16)
+        w = word.encode("utf-8")
+        n = self._lib.bm25_stem(w, len(w), buf, len(buf))
+        if n < 0:
+            raise ValueError("stem buffer overflow")
+        return buf.raw[:n].decode("utf-8")
+
+    def tokenize_corpus(self, texts, stopwords=frozenset(), use_stemmer=True):
+        from bm25_tpu.text.tokenizer import TokenizedCorpus
+
+        enc = [t.encode("utf-8") for t in texts]
+        n = len(enc)
+        docs = (ctypes.c_char_p * n)(*enc)
+        lens = (ctypes.c_int64 * n)(*[len(e) for e in enc])
+        stop_enc = [s.encode("utf-8") for s in sorted(stopwords)]
+        stops = (ctypes.c_char_p * max(len(stop_enc), 1))(*(stop_enc or [b""]))
+
+        handle = self._lib.bm25_tokenize_corpus(
+            docs, lens, n, stops, len(stop_enc), 1 if use_stemmer else 0
+        )
+        try:
+            total = self._lib.tok_total_tokens(handle)
+            ids = np.empty(total, dtype=np.int32)
+            if total:
+                self._lib.tok_copy_ids(
+                    handle, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+                )
+            offsets = np.empty(n + 1, dtype=np.int64)
+            self._lib.tok_copy_offsets(
+                handle, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            )
+            vb = self._lib.tok_vocab_bytes(handle)
+            vbuf = ctypes.create_string_buffer(int(vb))
+            if vb:
+                self._lib.tok_copy_vocab(handle, vbuf)
+            terms = vbuf.raw[:vb].decode("utf-8").split("\n")[:-1] if vb else []
+        finally:
+            self._lib.tok_free(handle)
+
+        vocab = {t: i for i, t in enumerate(terms)}
+        doc_ids = [ids[offsets[i] : offsets[i + 1]] for i in range(n)]
+        return TokenizedCorpus(ids=doc_ids, vocab=vocab)

@@ -1,0 +1,143 @@
+"""Matmul kernels: naive and block-tiled Pallas implementations + XLA path.
+
+Mirrors the reference's matmul custom-op family
+(``/root/reference/operations/matrix_multiplication.mojo``):
+
+* ``naive``      one grid cell computes one (tile_m, tile_n) output tile with
+                 the full K in VMEM (the TPU analog of the reference's
+                 1-thread-per-element kernel, ``matrix_multiplication.mojo:55``)
+* ``optimized``  block-tiled over (M, N, K) with an f32 VMEM accumulator,
+                 K-innermost grid for accumulator reuse (the analog of the
+                 shared-memory/register-tiled kernel, ``:119-231``)
+* ``xla``        plain ``jnp.dot`` — the production path; the Pallas kernels
+                 exist to match (and are benchmarked against) it.
+
+All paths use the MXU via ``preferred_element_type=float32``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bm25_tpu.ops.registry import register_op
+from bm25_tpu.utils.padding import next_multiple
+
+
+def _pad2(x, m, n):
+    pm, pn = next_multiple(x.shape[0], m), next_multiple(x.shape[1], n)
+    if (pm, pn) != x.shape:
+        x = jnp.pad(x, ((0, pm - x.shape[0]), (0, pn - x.shape[1])))
+    return x
+
+
+def _naive_kernel(a_ref, b_ref, o_ref):
+    o_ref[:] = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+def _tiled_kernel(a_ref, b_ref, o_ref, acc_ref, *, k_steps):
+    import jax.experimental.pallas as pl
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        a_ref[:], b_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == k_steps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("algorithm", "tile_m", "tile_n", "tile_k"))
+def matmul(
+    a: jax.Array,
+    b: jax.Array,
+    algorithm: str = "optimized",
+    tile_m: int = 256,
+    tile_n: int = 256,
+    tile_k: int = 512,
+) -> jax.Array:
+    """C = A @ B with a selectable kernel (reference graph.py:24 semantics)."""
+    if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[0]:
+        raise ValueError(f"incompatible shapes {a.shape} @ {b.shape}")
+    if algorithm == "xla":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = a.shape
+    _, n = b.shape
+    interpret = jax.devices()[0].platform != "tpu"
+
+    if algorithm == "naive":
+        tm = min(next_multiple(m, 8), tile_m)
+        tn = min(next_multiple(n, 128), tile_n)
+        ap = _pad2(a, tm, 1)
+        bp = _pad2(b, 1, tn)
+        grid = (ap.shape[0] // tm, bp.shape[1] // tn)
+        out = pl.pallas_call(
+            _naive_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((ap.shape[0], bp.shape[1]), a.dtype),
+            interpret=interpret,
+        )(ap, bp)
+        return out[:m, :n]
+
+    if algorithm == "optimized":
+        tm = min(next_multiple(m, 8), tile_m)
+        tn = min(next_multiple(n, 128), tile_n)
+        tk = min(next_multiple(k, 128), tile_k)
+        ap = _pad2(a, tm, tk)
+        bp = _pad2(b, tk, tn)
+        k_steps = ap.shape[1] // tk
+        grid = (ap.shape[0] // tm, bp.shape[1] // tn, k_steps)
+        out = pl.pallas_call(
+            functools.partial(_tiled_kernel, k_steps=k_steps),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((ap.shape[0], bp.shape[1]), a.dtype),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ap.shape[0] * bp.shape[1] * ap.shape[1],
+                bytes_accessed=(
+                    ap.size * ap.dtype.itemsize
+                    + bp.size * bp.dtype.itemsize
+                    + ap.shape[0] * bp.shape[1] * 4
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(ap, bp)
+        return out[:m, :n]
+
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+register_op("matrix_multiplication")(matmul)

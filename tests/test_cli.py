@@ -1,0 +1,50 @@
+"""CLI surface: index -> info -> query round trip, demo, bad input."""
+
+import json
+
+import pytest
+
+from bm25_tpu.cli.main import main
+
+
+def test_index_info_query_roundtrip(tmp_path, animal_corpus, capsys):
+    corpus_file = tmp_path / "docs.txt"
+    corpus_file.write_text("\n".join(animal_corpus))
+    out = tmp_path / "idx"
+
+    assert main(["index", str(corpus_file), "-o", str(out)]) == 0
+    assert main(["info", str(out)]) == 0
+    captured = capsys.readouterr().out
+    info = json.loads(captured[captured.index("{"):])
+    assert info["num_docs"] == 4 and info["vocab_size"] == 20
+
+    assert main(["query", str(out), "does the fish purr like a cat?",
+                 "-k", "2"]) == 0
+    out_text = capsys.readouterr().out
+    assert "doc=0" in out_text  # the cat doc ranks first
+    assert "cat" in out_text
+
+
+def test_query_jsonl_corpus(tmp_path, capsys, animal_corpus):
+    corpus_file = tmp_path / "docs.jsonl"
+    corpus_file.write_text(
+        "\n".join(json.dumps({"id": i, "text": t}) for i, t in enumerate(animal_corpus))
+    )
+    out = tmp_path / "idx"
+    assert main(["index", str(corpus_file), "-o", str(out)]) == 0
+    assert main(["query", str(out), "bird that can fly", "-k", "1"]) == 0
+    assert "doc=2" in capsys.readouterr().out
+
+
+def test_demo(capsys):
+    assert main(["demo", "-q", "sleeping rabbit", "-k", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "sleeping rabbit" in out
+
+
+def test_query_no_queries_error(tmp_path, animal_corpus, capsys):
+    corpus_file = tmp_path / "docs.txt"
+    corpus_file.write_text("\n".join(animal_corpus))
+    out = tmp_path / "idx"
+    main(["index", str(corpus_file), "-o", str(out)])
+    assert main(["query", str(out)]) == 2

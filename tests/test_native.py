@@ -1,0 +1,73 @@
+"""Native C++ text pipeline vs the pure-Python oracle."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+SO = os.path.join(os.path.dirname(__file__), "..", "bm25_tpu", "native",
+                  "libbm25text.so")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SO), reason="native lib not built (make -C bm25_tpu/native)"
+)
+
+
+@pytest.fixture(scope="module")
+def native():
+    from bm25_tpu.native.text_native import NativeTextPipeline
+
+    return NativeTextPipeline(os.path.abspath(SO))
+
+
+def test_stemmer_matches_nltk_fuzz(native):
+    from nltk.stem import SnowballStemmer
+
+    s = SnowballStemmer("english")
+    rng = random.Random(0)
+    sufs = ["ing", "ed", "ies", "ization", "ational", "fulness", "ogi",
+            "ively", "ement", "ance", "e", "l", "eedly", "sses", "'s"]
+    for _ in range(3000):
+        base = "".join(rng.choice("aeiouybcdfglmnprst'") for _ in range(rng.randint(1, 10)))
+        w = base + rng.choice(sufs + [""])
+        assert native.stem(w) == s.stem(w), w
+
+
+def test_stemmer_reference_vocabulary(native):
+    # stems visible in /root/reference/animal_index_bm25/vocab.index.json
+    expected = {
+        "feline": "felin", "likes": "like", "beautiful": "beauti",
+        "animal": "anim", "fly": "fli", "creature": "creatur",
+        "lives": "live", "swims": "swim", "humans": "human", "loves": "love",
+    }
+    for w, e in expected.items():
+        assert native.stem(w) == e
+
+
+def test_tokenize_corpus_matches_python(native, animal_corpus, fox_corpus):
+    from bm25_tpu.text.stopwords import STOPWORDS_EN
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    docs = animal_corpus + fox_corpus + [
+        "Numbers 123 and under_scores plus MixedCASE words!",
+        "repeated repeated repeated tokens tokens",
+        "",
+        "a",  # single short token only
+    ]
+    py = Tokenizer(use_native=False).tokenize_corpus(docs)
+    nat = native.tokenize_corpus(docs, stopwords=STOPWORDS_EN)
+    assert py.vocab == nat.vocab
+    for a, b in zip(py.ids, nat.ids):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_tokenizer_auto_uses_native(native, animal_corpus):
+    """Tokenizer(use_native=True) routes through the shared library."""
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    t_on = Tokenizer(use_native=True).tokenize_corpus(animal_corpus)
+    t_off = Tokenizer(use_native=False).tokenize_corpus(animal_corpus)
+    assert t_on.vocab == t_off.vocab
+    for a, b in zip(t_on.ids, t_off.ids):
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,139 @@
+"""Top-k op golden tests — the cases of /root/reference/test_topk.mojo:152-344
+re-expressed against numpy oracles (both lax and pallas-interpret paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bm25_tpu.ops.topk import top_k, top_k_fused_sampling
+
+IMPLS = ["lax", "pallas"]
+
+
+def np_topk(x, k, axis=-1, largest=True):
+    """Oracle: sorted, ties -> smaller index."""
+    x = np.moveaxis(np.asarray(x, dtype=np.float64), axis, -1)
+    key = -x if largest else x
+    idx = np.argsort(key, axis=-1, kind="stable")[..., :k]
+    vals = np.take_along_axis(x, idx, axis=-1)
+    return np.moveaxis(vals, -1, axis), np.moveaxis(idx, -1, axis)
+
+
+def check(x, k, axis=-1, largest=True, impl="lax"):
+    v, i = top_k(jnp.asarray(x), k, axis=axis, largest=largest, implementation=impl)
+    ev, ei = np_topk(x, k, axis=axis, largest=largest)
+    np.testing.assert_allclose(np.asarray(v, np.float64), ev, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_1d_arange(impl):
+    # test_topk.mojo:152-172 — iota input, sorted output
+    check(np.arange(12, dtype=np.float32), k=3, impl=impl)
+
+
+def test_axis0_and_axis1():
+    # test_topk.mojo:174-214
+    x = np.array([[1.0, 9.0, 3.0], [7.0, 2.0, 8.0], [4.0, 6.0, 5.0]], np.float32)
+    check(x, k=2, axis=0)
+    check(x, k=2, axis=1)
+
+
+def test_smallest():
+    # largest=False (test_topk.mojo:196-205)
+    x = np.array([5.0, 1.0, 4.0, 2.0, 3.0], np.float32)
+    check(x, k=2, largest=False)
+    xi = np.array([5, 1, 4, 2, 3], np.int32)
+    v, i = top_k(jnp.asarray(xi), 2, largest=False)
+    np.testing.assert_array_equal(np.asarray(v), [1, 2])
+    np.testing.assert_array_equal(np.asarray(i), [1, 3])
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_all_identical_stable(impl):
+    # duplicate stability incl. 33x33 (test_topk.mojo:216-238)
+    x = np.full((33, 33), 7.0, np.float32)
+    v, i = top_k(jnp.asarray(x), 5, implementation=impl)
+    np.testing.assert_array_equal(np.asarray(i), np.tile(np.arange(5), (33, 1)))
+    np.testing.assert_array_equal(np.asarray(v), np.full((33, 5), 7.0))
+
+
+def test_k_equals_axis():
+    # k = full axis (test_topk.mojo:240-247)
+    x = np.array([3.0, 1.0, 2.0], np.float32)
+    check(x, k=3)
+
+
+def test_rank5():
+    # rank-5 input (test_topk.mojo:256-265)
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 3, 2, 2, 6)).astype(np.float32)
+    check(x, k=2, axis=-1)
+    check(x, k=2, axis=1)
+
+
+def test_pallas_two_stage_large_n():
+    """N large enough for multiple stage-1 blocks; vs lax path."""
+    rng = np.random.default_rng(1)
+    x = rng.random((4, 40000)).astype(np.float32)
+    v1, i1 = top_k(jnp.asarray(x), 16, implementation="pallas")
+    v2, i2 = top_k(jnp.asarray(x), 16, implementation="lax")
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_pallas_duplicates_across_blocks():
+    """Ties spanning stage-1 block boundaries keep smaller-index order."""
+    x = np.zeros((2, 40000), np.float32)
+    x[:, [5, 20000, 39999]] = 3.0
+    v, i = top_k(jnp.asarray(x), 4, implementation="pallas")
+    np.testing.assert_array_equal(
+        np.asarray(i), [[5, 20000, 39999, 0], [5, 20000, 39999, 0]]
+    )
+
+
+def test_k_out_of_range():
+    with pytest.raises(ValueError, match="out of range"):
+        top_k(jnp.zeros(4), 5)
+
+
+# -- fused sampling (test_topk.mojo:267-344) ---------------------------------
+
+
+def test_sampling_returns_topk_member_and_topk_values():
+    rng = np.random.default_rng(2)
+    x = rng.random((6, 50)).astype(np.float32)
+    key = jax.random.PRNGKey(1)  # seeded, like seed(1) at test_topk.mojo:146
+    vals, sampled = top_k_fused_sampling(key, jnp.asarray(x), k=5)
+    ev, ei = np_topk(x, 5)
+    np.testing.assert_allclose(np.asarray(vals), ev, rtol=1e-6)
+    assert sampled.shape == (6, 1)
+    for r in range(6):
+        assert int(sampled[r, 0]) in set(ei[r].tolist())
+
+
+def test_sampling_temperature_zero_is_greedy():
+    # temperature 0.0 case (test_topk.mojo:309-344)
+    rng = np.random.default_rng(3)
+    x = rng.random((4, 30)).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+    _, sampled = top_k_fused_sampling(key, jnp.asarray(x), k=5, temperature=0.0)
+    np.testing.assert_array_equal(
+        np.asarray(sampled)[:, 0], np.argmax(x, axis=1)
+    )
+
+
+def test_sampling_deterministic_for_fixed_key():
+    x = jnp.asarray(np.random.default_rng(4).random((3, 40), np.float32))
+    key = jax.random.PRNGKey(11)
+    _, s1 = top_k_fused_sampling(key, x, k=8, temperature=0.7)
+    _, s2 = top_k_fused_sampling(key, x, k=8, temperature=0.7)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_sampling_3d():
+    # rank-3 sampling (test_topk.mojo:267-302)
+    x = jnp.asarray(np.random.default_rng(5).random((2, 3, 20), np.float32))
+    vals, sampled = top_k_fused_sampling(jax.random.PRNGKey(0), x, k=4)
+    assert vals.shape == (2, 3, 4) and sampled.shape == (2, 3, 1)
