@@ -63,7 +63,9 @@ def make_query_step(num_docs: int, k: int):
 
         doc_ids = lax.broadcasted_iota(jnp.int32, (1, d_pad), 1)
         masked = jnp.where(doc_ids < num_docs, scores, NEG_INF)
-        top_scores, top_docs = lax.top_k(masked, k)
+        from bm25_tpu.ops.topk import top_k_blockwise
+
+        top_scores, top_docs = top_k_blockwise(masked, k)
         return top_scores + qoff[:, None], top_docs.astype(jnp.int32)
 
     return step
@@ -136,22 +138,40 @@ class DenseEngine:
         queries = self._prepare(queries)
         if len(queries) == 0:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
+        top_scores, top_docs = self._dispatch(queries, top_k)
+        q_real = len(queries)
+        return np.asarray(top_docs)[:q_real], np.asarray(top_scores)[:q_real]
+
+    def search_pipelined(
+        self, queries: np.ndarray, top_k: int = 100, batch: int = 512
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Large-batch search with async dispatch: all sub-batches are
+        enqueued before any result is fetched, so device compute overlaps
+        host<->device transfers (JAX async dispatch)."""
+        queries = self._prepare(queries)
+        if len(queries) == 0:
+            return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
+        futures = []
+        for i in range(0, len(queries), batch):
+            chunk = queries[i : i + batch]
+            futures.append((len(chunk), self._dispatch(chunk, top_k)))
+        docs = np.concatenate([np.asarray(d)[:n] for n, (s, d) in futures])
+        scores = np.concatenate([np.asarray(s)[:n] for n, (s, d) in futures])
+        return docs, scores
+
+    def _dispatch(self, queries: np.ndarray, top_k: int):
+        """Enqueue one padded sub-batch; returns unfetched device arrays."""
         k = min(top_k, self.num_docs)
         q_real, t_real = queries.shape
         q_pad = next_multiple(q_real, 8)
         t_pad = next_pow2_at_least(max(t_real, 1))
         padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
         padded[:q_real, :t_real] = queries
-
         step = self.session.compile(
             ("dense_query", self.num_docs, k, q_pad, t_pad, self.st.shape),
             lambda: jax.jit(make_query_step(self.num_docs, k)),
         )
-        top_scores, top_docs = step(self.st, self.offsets, self.session.put(padded))
-        return (
-            np.asarray(top_docs)[:q_real],
-            np.asarray(top_scores)[:q_real],
-        )
+        return step(self.st, self.offsets, self.session.put(padded))
 
     def get_scores(self, query_ids) -> np.ndarray:
         """Dense (D,) scores for a single query (reference bm25.py:124)."""

@@ -84,11 +84,17 @@ def build_ell_buckets(
         tok = np.full((n_pad, width), PAD_TOK, dtype=np.int32)
         val = np.zeros((n_pad, width), dtype=np.float32)
         doc_ids = np.full((n_pad,), -1, dtype=np.int32)
-        for i, r in enumerate(rows):
-            lo, hi = csr.indptr[r], csr.indptr[r + 1]
-            tok[i, : hi - lo] = csr.indices[lo:hi]
-            val[i, : hi - lo] = csr.data[lo:hi]
-            doc_ids[i] = r
+        # vectorized fill: flat nnz of the selected rows -> (row, slot) coords
+        nnz_sel = row_nnz[rows]
+        starts = csr.indptr[rows]
+        flat_rows = np.repeat(np.arange(n, dtype=np.int64), nnz_sel)
+        slot = np.arange(len(flat_rows), dtype=np.int64) - np.repeat(
+            np.cumsum(nnz_sel) - nnz_sel, nnz_sel
+        )
+        src = np.repeat(starts, nnz_sel) + slot
+        tok[flat_rows, slot] = csr.indices[src]
+        val[flat_rows, slot] = csr.data[src]
+        doc_ids[:n] = rows
         buckets.append(EllBucket(tok=tok, val=val, doc_ids=doc_ids, num_real=n))
         start = end
     return buckets
@@ -105,20 +111,26 @@ def _score_block(tok_blk, val_blk, ids, valid):
     Occurrence-count semantics: a token repeated in the query contributes
     once per occurrence, matching the reference's per-column gather+sum
     (``/root/reference/bm25_native.py:152`` sums a repeated column twice).
+
+    Scans the L (postings-slot) axis carrying only the (Q, B) accumulator;
+    each step is a (Q, B, T) compare + T-reduction that XLA fuses on the
+    VPU — no (Q, B, L) intermediate ever materializes.
     """
-    q, t = ids.shape
+    # doc pad slots hold PAD_TOK (-1); mask query pads to -2 so that a doc
+    # pad slot can never match a query pad slot
+    masked_ids = jnp.where(valid, ids, -2)
 
-    def add_term(carry, idt):
-        idt_col, v = idt  # (Q,), (Q,)
-        m = tok_blk[None, :, :] == idt_col[:, None, None]  # (Q, B, L)
-        m = m & v[:, None, None]
-        return carry + m.astype(val_blk.dtype), None
+    def per_slot(acc, slot):
+        tok_col, val_col = slot  # (B,), (B,)
+        eq = masked_ids[:, None, :] == tok_col[None, :, None]  # (Q, B, T)
+        cnt = jnp.sum(eq, axis=-1).astype(val_col.dtype)  # (Q, B)
+        return acc + cnt * val_col[None, :], None
 
-    count0 = jnp.zeros((q,) + tok_blk.shape, dtype=val_blk.dtype)
-    count, _ = lax.scan(add_term, count0, (ids.T, valid.T))
-    return jnp.einsum(
-        "bl,qbl->qb", val_blk, count, preferred_element_type=jnp.float32
-    )
+    q = ids.shape[0]
+    b = tok_blk.shape[0]
+    acc0 = jnp.zeros((q, b), dtype=jnp.float32)
+    acc, _ = lax.scan(per_slot, acc0, (tok_blk.T, val_blk.T))
+    return acc
 
 
 def make_ell_query_step(block_rows: int, k: int):
@@ -135,16 +147,23 @@ def make_ell_query_step(block_rows: int, k: int):
         valid = ids >= 0
 
         def body(carry, blk):
+            from bm25_tpu.ops.topk import top_k_blockwise
+
             bs, bi = carry
             tok_blk = lax.dynamic_slice_in_dim(tok, blk * block_rows, block_rows)
             val_blk = lax.dynamic_slice_in_dim(val, blk * block_rows, block_rows)
             did_blk = lax.dynamic_slice_in_dim(doc_ids, blk * block_rows, block_rows)
             scores = _score_block(tok_blk, val_blk, ids, valid)  # (Q, B)
             scores = jnp.where(did_blk[None, :] >= 0, scores, NEG_INF)
-            cat_s = jnp.concatenate([bs, scores], axis=1)
-            cat_i = jnp.concatenate(
-                [bi, jnp.broadcast_to(did_blk[None, :], scores.shape)], axis=1
+            # stage 1: block-local top-k candidates (hierarchical for big B)
+            k_local = min(k, block_rows)
+            ls, lpos = top_k_blockwise(scores, k_local)
+            li = jnp.take_along_axis(
+                jnp.broadcast_to(did_blk[None, :], scores.shape), lpos, axis=1
             )
+            # stage 2: merge into the running candidate set
+            cat_s = jnp.concatenate([bs, ls], axis=1)
+            cat_i = jnp.concatenate([bi, li], axis=1)
             ns, pos = lax.top_k(cat_s, k)
             ni = jnp.take_along_axis(cat_i, pos, axis=1)
             return (ns, ni), None

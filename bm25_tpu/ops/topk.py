@@ -242,6 +242,69 @@ def _pallas_topk_lastaxis(x: jax.Array, k: int):
 
 
 # ---------------------------------------------------------------------------
+# hierarchical (block-max) exact top-k for huge N
+# ---------------------------------------------------------------------------
+
+
+def top_k_blockwise(
+    x: jax.Array, k: int, block: int | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over a huge last axis via block-max pre-selection.
+
+    Two-level scheme: (1) reduce to per-block maxima, (2) pick the k
+    highest-max blocks per row (at most k-1 blocks can have a max above the
+    k-th value's block, so the true top-k values all live in those blocks),
+    (3) gather the selected blocks and run the final exact top-k.
+
+    Tie contract is preserved: blocks are index-ordered and ``lax.top_k``
+    is stable, so among equal scores earlier blocks (= smaller indices) are
+    selected first, and the final top-k inherits smaller-index-first order.
+
+    Wins when ``k * block << N`` — the regime of BM25 serving (N = millions
+    of docs); the same shape as the reference's two-stage GPU kernel
+    (``topk.mojo:576-830``) but with the block count chosen by math, not
+    hardware limits.
+    """
+    orig_shape = x.shape
+    n = orig_shape[-1]
+    if not 1 <= k <= n:
+        raise ValueError(f"k={k} out of range for axis of {n}")
+    if block is None:
+        # minimize k*block + n/block -> block ~ sqrt(n/k), lane-aligned
+        block = max(128, next_multiple(int(np.sqrt(n / k)), 128))
+    nb = cdiv(n, block)
+    if nb <= k:  # no reduction possible; plain top-k
+        return top_k(x, k)
+
+    b = int(np.prod(orig_shape[:-1], dtype=np.int64)) if x.ndim > 1 else 1
+    x2 = x.reshape(b, n)
+    n_pad = nb * block
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n)), constant_values=NEG_INF)
+
+    block_max = jnp.max(x2.reshape(b, nb, block), axis=-1)  # (b, nb)
+    _, top_blocks = lax.top_k(block_max, k)  # (b, k), stable
+    # re-sort selected block ids ascending so the candidate axis is in
+    # global index order — stable top_k below then resolves ties to the
+    # smallest original index, preserving the tie contract.
+    top_blocks = jnp.sort(top_blocks, axis=1)
+    # gather selected blocks: (b, k, block)
+    gathered = jnp.take_along_axis(
+        x2.reshape(b, nb, block), top_blocks[:, :, None], axis=1
+    )
+    cand = gathered.reshape(b, k * block)
+    cand_idx = (top_blocks[:, :, None] * block + jnp.arange(block)[None, None, :]
+                ).reshape(b, k * block)
+    vals, pos = lax.top_k(cand, k)
+    idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    out_shape = orig_shape[:-1] + (k,)
+    return vals.reshape(out_shape), idx.reshape(out_shape)
+
+
+register_op("top_k_blockwise")(top_k_blockwise)
+
+
+# ---------------------------------------------------------------------------
 # fused top-k sampling
 # ---------------------------------------------------------------------------
 

@@ -59,8 +59,10 @@ def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int):
         local_ids = lax.broadcasted_iota(jnp.int32, (1, d_local), 1)
         masked = jnp.where(doc_base + local_ids < num_docs, scores, NEG_INF)
 
+        from bm25_tpu.ops.topk import top_k_blockwise
+
         k_local = min(k, d_local)
-        top_s, top_i = lax.top_k(masked, k_local)  # stage 1: local candidates
+        top_s, top_i = top_k_blockwise(masked, k_local)  # stage 1: local
         top_i = top_i.astype(jnp.int32) + doc_base
 
         # stage 2: all-gather (shards, q, k_local) candidates over ICI, merge

@@ -1,0 +1,60 @@
+"""Auxiliary subsystems: snapshot round-trip, profiling helpers, shard plans."""
+
+import numpy as np
+
+from bm25_tpu.index.snapshot import load_snapshot, save_snapshot
+from bm25_tpu.parallel.distributed import DocShardPlan
+from bm25_tpu.runtime.profiling import StepTimer, op_span
+from bm25_tpu.scoring import build_scored_index
+from bm25_tpu.text.tokenizer import Tokenizer
+
+
+def test_snapshot_round_trip(tmp_path, animal_corpus):
+    tok = Tokenizer()
+    out = tok.tokenize_corpus(animal_corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab), vocab=out.vocab)
+    p = str(tmp_path / "snap.npz")
+    save_snapshot(p, idx)
+    loaded = load_snapshot(p)
+    np.testing.assert_array_equal(loaded.data, idx.data)
+    np.testing.assert_array_equal(loaded.indices, idx.indices)
+    np.testing.assert_array_equal(loaded.indptr, idx.indptr)
+    np.testing.assert_array_equal(loaded.doc_lengths, idx.doc_lengths)
+    assert loaded.vocab == idx.vocab
+    assert loaded.params == idx.params
+    assert loaded.token_offsets is None  # all-zero offsets collapse to None
+
+
+def test_step_timer_percentiles():
+    t = StepTimer()
+    for _ in range(10):
+        with t.measure():
+            pass
+    s = t.summary()
+    assert s["count"] == 10 and s["p50_ms"] >= 0
+
+
+def test_op_span_composes_with_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(x):
+        with op_span("bm25_score"):
+            return x * 2
+
+    assert float(f(jnp.float32(3.0))) == 6.0
+
+
+def test_doc_shard_plan_covers_all_docs():
+    plan = DocShardPlan(num_docs=1000, num_hosts=3, num_devices_global=8)
+    covered = []
+    for h in range(3):
+        lo, hi = plan.host_range(h)
+        covered.extend(range(lo, hi))
+    assert covered == list(range(1000))
+    dev_cov = []
+    for d in range(8):
+        lo, hi = plan.device_range(d)
+        dev_cov.extend(range(lo, hi))
+    assert dev_cov == list(range(1000))

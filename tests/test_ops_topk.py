@@ -137,3 +137,57 @@ def test_sampling_3d():
     x = jnp.asarray(np.random.default_rng(5).random((2, 3, 20), np.float32))
     vals, sampled = top_k_fused_sampling(jax.random.PRNGKey(0), x, k=4)
     assert vals.shape == (2, 3, 4) and sampled.shape == (2, 3, 1)
+
+
+# -- hierarchical block-max top-k ---------------------------------------------
+
+
+def test_blockwise_exact_vs_oracle():
+    from bm25_tpu.ops.topk import top_k_blockwise
+
+    rng = np.random.default_rng(9)
+    x = rng.random((4, 50000)).astype(np.float32)
+    v, i = top_k_blockwise(jnp.asarray(x), 50, block=256)
+    ev, ei = np_topk(x, 50)
+    np.testing.assert_allclose(np.asarray(v), ev, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+def test_blockwise_heavy_ties_keep_contract():
+    from bm25_tpu.ops.topk import top_k_blockwise
+
+    rng = np.random.default_rng(10)
+    # few distinct values -> massive ties inside and across blocks
+    x = rng.choice([0.0, 1.0, 2.0], size=(6, 30000)).astype(np.float32)
+    v, i = top_k_blockwise(jnp.asarray(x), 40, block=128)
+    ev, ei = np_topk(x, 40)
+    np.testing.assert_allclose(np.asarray(v), ev, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+def test_blockwise_all_zero_rows():
+    from bm25_tpu.ops.topk import top_k_blockwise
+
+    x = jnp.zeros((3, 20000), jnp.float32)
+    v, i = top_k_blockwise(x, 10, block=128)
+    np.testing.assert_array_equal(np.asarray(i), np.tile(np.arange(10), (3, 1)))
+
+
+def test_blockwise_falls_back_when_blocks_le_k():
+    from bm25_tpu.ops.topk import top_k_blockwise
+
+    rng = np.random.default_rng(11)
+    x = rng.random((2, 1000)).astype(np.float32)
+    v, i = top_k_blockwise(jnp.asarray(x), 100, block=128)  # nb=8 <= k
+    ev, ei = np_topk(x, 100)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+def test_blockwise_unaligned_n_with_padding():
+    from bm25_tpu.ops.topk import top_k_blockwise
+
+    rng = np.random.default_rng(12)
+    x = rng.random((2, 33333)).astype(np.float32)
+    v, i = top_k_blockwise(jnp.asarray(x), 20, block=256)
+    ev, ei = np_topk(x, 20)
+    np.testing.assert_array_equal(np.asarray(i), ei)
