@@ -97,9 +97,15 @@ def _run_queries(engine, tok, index, corpus, queries, top_k):
 
 
 def cmd_bench(args) -> int:
+    log = lambda *a: print(*a, file=sys.stderr)  # noqa: E731
+    if args.suite == "matmul":
+        from bm25_tpu.bench.matmul_bench import bench_matmul
+
+        print(json.dumps(bench_matmul(log=log)))
+        return 0
     from bm25_tpu.bench.query_bench import BenchConfig, run
 
-    result = run(BenchConfig.from_env(), log=lambda *a: print(*a, file=sys.stderr))
+    result = run(BenchConfig.from_env(), log=log)
     print(json.dumps(result))
     return 0
 
@@ -176,7 +182,8 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("-i", "--interactive", action="store_true")
     pq.set_defaults(fn=cmd_query)
 
-    pb = sub.add_parser("bench", help="run the query benchmark (JSON to stdout)")
+    pb = sub.add_parser("bench", help="run a benchmark suite (JSON to stdout)")
+    pb.add_argument("--suite", default="query", choices=["query", "matmul"])
     pb.set_defaults(fn=cmd_bench)
 
     pd = sub.add_parser("demo", help="13-doc retrieval demo (reference main.py)")

@@ -1,0 +1,93 @@
+"""Streaming (chunked) index build for corpora that don't fit as one list.
+
+Scale path of the build pipeline (SURVEY.md section 7, step 5): documents
+arrive in batches (file shards, generators, datasets); tokenization runs
+per chunk (native C++ fast path when built), token-id streams accumulate in
+flat int32 arrays, and scoring happens once at finalize.  Combined with
+``parallel.distributed.DocShardPlan``, each host builds only its doc range
+and the shards concatenate positionally.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from bm25_tpu.index.builder import BuildStats
+from bm25_tpu.scoring import BM25Params, ScoredIndex, build_scored_index
+from bm25_tpu.text.tokenizer import Tokenizer
+
+
+@dataclass
+class StreamingIndexBuilder:
+    """Accumulates tokenized chunks; finalize() produces the scored index."""
+
+    params: BM25Params | None = None
+    tokenizer: Tokenizer = field(default_factory=Tokenizer)
+
+    _vocab: dict = field(default_factory=dict, repr=False)
+    _chunks: list = field(default_factory=list, repr=False)
+    _lengths: list = field(default_factory=list, repr=False)
+    _num_docs: int = 0
+    _tokenize_s: float = 0.0
+
+    def add(self, texts: Sequence[str]) -> int:
+        """Tokenize and buffer one chunk of documents; returns docs so far."""
+        t0 = time.perf_counter()
+        # tokenize with a chunk-local vocab (lets the native fast path run),
+        # then remap chunk-local ids onto the shared streaming vocab
+        tok = self.tokenizer.tokenize_corpus(texts)
+        remap = np.empty(max(len(tok.vocab), 1), dtype=np.int32)
+        for term, tid in tok.vocab.items():
+            gid = self._vocab.get(term)
+            if gid is None:
+                gid = len(self._vocab)
+                self._vocab[term] = gid
+            remap[tid] = gid
+        ids = [remap[doc] for doc in tok.ids]
+        self._tokenize_s += time.perf_counter() - t0
+        if ids:
+            self._chunks.append(np.concatenate(ids) if ids else np.zeros(0, np.int32))
+            self._lengths.append(np.array([len(d) for d in ids], dtype=np.int32))
+        self._num_docs += len(texts)
+        return self._num_docs
+
+    def add_iter(self, docs: Iterable[str], chunk_size: int = 10000) -> int:
+        batch = []
+        for d in docs:
+            batch.append(d)
+            if len(batch) >= chunk_size:
+                self.add(batch)
+                batch = []
+        if batch:
+            self.add(batch)
+        return self._num_docs
+
+    def finalize(self) -> tuple[ScoredIndex, BuildStats]:
+        t0 = time.perf_counter()
+        lengths = (
+            np.concatenate(self._lengths) if self._lengths else np.zeros(0, np.int32)
+        )
+        flat = (
+            np.concatenate(self._chunks) if self._chunks else np.zeros(0, np.int32)
+        )
+        bounds = np.concatenate([[0], np.cumsum(lengths)])
+        per_doc = [flat[bounds[i] : bounds[i + 1]] for i in range(len(lengths))]
+        index = build_scored_index(
+            per_doc,
+            vocab_size=len(self._vocab),
+            params=self.params,
+            vocab=dict(self._vocab),
+        )
+        score_s = time.perf_counter() - t0
+        stats = BuildStats(
+            num_docs=index.num_docs,
+            vocab_size=index.vocab_size,
+            nnz=index.nnz,
+            tokenize_seconds=self._tokenize_s,
+            score_seconds=score_s,
+        )
+        return index, stats

@@ -44,17 +44,14 @@ def make_query_step(num_docs: int, k: int):
     """
 
     def step(st: jax.Array, offsets: jax.Array, ids: jax.Array):
+        from bm25_tpu.ops.gather_rows import gather_add_rows
+
         q, t = ids.shape
         d_pad = st.shape[1]
         zero_row = st.shape[0] - 1  # last row is all-zero (pad/OOV target)
         valid = ids >= 0
         safe = jnp.where(valid, ids, zero_row)
-
-        def body(acc, ids_t):
-            return acc + st[ids_t], None
-
-        acc0 = jnp.zeros((q, d_pad), dtype=st.dtype)
-        scores, _ = lax.scan(body, acc0, jnp.transpose(safe))
+        scores = gather_add_rows(st, safe)  # pallas on TPU, scan elsewhere
 
         # doc-independent per-token offsets (bm25l/bm25+ nonoccurrence term)
         qoff = jnp.sum(

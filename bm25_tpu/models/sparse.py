@@ -1,23 +1,29 @@
-"""Sparse device engine: doc-major padded postings (ELL) + streaming top-k.
+"""Sparse device engine: doc-major padded postings (ELL) + blockwise top-k.
 
 Large-corpus mode (V x D dense is out of HBM budget).  The CSC index is
-re-laid out doc-major: for each document, its distinct (token, score) pairs
-are padded to the bucket width, giving dense ``tok[D_pad, L]`` int32 and
-``val[D_pad, L]`` float32 tiles — the TPU-friendly answer to SURVEY.md's
-"irregular postings on a dense-tile machine" (length-bucketing bounds the
+re-laid out doc-major: each document's distinct (token, score) pairs are
+padded to its length-bucket's width, giving dense ``tok[rows, L]`` int32 and
+``val[rows, L]`` float32 tiles — the TPU-friendly answer to SURVEY.md's
+"irregular postings on a dense-tile machine" (length bucketing bounds the
 padding waste; memory stays O(nnz)).
 
-Scoring a query = membership-weighted row sum:
-``score[d] = sum_l val[d,l] * [tok[d,l] in query]`` — pure VPU
-compare/accumulate with static shapes, no scatter, no dynamic shapes.  The
-doc axis is scanned in blocks with a running top-k merge (carry (Q,k)), the
-streaming analogue of the reference's two-stage GPU top-k
-(``/root/reference/operations/topk.mojo:576-830``), so the full (Q, D) score
-matrix never materializes in HBM.
+Scoring a query is a membership-count row sum:
+``score[d] = sum_l val[d,l] * #{t : ids[q,t] == tok[d,l]}`` — pure VPU
+compare/accumulate with static shapes, no scatter, no dynamic shapes, and
+occurrence-count semantics matching the reference's per-column gather+sum
+(``/root/reference/bm25_native.py:152``).
 
-Docs are sorted by distinct-token count into length buckets; each bucket is
-scored independently and candidates merge at the end.  Output ids map back
-through the per-row original-doc-id table.
+Query path: every bucket scans its doc axis in superblocks, writing scores
+into one global (Q, D_pad) buffer (donated across bucket calls, so it stays
+device-resident); a single hierarchical block-max top-k
+(ops.topk.top_k_blockwise) then selects candidates over the whole corpus —
+the streaming generalization of the reference's two-stage GPU top-k
+(``/root/reference/operations/topk.mojo:576-830``).
+
+Docs are permuted by length bucketing, so positions map back to original
+ids through a device-resident position->doc-id table; tie-breaking is
+deterministic (stable in permuted position order) but not doc-id order —
+the documented divergence of this engine (DenseEngine preserves it).
 """
 
 from __future__ import annotations
@@ -44,9 +50,9 @@ PAD_TOK = -1  # never matches a query id (valid ids are >= 0)
 
 @dataclass
 class EllBucket:
-    tok: np.ndarray  # (D_pad, L) int32, PAD_TOK padded
-    val: np.ndarray  # (D_pad, L) float32
-    doc_ids: np.ndarray  # (D_pad,) int32 original doc id; -1 for pad rows
+    tok: np.ndarray  # (rows_pad, L) int32, PAD_TOK padded
+    val: np.ndarray  # (rows_pad, L) float32
+    doc_ids: np.ndarray  # (rows_pad,) int32 original doc id; -1 for pad rows
     num_real: int
 
 
@@ -56,13 +62,12 @@ def build_ell_buckets(
     row_align: int = 8,
     width_align: int = 8,
 ) -> list[EllBucket]:
-    """Re-lay the CSC index doc-major with length bucketing."""
+    """Re-lay the CSC index doc-major with length bucketing (vectorized)."""
     csr = index.to_csc().tocsr()
     csr.sort_indices()
     row_nnz = np.diff(csr.indptr)
     order = np.argsort(row_nnz, kind="stable")
 
-    # bucket boundaries at quantiles of the sorted row lengths
     d = index.num_docs
     if d == 0:
         return []
@@ -77,8 +82,6 @@ def build_ell_buckets(
         rows = order[start:end]
         width = int(row_nnz[rows].max(initial=0))
         width = next_multiple(max(width, 1), width_align)
-        # merge tiny tail buckets into the same width class as neighbors is
-        # handled implicitly by quantile dedup above
         n = len(rows)
         n_pad = next_multiple(n, row_align)
         tok = np.full((n_pad, width), PAD_TOK, dtype=np.int32)
@@ -101,20 +104,16 @@ def build_ell_buckets(
 
 
 # ---------------------------------------------------------------------------
-# device query step
+# device query steps
 # ---------------------------------------------------------------------------
 
 
 def _score_block(tok_blk, val_blk, ids, valid):
     """(B, L) postings vs (Q, T) ids -> (Q, B) scores.
 
-    Occurrence-count semantics: a token repeated in the query contributes
-    once per occurrence, matching the reference's per-column gather+sum
-    (``/root/reference/bm25_native.py:152`` sums a repeated column twice).
-
     Scans the L (postings-slot) axis carrying only the (Q, B) accumulator;
-    each step is a (Q, B, T) compare + T-reduction that XLA fuses on the
-    VPU — no (Q, B, L) intermediate ever materializes.
+    each step is a (Q, B, T) compare + T-reduction fused on the VPU — no
+    (Q, B, L) intermediate materializes.
     """
     # doc pad slots hold PAD_TOK (-1); mask query pads to -2 so that a doc
     # pad slot can never match a query pad slot
@@ -133,60 +132,67 @@ def _score_block(tok_blk, val_blk, ids, valid):
     return acc
 
 
-def make_ell_query_step(block_rows: int, k: int):
-    """Build jittable (tok, val, doc_ids, ids, best_s, best_i) -> merged (Q,k).
+def make_bucket_scorer(block_rows: int, offset: int):
+    """Jittable: score one bucket into its [offset, offset+rows) slice of the
+    global (Q, D_pad) score buffer (buffer donated by the caller)."""
 
-    Scans the bucket's doc axis in blocks of ``block_rows``; carries the
-    running (Q, k) candidate set and merges each block's scores into it
-    (streaming two-stage top-k).
-    """
-
-    def step(tok, val, doc_ids, ids, best_s, best_i):
-        d_pad = tok.shape[0]
-        nblocks = d_pad // block_rows
+    def step(tok, val, doc_ids, ids, buf):
+        rows = tok.shape[0]
+        nblocks = rows // block_rows
         valid = ids >= 0
 
-        def body(carry, blk):
-            from bm25_tpu.ops.topk import top_k_blockwise
-
-            bs, bi = carry
+        def body(b, blk):
             tok_blk = lax.dynamic_slice_in_dim(tok, blk * block_rows, block_rows)
             val_blk = lax.dynamic_slice_in_dim(val, blk * block_rows, block_rows)
-            did_blk = lax.dynamic_slice_in_dim(doc_ids, blk * block_rows, block_rows)
-            scores = _score_block(tok_blk, val_blk, ids, valid)  # (Q, B)
-            scores = jnp.where(did_blk[None, :] >= 0, scores, NEG_INF)
-            # stage 1: block-local top-k candidates (hierarchical for big B)
-            k_local = min(k, block_rows)
-            ls, lpos = top_k_blockwise(scores, k_local)
-            li = jnp.take_along_axis(
-                jnp.broadcast_to(did_blk[None, :], scores.shape), lpos, axis=1
+            did_blk = lax.dynamic_slice_in_dim(
+                doc_ids, blk * block_rows, block_rows
             )
-            # stage 2: merge into the running candidate set
-            cat_s = jnp.concatenate([bs, ls], axis=1)
-            cat_i = jnp.concatenate([bi, li], axis=1)
-            ns, pos = lax.top_k(cat_s, k)
-            ni = jnp.take_along_axis(cat_i, pos, axis=1)
-            return (ns, ni), None
+            scores = _score_block(tok_blk, val_blk, ids, valid)
+            scores = jnp.where(did_blk[None, :] >= 0, scores, NEG_INF)
+            return (
+                lax.dynamic_update_slice(b, scores, (0, offset + blk * block_rows)),
+                None,
+            )
 
-        (best_s, best_i), _ = lax.scan(
-            body, (best_s, best_i), jnp.arange(nblocks)
-        )
-        return best_s, best_i
+        buf, _ = lax.scan(body, buf, jnp.arange(nblocks))
+        return buf
 
     return step
+
+
+def make_finalize(num_positions: int, k: int):
+    """Jittable: global blockwise top-k over the score buffer + id mapping."""
+
+    def fin(buf, pos_to_doc, offsets, ids):
+        from bm25_tpu.ops.topk import top_k_blockwise
+
+        valid = ids >= 0
+        safe = jnp.where(valid, ids, 0)
+        qoff = jnp.sum(
+            jnp.where(valid, offsets[safe], jnp.zeros((), offsets.dtype)), axis=1
+        )
+        top_s, top_pos = top_k_blockwise(buf[:, :num_positions], k)
+        top_docs = pos_to_doc[top_pos]
+        return top_s + qoff[:, None], top_docs
+
+    return fin
 
 
 @dataclass
 class SparseEngine:
     """Device-resident padded-postings BM25 engine (large corpora)."""
 
-    buckets: list  # list of dicts of device arrays
-    offsets: jax.Array  # (V_pad,) float32 token offsets
+    buckets: list  # dicts: tok, val device arrays + host offset metadata
+    pos_to_doc: jax.Array  # (D_pad_total,) int32
+    bucket_doc_ids: list  # device (rows_pad,) per bucket
+    offsets: jax.Array  # (V+1,) float32 token offsets
     num_docs: int
     vocab_size: int
+    total_positions: int
     session: Session
     vocab: dict[str, int] | None = None
-    block_rows: int = 2048
+    block_rows: int = 32768
+    score_buffer_budget: int = 4 << 30
 
     @classmethod
     def from_scored_index(
@@ -194,35 +200,72 @@ class SparseEngine:
         index: ScoredIndex,
         session: Session | None = None,
         max_buckets: int = 4,
-        block_rows: int = 2048,
+        block_rows: int = 32768,
         dtype=jnp.float32,
     ) -> "SparseEngine":
         session = session or get_session()
         host_buckets = build_ell_buckets(index, max_buckets=max_buckets)
         dev_buckets = []
+        bucket_doc_ids = []
+        pos_to_doc_parts = []
+        offset = 0
         for b in host_buckets:
-            rows = next_multiple(b.tok.shape[0], min(block_rows, 8))
+            rows = b.tok.shape[0]
             dev_buckets.append(
                 {
                     "tok": session.put(b.tok),
                     "val": session.put(b.val.astype(dtype)),
-                    "doc_ids": session.put(b.doc_ids),
-                    "num_real": b.num_real,
+                    "offset": offset,
+                    "rows": rows,
                 }
             )
+            bucket_doc_ids.append(session.put(b.doc_ids))
+            pos_to_doc_parts.append(b.doc_ids)
+            offset += rows
         v = index.vocab_size
         off_host = np.zeros((v + 1,), dtype=np.float32)
         if index.token_offsets is not None:
             off_host[:v] = index.token_offsets
+        pos_to_doc = np.concatenate(pos_to_doc_parts) if pos_to_doc_parts else np.zeros(0, np.int32)
         return cls(
             buckets=dev_buckets,
+            pos_to_doc=session.put(pos_to_doc.astype(np.int32)),
+            bucket_doc_ids=bucket_doc_ids,
             offsets=session.put(off_host),
             num_docs=index.num_docs,
             vocab_size=v,
+            total_positions=offset,
             session=session,
             vocab=index.vocab,
             block_rows=block_rows,
         )
+
+    # -- query path ----------------------------------------------------------
+
+    def _query_chunk(self, padded: np.ndarray, k: int):
+        """One padded (Q_pad, T_pad) chunk -> (scores, docs) device arrays."""
+        q_pad, t_pad = padded.shape
+        d_pad = next_multiple(self.total_positions, 128)
+        ids = self.session.put(padded)
+        buf = jnp.full((q_pad, d_pad), NEG_INF, dtype=jnp.float32)
+        for bi, b in enumerate(self.buckets):
+            rows = b["rows"]
+            block = min(self.block_rows, rows)
+            while rows % block:
+                block //= 2
+            fn = self.session.compile(
+                ("ell_score", bi, block, b["offset"], q_pad, t_pad,
+                 tuple(b["tok"].shape)),
+                lambda block=block, off=b["offset"]: jax.jit(
+                    make_bucket_scorer(block, off), donate_argnums=(4,)
+                ),
+            )
+            buf = fn(b["tok"], b["val"], self.bucket_doc_ids[bi], ids, buf)
+        fin = self.session.compile(
+            ("ell_finalize", self.total_positions, k, q_pad, t_pad, d_pad),
+            lambda: jax.jit(make_finalize(self.total_positions, k)),
+        )
+        return fin(buf, self.pos_to_doc, self.offsets, ids)
 
     def search(
         self, queries: np.ndarray, top_k: int = 100
@@ -239,34 +282,23 @@ class SparseEngine:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         k = min(top_k, self.num_docs)
         q_real, t_real = queries.shape
-        q_pad = next_multiple(q_real, 8)
-        t_pad = next_pow2_at_least(max(t_real, 1))
-        padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
-        padded[:q_real, :t_real] = queries.astype(np.int32)
-        ids = self.session.put(padded)
-
-        best_s = jnp.full((q_pad, k), NEG_INF, dtype=jnp.float32)
-        best_i = jnp.full((q_pad, k), -1, dtype=jnp.int32)
-        for bi_, b in enumerate(self.buckets):
-            rows = b["tok"].shape[0]
-            block = min(self.block_rows, rows)
-            # rows is a multiple of 8; choose the largest block divisor
-            while rows % block:
-                block //= 2
-            fn = self.session.compile(
-                ("ell_query", bi_, block, k, q_pad, t_pad, b["tok"].shape),
-                lambda block=block: jax.jit(make_ell_query_step(block, k)),
-            )
-            best_s, best_i = fn(b["tok"], b["val"], b["doc_ids"], ids, best_s, best_i)
-
-        # final ordering: scores desc (ties by merge order), add token offsets
-        valid = padded >= 0
-        qoff = np.where(valid, np.asarray(self.offsets)[np.where(valid, padded, 0)], 0.0).sum(1)
-        s = np.asarray(best_s)[:q_real] + qoff[:q_real, None]
-        i = np.asarray(best_i)[:q_real]
-        # replace -inf rows (k > matched docs is impossible since all docs
-        # scored; -inf only if k > num_docs which is clamped)
-        return i, s.astype(np.float32)
+        # chunk queries so the (Q, D_pad) score buffer fits the budget
+        d_pad = next_multiple(self.total_positions, 128)
+        max_q = max(8, (self.score_buffer_budget // (4 * d_pad)) // 8 * 8)
+        out_docs, out_scores, futures = [], [], []
+        for i in range(0, q_real, max_q):
+            chunk = queries[i : i + max_q].astype(np.int32)
+            cq = len(chunk)
+            q_pad = next_multiple(cq, 8)
+            t_pad = next_pow2_at_least(max(t_real, 1))
+            padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
+            padded[:cq, :t_real] = chunk
+            s, d = self._query_chunk(padded, k)
+            futures.append((cq, s, d))
+        for cq, s, d in futures:
+            out_scores.append(np.asarray(s)[:cq])
+            out_docs.append(np.asarray(d)[:cq])
+        return np.concatenate(out_docs), np.concatenate(out_scores)
 
     def get_scores(self, query_ids) -> np.ndarray:
         ids = np.asarray(query_ids, dtype=np.int32).reshape(1, -1)
