@@ -20,23 +20,24 @@ import numpy as np
 
 @dataclass
 class BenchConfig:
-    num_docs: int = 65536
-    vocab: int = 4096
-    avg_len: int = 50
+    num_docs: int = 524288
+    vocab: int = 32768
+    avg_len: int = 48
     num_queries: int = 2048
     batch: int = 512
     query_len: int = 8
-    top_k: int = 1000
-    baseline_queries: int = 64
+    top_k: int = 100
+    baseline_queries: int = 32
     seed: int = 0
+    engine: str = "auto"
 
     @classmethod
     def from_env(cls) -> "BenchConfig":
         kw = {}
-        for f in cls.__dataclass_fields__:
+        for f, spec in cls.__dataclass_fields__.items():
             v = os.environ.get(f"BM25_BENCH_{f.upper()}")
             if v is not None:
-                kw[f] = int(v)
+                kw[f] = v if f == "engine" else int(v)
         return cls(**kw)
 
 
@@ -51,8 +52,11 @@ def make_synthetic_index(cfg: BenchConfig):
 
     rng = np.random.default_rng(cfg.seed)
     probs = _zipf_probs(cfg.vocab)
+    cum = np.cumsum(probs)
     lengths = np.maximum(4, rng.poisson(cfg.avg_len, cfg.num_docs))
-    flat = rng.choice(cfg.vocab, size=int(lengths.sum()), p=probs).astype(np.int32)
+    # inverse-CDF sampling (much faster than rng.choice with p at 10M+ draws)
+    flat = np.searchsorted(cum, rng.random(int(lengths.sum()))).astype(np.int32)
+    np.clip(flat, 0, cfg.vocab - 1, out=flat)
     ids, pos = [], 0
     for L in lengths:
         ids.append(flat[pos : pos + L])
@@ -62,9 +66,9 @@ def make_synthetic_index(cfg: BenchConfig):
 
 def make_queries(cfg: BenchConfig) -> np.ndarray:
     rng = np.random.default_rng(cfg.seed + 1)
-    probs = _zipf_probs(cfg.vocab)
-    q = rng.choice(cfg.vocab, size=(cfg.num_queries, cfg.query_len), p=probs)
-    return q.astype(np.int32)
+    cum = np.cumsum(_zipf_probs(cfg.vocab))
+    q = np.searchsorted(cum, rng.random((cfg.num_queries, cfg.query_len)))
+    return np.clip(q, 0, cfg.vocab - 1).astype(np.int32)
 
 
 def recall_at_k(got_docs: np.ndarray, want_docs: np.ndarray) -> float:
@@ -98,7 +102,7 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
     from bm25_tpu.models.auto import create_engine
 
     t0 = time.perf_counter()
-    engine = create_engine(index)
+    engine = create_engine(index, mode=cfg.engine)
     upload_s = time.perf_counter() - t0
     log(f"[bench] engine={type(engine).__name__} upload+init {upload_s:.1f}s")
 

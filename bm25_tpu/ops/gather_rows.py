@@ -24,8 +24,9 @@ import numpy as np
 from bm25_tpu.ops.registry import register_op
 from bm25_tpu.utils.padding import cdiv, next_multiple
 
-# per-row-slice VMEM budget: (1, DB) f32 double-buffered
-_MAX_BLOCK_COLS = 65536
+# col-block cap: (1, 8, 256, 128) f32 = 1 MiB per buffer, double-buffered
+# in + out well inside the ~16 MiB VMEM budget
+_MAX_CB = 256
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -35,18 +36,18 @@ def _gather_add_rows_pallas(table: jax.Array, ids: jax.Array, interpret: bool):
 
     q, t = ids.shape
     v, d = table.shape
-    # view rows as (lanes of 128) so per-row blocks satisfy the (8, 128)
-    # tiling rule: table (V, D) -> (V, D/128, 128), block (1, C, 128)
-    d_pad = next_multiple(d, 128)
+    # view each row as a full (8, C, 128) sublane-packed tile so the per-row
+    # DMA fills all 8 sublanes (a (1, N) block would use 1 of 8 — 8x slower)
+    cb_max = _MAX_CB  # col-block bound for VMEM
+    d_pad = next_multiple(d, 8 * 128)
+    c = d_pad // (8 * 128)
+    cb = min(c, cb_max)
+    nc = cdiv(c, cb)
+    c_pad = nc * cb
+    d_pad = c_pad * 8 * 128
     if d_pad != d:
         table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
-    lanes = d_pad // 128
-    cb = min(next_multiple(lanes, 8), _MAX_BLOCK_COLS // 128)
-    nd = cdiv(lanes, cb)
-    lanes_pad = nd * cb
-    if lanes_pad != lanes:
-        table = jnp.pad(table, ((0, 0), (0, (lanes_pad - lanes) * 128)))
-    t3 = table.reshape(v, lanes_pad, 128)
+    t4 = table.reshape(v, 8, c_pad, 128)
 
     def kernel(ids_ref, st_ref, out_ref):
         tt = pl.program_id(2)
@@ -63,22 +64,22 @@ def _gather_add_rows_pallas(table: jax.Array, ids: jax.Array, interpret: bool):
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(q, nd, t),
+            grid=(q, nc, t),
             in_specs=[
                 pl.BlockSpec(
-                    (1, cb, 128),
-                    lambda qi, di, ti, ids_ref: (ids_ref[qi * t + ti], di, 0),
+                    (1, 8, cb, 128),
+                    lambda qi, ci, ti, ids_ref: (ids_ref[qi * t + ti], 0, ci, 0),
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, cb, 128), lambda qi, di, ti, ids_ref: (qi, di, 0)
+                (1, 8, cb, 128), lambda qi, ci, ti, ids_ref: (qi, 0, ci, 0)
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((q, lanes_pad, 128), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((q, 8, c_pad, 128), table.dtype),
         interpret=interpret,
-    )(ids.reshape(-1), t3)
-    out = out.reshape(q, lanes_pad * 128)
-    return out[:, :d] if lanes_pad * 128 != d else out
+    )(ids.reshape(-1), t4)
+    out = out.reshape(q, d_pad)
+    return out[:, :d] if d_pad != d else out
 
 
 def gather_add_rows(

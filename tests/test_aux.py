@@ -58,3 +58,11 @@ def test_doc_shard_plan_covers_all_docs():
         lo, hi = plan.device_range(d)
         dev_cov.extend(range(lo, hi))
     assert dev_cov == list(range(1000))
+
+
+def test_matmul_bench_small():
+    from bm25_tpu.bench.matmul_bench import bench_matmul
+
+    res = bench_matmul(m=64, k=64, n=64, iters=2, log=lambda *a: None)
+    assert {r["algorithm"] for r in res} == {"xla", "naive", "optimized"}
+    assert all(r["gflops"] > 0 for r in res)
