@@ -21,9 +21,16 @@ _LAZY = {
     "DenseEngine": ("bm25_tpu.models.dense", "DenseEngine"),
     "SparseEngine": ("bm25_tpu.models.sparse", "SparseEngine"),
     "ShardedEngine": ("bm25_tpu.parallel.sharded_engine", "ShardedEngine"),
+    "ShardedSparseEngine": ("bm25_tpu.parallel.sharded_engine", "ShardedSparseEngine"),
     "Session": ("bm25_tpu.runtime.session", "Session"),
     "get_session": ("bm25_tpu.runtime.session", "get_session"),
     "create_engine": ("bm25_tpu.models.auto", "create_engine"),
+    "BM25": ("bm25_tpu.compat", "BM25"),
+    "BM25v": ("bm25_tpu.compat", "BM25v"),
+    "Server": ("bm25_tpu.serve", "Server"),
+    "StreamingIndexBuilder": ("bm25_tpu.index.streaming", "StreamingIndexBuilder"),
+    "save_snapshot": ("bm25_tpu.index.snapshot", "save_snapshot"),
+    "load_snapshot": ("bm25_tpu.index.snapshot", "load_snapshot"),
 }
 
 

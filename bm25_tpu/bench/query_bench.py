@@ -123,6 +123,9 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
     p99 = float(np.percentile(lat, 99))
 
     # --- parity check vs baseline -------------------------------------------
+    from bm25_tpu.eval import index_memory_stats
+
+    mem = index_memory_stats(index, engine)
     recall = recall_at_k(docs0[:nb], ref_docs)
     log(
         f"[bench] qps={qps:.0f} p50_batch={p50*1e3:.1f}ms p99={p99*1e3:.1f}ms "
@@ -145,5 +148,6 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
             "baseline_qps": round(baseline_qps, 1),
             "index_build_docs_per_sec": round(cfg.num_docs / build_s, 1),
             "engine": type(engine).__name__,
+            "index_memory": mem.as_dict(),
         },
     }

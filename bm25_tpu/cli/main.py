@@ -160,6 +160,14 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from bm25_tpu.serve import Server
+
+    Server(args.index, host=args.host, port=args.port,
+           engine_mode=args.engine).serve_forever()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bm25-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -194,6 +202,14 @@ def build_parser() -> argparse.ArgumentParser:
     pn = sub.add_parser("info", help="print index stats")
     pn.add_argument("index")
     pn.set_defaults(fn=cmd_info)
+
+    ps = sub.add_parser("serve", help="HTTP search daemon over a saved index")
+    ps.add_argument("index")
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8225)
+    ps.add_argument("--engine", default="auto",
+                    choices=["auto", "dense", "sparse", "sharded"])
+    ps.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -1,0 +1,82 @@
+"""Retrieval evaluation + index memory accounting.
+
+Covers the BASELINE.md parity metrics: recall@k vs the reference scorer,
+MRR, and index memory (device layout vs the reference CSC footprint —
+"index memory equal to reference CSC" target).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from bm25_tpu.scoring import ScoredIndex
+
+
+def recall_at_k(got_docs: np.ndarray, ref_docs: np.ndarray) -> float:
+    """Fraction of reference top-k docs recovered, averaged over queries."""
+    if ref_docs.size == 0:
+        return 1.0
+    hits = 0
+    for g, r in zip(got_docs, ref_docs):
+        hits += len(set(g.tolist()) & set(r.tolist()))
+    return hits / ref_docs.size
+
+
+def mrr_at_k(got_docs: np.ndarray, relevant: list[set]) -> float:
+    """Mean reciprocal rank of the first relevant doc per query."""
+    total = 0.0
+    for g, rel in zip(got_docs, relevant):
+        for rank, d in enumerate(g.tolist(), 1):
+            if d in rel:
+                total += 1.0 / rank
+                break
+    return total / max(len(relevant), 1)
+
+
+def compare_engines(engine, oracle, queries: np.ndarray, top_k: int) -> dict:
+    """Run both engines on the same queries; report parity metrics."""
+    gd, gs = engine.search(queries, top_k=top_k)
+    rd, rs = oracle.search(queries, top_k=top_k)
+    return {
+        "recall_at_k": recall_at_k(gd, rd),
+        "max_score_abs_err": float(np.max(np.abs(gs - rs))) if gs.size else 0.0,
+        "top1_agreement": float(np.mean(gd[:, 0] == rd[:, 0])) if gd.size else 1.0,
+    }
+
+
+@dataclass
+class MemoryStats:
+    csc_bytes: int          # reference footprint: indptr+indices+data
+    device_bytes: int       # engine layout as uploaded
+    overhead_ratio: float   # device / csc
+
+    def as_dict(self) -> dict:
+        return {
+            "csc_bytes": self.csc_bytes,
+            "device_bytes": self.device_bytes,
+            "overhead_ratio": round(self.overhead_ratio, 3),
+        }
+
+
+def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
+    """Device-layout footprint vs the reference CSC triplet."""
+    csc = (
+        index.indptr.nbytes + index.indices.nbytes + index.data.nbytes
+    )
+    dev = 0
+    name = type(engine).__name__
+    if name == "DenseEngine":
+        dev = int(np.prod(engine.st.shape)) * engine.st.dtype.itemsize
+    elif name == "SparseEngine":
+        for b in engine.buckets:
+            dev += int(np.prod(b["tok"].shape)) * 4
+            dev += int(np.prod(b["val"].shape)) * b["val"].dtype.itemsize
+        dev += int(np.prod(engine.pos_to_doc.shape)) * 4
+    elif name == "ShardedEngine":
+        dev = int(np.prod(engine.st.shape)) * engine.st.dtype.itemsize
+    return MemoryStats(
+        csc_bytes=csc, device_bytes=dev,
+        overhead_ratio=dev / csc if csc else float("inf"),
+    )

@@ -26,6 +26,10 @@ def create_engine(
         from bm25_tpu.parallel.sharded_engine import ShardedEngine
 
         return ShardedEngine.from_scored_index(index, **kwargs)
+    if mode == "sharded_sparse":
+        from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+        return ShardedSparseEngine.from_scored_index(index, **kwargs)
     if mode == "dense":
         from bm25_tpu.models.dense import DenseEngine
 

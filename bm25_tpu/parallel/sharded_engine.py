@@ -159,6 +159,152 @@ class ShardedEngine:
         return np.asarray(docs)[:q_real], np.asarray(scores)[:q_real]
 
 
+def make_sharded_ell_step(mesh: Mesh, k: int, block_rows: int):
+    """Doc-sharded ELL scoring + local blockwise top-k + all-gather merge.
+
+    tok/val: (rows, L) sharded P('docs', None); doc_ids: (rows,) sharded
+    P('docs'); ids: (Q, T) sharded P('data', None).  Each chip scores only
+    its row slice (membership-count semantics, models/sparse._score_block),
+    selects local candidates hierarchically, and the (shards * k) candidate
+    set merges over ICI.
+    """
+    from bm25_tpu.models.sparse import _score_block
+
+    def local_step(tok_l, val_l, did_l, ids):
+        from bm25_tpu.ops.topk import top_k_blockwise
+
+        q = ids.shape[0]
+        rows = tok_l.shape[0]
+        valid = ids >= 0
+        block = min(block_rows, rows)
+        while rows % block:
+            block //= 2
+        nblocks = rows // block
+
+        def body(carry, blk):
+            bs, bi = carry
+            tok_blk = lax.dynamic_slice_in_dim(tok_l, blk * block, block)
+            val_blk = lax.dynamic_slice_in_dim(val_l, blk * block, block)
+            did_blk = lax.dynamic_slice_in_dim(did_l, blk * block, block)
+            scores = _score_block(tok_blk, val_blk, ids, valid)
+            scores = jnp.where(did_blk[None, :] >= 0, scores, NEG_INF)
+            k_local = min(k, block)
+            ls, lpos = top_k_blockwise(scores, k_local)
+            li = jnp.take_along_axis(
+                jnp.broadcast_to(did_blk[None, :], scores.shape), lpos, axis=1
+            )
+            cat_s = jnp.concatenate([bs, ls], axis=1)
+            cat_i = jnp.concatenate([bi, li], axis=1)
+            ns, pos = lax.top_k(cat_s, k)
+            return (ns, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+        init = (
+            jnp.full((q, k), NEG_INF, jnp.float32),
+            jnp.full((q, k), -1, jnp.int32),
+        )
+        (ls, li), _ = lax.scan(body, init, jnp.arange(nblocks))
+
+        # merge candidates across doc shards over ICI
+        cand_s = lax.all_gather(ls, DOC_AXIS)  # (S, q, k)
+        cand_i = lax.all_gather(li, DOC_AXIS)
+        cand_s = jnp.transpose(cand_s, (1, 0, 2)).reshape(q, -1)
+        cand_i = jnp.transpose(cand_i, (1, 0, 2)).reshape(q, -1)
+        kk = min(k, cand_s.shape[1])
+        ms, pos = lax.top_k(cand_s, kk)
+        return ms, jnp.take_along_axis(cand_i, pos, axis=1)
+
+    return jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(DOC_AXIS, None), P(DOC_AXIS, None), P(DOC_AXIS),
+                  P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_vma=False,
+    )
+
+
+@dataclass
+class ShardedSparseEngine:
+    """Multi-chip doc-sharded ELL BM25 engine (large corpora over a mesh)."""
+
+    tok: jax.Array  # (rows_pad, L) sharded over docs
+    val: jax.Array
+    doc_ids: jax.Array  # (rows_pad,)
+    offsets: jax.Array  # (V+1,) replicated
+    num_docs: int
+    vocab_size: int
+    mesh: Mesh
+    vocab: dict[str, int] | None = None
+    block_rows: int = 32768
+    _cache: dict = None  # type: ignore[assignment]
+
+    @classmethod
+    def from_scored_index(
+        cls, index: ScoredIndex, mesh: Mesh | None = None,
+        block_rows: int = 32768, dtype=jnp.float32,
+    ) -> "ShardedSparseEngine":
+        from bm25_tpu.models.sparse import build_ell_buckets
+
+        mesh = mesh or make_mesh()
+        n_doc = mesh.shape[DOC_AXIS]
+        # single bucket keeps one uniform (rows, L) array to shard evenly
+        buckets = build_ell_buckets(
+            index, max_buckets=1, row_align=8 * n_doc
+        )
+        (b,) = buckets
+        tok = jax.device_put(b.tok, NamedSharding(mesh, P(DOC_AXIS, None)))
+        val = jax.device_put(
+            b.val.astype(dtype), NamedSharding(mesh, P(DOC_AXIS, None))
+        )
+        doc_ids = jax.device_put(b.doc_ids, NamedSharding(mesh, P(DOC_AXIS)))
+        v = index.vocab_size
+        off_host = np.zeros((v + 1,), dtype=np.float32)
+        if index.token_offsets is not None:
+            off_host[:v] = index.token_offsets
+        offsets = jax.device_put(off_host, NamedSharding(mesh, P()))
+        return cls(
+            tok=tok, val=val, doc_ids=doc_ids, offsets=offsets,
+            num_docs=index.num_docs, vocab_size=v, mesh=mesh,
+            vocab=index.vocab, block_rows=block_rows, _cache={},
+        )
+
+    def search(
+        self, queries: np.ndarray, top_k: int = 100
+    ) -> tuple[np.ndarray, np.ndarray]:
+        queries = np.asarray(queries)
+        if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
+            raise ValueError("queries must be a 2-D integer array of token ids")
+        if queries.size and int(queries.max()) >= self.vocab_size:
+            raise ValueError(
+                f"max token id {int(queries.max())} out of range for vocab of "
+                f"{self.vocab_size} tokens"
+            )
+        if len(queries) == 0:
+            return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
+        k = min(top_k, self.num_docs)
+        n_data = self.mesh.shape[DATA_AXIS]
+        q_real, t_real = queries.shape
+        q_pad = next_multiple(q_real, 8 * n_data)
+        t_pad = next_pow2_at_least(max(t_real, 1))
+        padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
+        padded[:q_real, :t_real] = queries.astype(np.int32)
+        key = (k, q_pad, t_pad, self.tok.shape)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = jax.jit(make_sharded_ell_step(self.mesh, k, self.block_rows))
+            self._cache[key] = fn
+        ids = jax.device_put(padded, NamedSharding(self.mesh, P(DATA_AXIS, None)))
+        scores, docs = fn(self.tok, self.val, self.doc_ids, ids)
+        # token offsets are doc-independent; add on host
+        valid = padded >= 0
+        off = np.asarray(self.offsets)
+        qoff = np.where(valid, off[np.where(valid, padded, 0)], 0.0).sum(1)
+        return (
+            np.asarray(docs)[:q_real],
+            (np.asarray(scores) + qoff[:, None])[:q_real].astype(np.float32),
+        )
+
+
 def dryrun_sharded_step(n_devices: int) -> None:
     """One full sharded query step on tiny shapes (driver dry-run hook)."""
     from bm25_tpu.scoring import build_scored_index
@@ -182,3 +328,9 @@ def dryrun_sharded_step(n_devices: int) -> None:
 
     od, os_ = ReferenceEngine.from_scored_index(index).search(queries, top_k=7)
     np.testing.assert_allclose(scores, os_, rtol=1e-5, atol=1e-6)
+
+    # the doc-sharded ELL (large-corpus) path over the same mesh
+    sp = ShardedSparseEngine.from_scored_index(index, mesh=mesh, block_rows=64)
+    docs2, scores2 = sp.search(queries, top_k=7)
+    np.testing.assert_allclose(np.sort(scores2, axis=1), np.sort(os_, axis=1),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,34 @@
+"""Eval metrics + memory accounting."""
+
+import numpy as np
+
+from bm25_tpu.eval import compare_engines, index_memory_stats, mrr_at_k, recall_at_k
+from bm25_tpu.models.sparse import SparseEngine
+from bm25_tpu.reference import ReferenceEngine
+from bm25_tpu.scoring import build_scored_index
+from bm25_tpu.text.tokenizer import Tokenizer
+
+
+def test_recall_and_mrr():
+    got = np.array([[1, 2, 3], [4, 5, 6]])
+    ref = np.array([[1, 2, 9], [6, 5, 4]])
+    assert recall_at_k(got, ref) == 5 / 6
+    assert mrr_at_k(got, [{3}, {9}]) == (1 / 3 + 0) / 2
+
+
+def test_compare_engines_and_memory(zipf_corpus_small):
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    eng = SparseEngine.from_scored_index(idx)
+    oracle = ReferenceEngine.from_scored_index(idx)
+    rng = np.random.default_rng(0)
+    q = rng.integers(-1, idx.vocab_size, size=(8, 5), dtype=np.int32)
+    rep = compare_engines(eng, oracle, q, top_k=10)
+    assert rep["recall_at_k"] > 0.97  # ties at the boundary may differ
+    assert rep["max_score_abs_err"] < 1e-4
+
+    mem = index_memory_stats(idx, eng)
+    assert mem.csc_bytes > 0 and mem.device_bytes > 0
+    # ELL with 4 length buckets should stay within ~3.5x of raw CSC here
+    assert mem.overhead_ratio < 3.5

@@ -67,3 +67,34 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert len(out) == 2
     g.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("data,docs", [(1, 8), (2, 4)])
+def test_sharded_sparse_matches_oracle(setup, data, docs):
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    idx, oracle = setup
+    mesh = make_mesh(data * docs, data=data)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, block_rows=64)
+    rng = np.random.default_rng(11)
+    queries = rng.integers(-1, idx.vocab_size, size=(16, 6), dtype=np.int32)
+    k = 13
+    dd, ds = eng.search(queries, top_k=k)
+    od, os_ = oracle.search(queries, top_k=k)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    # scores sorted desc; sets of docs agree on strict rows
+    strict = strict_positions(os_)
+    rows_all_strict = strict.all(axis=1)
+    for i in np.flatnonzero(rows_all_strict):
+        assert set(dd[i].tolist()) == set(od[i].tolist())
+
+
+def test_sharded_sparse_duplicate_tokens(setup):
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    idx, oracle = setup
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=make_mesh(4), block_rows=64)
+    q = np.array([[2, 2, 9, -1]], dtype=np.int32)
+    dd, ds = eng.search(q, top_k=5)
+    od, os_ = oracle.search(q, top_k=5)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
