@@ -71,9 +71,9 @@ def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
         dev = int(np.prod(engine.st.shape)) * engine.st.dtype.itemsize
     elif name == "SparseEngine":
         for b in engine.buckets:
-            dev += int(np.prod(b["tok"].shape)) * 4
-            dev += int(np.prod(b["val"].shape)) * b["val"].dtype.itemsize
-        dev += int(np.prod(engine.pos_to_doc.shape)) * 4
+            dev += int(np.prod(b["tokT"].shape)) * 4
+            dev += int(np.prod(b["valT"].shape)) * b["valT"].dtype.itemsize
+            dev += int(np.prod(b["doc_ids"].shape)) * 4
     elif name == "ShardedEngine":
         dev = int(np.prod(engine.st.shape)) * engine.st.dtype.itemsize
     return MemoryStats(

@@ -13,10 +13,10 @@ compare/accumulate with static shapes, no scatter, no dynamic shapes, and
 occurrence-count semantics matching the reference's per-column gather+sum
 (``/root/reference/bm25_native.py:152``).
 
-Query path: every bucket scans its doc axis in superblocks, writing scores
-into one global (Q, D_pad) buffer (donated across bucket calls, so it stays
-device-resident); a single hierarchical block-max top-k
-(ops.topk.top_k_blockwise) then selects candidates over the whole corpus —
+Query path (one jitted dispatch): per bucket, the fused Pallas scoring
+kernel (ops.ell_score, slot-major layout) produces a (Q, rows) score tile,
+a hierarchical block-max top-k (ops.topk.top_k_blockwise) selects local
+candidates, and all buckets' candidates merge with one final stable top-k —
 the streaming generalization of the reference's two-stage GPU top-k
 (``/root/reference/operations/topk.mojo:576-830``).
 
@@ -37,7 +37,7 @@ from jax import lax
 
 from bm25_tpu.runtime.session import Session, get_session
 from bm25_tpu.scoring import ScoredIndex
-from bm25_tpu.utils.padding import cdiv, next_multiple, next_pow2_at_least
+from bm25_tpu.utils.padding import next_multiple, next_pow2_at_least
 
 NEG_INF = float("-inf")
 PAD_TOK = -1  # never matches a query id (valid ids are >= 0)
@@ -108,62 +108,18 @@ def build_ell_buckets(
 # ---------------------------------------------------------------------------
 
 
-def _score_block(tok_blk, val_blk, ids, valid):
-    """(B, L) postings vs (Q, T) ids -> (Q, B) scores.
+def make_sparse_query_step(k: int):
+    """Jittable single-dispatch query step over all ELL buckets.
 
-    Scans the L (postings-slot) axis carrying only the (Q, B) accumulator;
-    each step is a (Q, B, T) compare + T-reduction fused on the VPU — no
-    (Q, B, L) intermediate materializes.
+    buckets: list of dicts with ``tokT (L_pad, rows)``, ``valT``, ``doc_ids
+    (rows,)`` device arrays.  Per bucket: fused Pallas scoring ->
+    pad-row masking -> hierarchical local top-k; candidates from all
+    buckets merge with one final stable top-k (two-stage shape of
+    ``/root/reference/operations/topk.mojo:576-830``).
     """
-    # doc pad slots hold PAD_TOK (-1); mask query pads to -2 so that a doc
-    # pad slot can never match a query pad slot
-    masked_ids = jnp.where(valid, ids, -2)
 
-    def per_slot(acc, slot):
-        tok_col, val_col = slot  # (B,), (B,)
-        eq = masked_ids[:, None, :] == tok_col[None, :, None]  # (Q, B, T)
-        cnt = jnp.sum(eq, axis=-1).astype(val_col.dtype)  # (Q, B)
-        return acc + cnt * val_col[None, :], None
-
-    q = ids.shape[0]
-    b = tok_blk.shape[0]
-    acc0 = jnp.zeros((q, b), dtype=jnp.float32)
-    acc, _ = lax.scan(per_slot, acc0, (tok_blk.T, val_blk.T))
-    return acc
-
-
-def make_bucket_scorer(block_rows: int, offset: int):
-    """Jittable: score one bucket into its [offset, offset+rows) slice of the
-    global (Q, D_pad) score buffer (buffer donated by the caller)."""
-
-    def step(tok, val, doc_ids, ids, buf):
-        rows = tok.shape[0]
-        nblocks = rows // block_rows
-        valid = ids >= 0
-
-        def body(b, blk):
-            tok_blk = lax.dynamic_slice_in_dim(tok, blk * block_rows, block_rows)
-            val_blk = lax.dynamic_slice_in_dim(val, blk * block_rows, block_rows)
-            did_blk = lax.dynamic_slice_in_dim(
-                doc_ids, blk * block_rows, block_rows
-            )
-            scores = _score_block(tok_blk, val_blk, ids, valid)
-            scores = jnp.where(did_blk[None, :] >= 0, scores, NEG_INF)
-            return (
-                lax.dynamic_update_slice(b, scores, (0, offset + blk * block_rows)),
-                None,
-            )
-
-        buf, _ = lax.scan(body, buf, jnp.arange(nblocks))
-        return buf
-
-    return step
-
-
-def make_finalize(num_positions: int, k: int):
-    """Jittable: global blockwise top-k over the score buffer + id mapping."""
-
-    def fin(buf, pos_to_doc, offsets, ids):
+    def step(ids, buckets, offsets):
+        from bm25_tpu.ops.ell_score import ell_score
         from bm25_tpu.ops.topk import top_k_blockwise
 
         valid = ids >= 0
@@ -171,27 +127,34 @@ def make_finalize(num_positions: int, k: int):
         qoff = jnp.sum(
             jnp.where(valid, offsets[safe], jnp.zeros((), offsets.dtype)), axis=1
         )
-        top_s, top_pos = top_k_blockwise(buf[:, :num_positions], k)
-        top_docs = pos_to_doc[top_pos]
-        return top_s + qoff[:, None], top_docs
+        cand_s, cand_i = [], []
+        for b in buckets:
+            scores = ell_score(ids, b["tokT"], b["valT"])  # (Q, rows)
+            did = b["doc_ids"]
+            scores = jnp.where(did[None, :] >= 0, scores, NEG_INF)
+            kk = min(k, scores.shape[1])
+            s, pos = top_k_blockwise(scores, kk)
+            cand_s.append(s)
+            cand_i.append(did[pos])
+        cs = jnp.concatenate(cand_s, axis=1)
+        ci = jnp.concatenate(cand_i, axis=1)
+        kk = min(k, cs.shape[1])
+        ms, mpos = lax.top_k(cs, kk)
+        return ms + qoff[:, None], jnp.take_along_axis(ci, mpos, axis=1)
 
-    return fin
+    return step
 
 
 @dataclass
 class SparseEngine:
     """Device-resident padded-postings BM25 engine (large corpora)."""
 
-    buckets: list  # dicts: tok, val device arrays + host offset metadata
-    pos_to_doc: jax.Array  # (D_pad_total,) int32
-    bucket_doc_ids: list  # device (rows_pad,) per bucket
+    buckets: list  # dicts: tokT (L_pad, rows), valT, doc_ids device arrays
     offsets: jax.Array  # (V+1,) float32 token offsets
     num_docs: int
     vocab_size: int
-    total_positions: int
     session: Session
     vocab: dict[str, int] | None = None
-    block_rows: int = 32768
     score_buffer_budget: int = 4 << 30
 
     @classmethod
@@ -200,72 +163,58 @@ class SparseEngine:
         index: ScoredIndex,
         session: Session | None = None,
         max_buckets: int = 4,
-        block_rows: int = 32768,
         dtype=jnp.float32,
     ) -> "SparseEngine":
+        from bm25_tpu.ops.ell_score import BLOCK_ROWS
+
         session = session or get_session()
-        host_buckets = build_ell_buckets(index, max_buckets=max_buckets)
+        host_buckets = build_ell_buckets(
+            index, max_buckets=max_buckets, row_align=BLOCK_ROWS
+        )
         dev_buckets = []
-        bucket_doc_ids = []
-        pos_to_doc_parts = []
-        offset = 0
         for b in host_buckets:
-            rows = b.tok.shape[0]
+            l_pad = next_multiple(b.tok.shape[1], 8)
+            tok_t = np.full((l_pad, b.tok.shape[0]), PAD_TOK, dtype=np.int32)
+            tok_t[: b.tok.shape[1]] = b.tok.T
+            val_t = np.zeros((l_pad, b.val.shape[0]), dtype=np.float32)
+            val_t[: b.val.shape[1]] = b.val.T
             dev_buckets.append(
                 {
-                    "tok": session.put(b.tok),
-                    "val": session.put(b.val.astype(dtype)),
-                    "offset": offset,
-                    "rows": rows,
+                    "tokT": session.put(tok_t),
+                    "valT": session.put(val_t.astype(dtype)),
+                    "doc_ids": session.put(b.doc_ids),
                 }
             )
-            bucket_doc_ids.append(session.put(b.doc_ids))
-            pos_to_doc_parts.append(b.doc_ids)
-            offset += rows
         v = index.vocab_size
         off_host = np.zeros((v + 1,), dtype=np.float32)
         if index.token_offsets is not None:
             off_host[:v] = index.token_offsets
-        pos_to_doc = np.concatenate(pos_to_doc_parts) if pos_to_doc_parts else np.zeros(0, np.int32)
         return cls(
             buckets=dev_buckets,
-            pos_to_doc=session.put(pos_to_doc.astype(np.int32)),
-            bucket_doc_ids=bucket_doc_ids,
             offsets=session.put(off_host),
             num_docs=index.num_docs,
             vocab_size=v,
-            total_positions=offset,
             session=session,
             vocab=index.vocab,
-            block_rows=block_rows,
         )
 
     # -- query path ----------------------------------------------------------
 
+    @property
+    def total_positions(self) -> int:
+        return sum(b["tokT"].shape[1] for b in self.buckets)
+
     def _query_chunk(self, padded: np.ndarray, k: int):
         """One padded (Q_pad, T_pad) chunk -> (scores, docs) device arrays."""
         q_pad, t_pad = padded.shape
-        d_pad = next_multiple(self.total_positions, 128)
-        ids = self.session.put(padded)
-        buf = jnp.full((q_pad, d_pad), NEG_INF, dtype=jnp.float32)
-        for bi, b in enumerate(self.buckets):
-            rows = b["rows"]
-            block = min(self.block_rows, rows)
-            while rows % block:
-                block //= 2
-            fn = self.session.compile(
-                ("ell_score", bi, block, b["offset"], q_pad, t_pad,
-                 tuple(b["tok"].shape)),
-                lambda block=block, off=b["offset"]: jax.jit(
-                    make_bucket_scorer(block, off), donate_argnums=(4,)
-                ),
-            )
-            buf = fn(b["tok"], b["val"], self.bucket_doc_ids[bi], ids, buf)
-        fin = self.session.compile(
-            ("ell_finalize", self.total_positions, k, q_pad, t_pad, d_pad),
-            lambda: jax.jit(make_finalize(self.total_positions, k)),
+        shapes = tuple(
+            (tuple(b["tokT"].shape)) for b in self.buckets
         )
-        return fin(buf, self.pos_to_doc, self.offsets, ids)
+        fn = self.session.compile(
+            ("sparse_query", k, q_pad, t_pad, shapes),
+            lambda: jax.jit(make_sparse_query_step(k)),
+        )
+        return fn(self.session.put(padded), self.buckets, self.offsets)
 
     def search(
         self, queries: np.ndarray, top_k: int = 100
@@ -282,9 +231,9 @@ class SparseEngine:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         k = min(top_k, self.num_docs)
         q_real, t_real = queries.shape
-        # chunk queries so the (Q, D_pad) score buffer fits the budget
-        d_pad = next_multiple(self.total_positions, 128)
-        max_q = max(8, (self.score_buffer_budget // (4 * d_pad)) // 8 * 8)
+        # chunk queries so transient (Q, rows) score tiles fit the budget
+        max_rows = max(b["tokT"].shape[1] for b in self.buckets)
+        max_q = max(8, (self.score_buffer_budget // (4 * max_rows)) // 8 * 8)
         out_docs, out_scores, futures = [], [], []
         for i in range(0, q_real, max_q):
             chunk = queries[i : i + max_q].astype(np.int32)

@@ -1,0 +1,122 @@
+"""Fused Pallas ELL scoring kernel: membership-count postings scan.
+
+The sparse engine's hot loop — ``score[q, d] = sum_l val[d, l] * #{t :
+ids[q, t] == tok[d, l]}`` — as a single Pallas kernel.  Layout is
+slot-major (``tokT[L, rows]``): a postings slot is one lane-major row, so
+the (query x doc) accumulator tile broadcasts against it directly on the
+VPU with no transposes and no materialized (Q, B, T) intermediates (the
+XLA fallback's weakness).  Per grid cell the kernel runs L x T fused
+compare-select-accumulate steps on a VMEM-resident (TQ, BR) tile.
+
+This is the TPU re-invention of the reference's fused gather_reduce /
+scoring loop (``/root/reference/operations/gather_scatter.mojo:116-281``)
+for the padded-postings layout; cost = O(D*L*T) VPU ops, traffic = one
+streaming pass over the postings.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from bm25_tpu.utils.padding import cdiv, next_multiple
+
+# doc-rows per tile (lane axis of the accumulator)
+BLOCK_ROWS = 512
+# queries per tile (sublane axis)
+BLOCK_Q = 256
+
+
+def _kernel_body(t_count: int, l_count: int):
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    def kernel(ids_ref, tokT_ref, valT_ref, out_ref):
+        ids = ids_ref[:]  # (TQ, T) int32; pads already mapped to -2
+
+        def per_slot(l, acc):
+            tok_row = tokT_ref[l, :][None, :]  # (1, BR)
+            val_row = valT_ref[l, :][None, :]  # (1, BR)
+            for t in range(t_count):  # T is small and static: unrolled
+                eq = ids[:, t][:, None] == tok_row  # (TQ, BR)
+                acc = acc + jnp.where(eq, val_row, 0.0)
+            return acc
+
+        acc0 = jnp.zeros(out_ref.shape, jnp.float32)
+        out_ref[:] = lax.fori_loop(0, l_count, per_slot, acc0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ell_score_pallas(
+    ids: jax.Array,  # (Q, T) int32, pads/OOV < 0
+    tokT: jax.Array,  # (L_pad, rows) int32, PAD_TOK (-1) padded
+    valT: jax.Array,  # (L_pad, rows) float32
+    interpret: bool = False,
+) -> jax.Array:
+    """Score one ELL bucket: returns (Q, rows) float32."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, t = ids.shape
+    l_pad, rows = tokT.shape
+    assert rows % BLOCK_ROWS == 0, rows
+    q_pad = next_multiple(q, 8)
+    tq = min(BLOCK_Q, q_pad)
+    while q_pad % tq:
+        tq //= 2
+    if q_pad != q:
+        ids = jnp.pad(ids, ((0, q_pad - q), (0, 0)), constant_values=-1)
+    # query pads -> -2 so they never match doc pad slots (-1)
+    ids = jnp.where(ids >= 0, ids, -2)
+
+    grid = (q_pad // tq, rows // BLOCK_ROWS)
+    out = pl.pallas_call(
+        _kernel_body(t, l_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, t), lambda qi, ri: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, BLOCK_ROWS), lambda qi, ri: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, BLOCK_ROWS), lambda qi, ri: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tq, BLOCK_ROWS), lambda qi, ri: (qi, ri),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q_pad, rows), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * rows * l_pad * t,
+            bytes_accessed=(tokT.nbytes + valT.nbytes) * (q_pad // tq)
+            + q_pad * rows * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ids, tokT, valT)
+    return out[:q]
+
+
+def ell_score(ids, tokT, valT, implementation: str = "auto") -> jax.Array:
+    """Dispatcher: pallas on TPU, interpreter elsewhere (same kernel)."""
+    if implementation == "auto":
+        implementation = "pallas"
+    interpret = jax.devices()[0].platform != "tpu"
+    if implementation == "pallas":
+        return ell_score_pallas(ids, tokT, valT, interpret=interpret)
+    if implementation == "lax":
+        # reference path: scan over slots with a (Q, rows) carry
+        ids = jnp.where(ids >= 0, ids, -2)
+
+        def per_slot(acc, slot):
+            tok_row, val_row = slot
+            eq = ids[:, None, :] == tok_row[None, :, None]  # (Q, rows, T)
+            return acc + jnp.sum(eq, -1).astype(jnp.float32) * val_row[None, :], None
+
+        acc0 = jnp.zeros((ids.shape[0], tokT.shape[1]), jnp.float32)
+        acc, _ = lax.scan(per_slot, acc0, (tokT, valT))
+        return acc
+    raise ValueError(f"unknown implementation {implementation!r}")

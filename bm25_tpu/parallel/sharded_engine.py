@@ -159,53 +159,29 @@ class ShardedEngine:
         return np.asarray(docs)[:q_real], np.asarray(scores)[:q_real]
 
 
-def make_sharded_ell_step(mesh: Mesh, k: int, block_rows: int):
+def make_sharded_ell_step(mesh: Mesh, k: int):
     """Doc-sharded ELL scoring + local blockwise top-k + all-gather merge.
 
-    tok/val: (rows, L) sharded P('docs', None); doc_ids: (rows,) sharded
-    P('docs'); ids: (Q, T) sharded P('data', None).  Each chip scores only
-    its row slice (membership-count semantics, models/sparse._score_block),
+    tokT/valT: (L_pad, rows) sharded P(None, 'docs'); doc_ids: (rows,)
+    sharded P('docs'); ids: (Q, T) sharded P('data', None).  Each chip runs
+    the fused Pallas scoring kernel (ops.ell_score) on its row slice,
     selects local candidates hierarchically, and the (shards * k) candidate
     set merges over ICI.
     """
-    from bm25_tpu.models.sparse import _score_block
 
-    def local_step(tok_l, val_l, did_l, ids):
+    def local_step(tokT_l, valT_l, did_l, ids):
+        from bm25_tpu.ops.ell_score import ell_score
         from bm25_tpu.ops.topk import top_k_blockwise
 
         q = ids.shape[0]
-        rows = tok_l.shape[0]
-        valid = ids >= 0
-        block = min(block_rows, rows)
-        while rows % block:
-            block //= 2
-        nblocks = rows // block
-
-        def body(carry, blk):
-            bs, bi = carry
-            tok_blk = lax.dynamic_slice_in_dim(tok_l, blk * block, block)
-            val_blk = lax.dynamic_slice_in_dim(val_l, blk * block, block)
-            did_blk = lax.dynamic_slice_in_dim(did_l, blk * block, block)
-            scores = _score_block(tok_blk, val_blk, ids, valid)
-            scores = jnp.where(did_blk[None, :] >= 0, scores, NEG_INF)
-            k_local = min(k, block)
-            ls, lpos = top_k_blockwise(scores, k_local)
-            li = jnp.take_along_axis(
-                jnp.broadcast_to(did_blk[None, :], scores.shape), lpos, axis=1
-            )
-            cat_s = jnp.concatenate([bs, ls], axis=1)
-            cat_i = jnp.concatenate([bi, li], axis=1)
-            ns, pos = lax.top_k(cat_s, k)
-            return (ns, jnp.take_along_axis(cat_i, pos, axis=1)), None
-
-        init = (
-            jnp.full((q, k), NEG_INF, jnp.float32),
-            jnp.full((q, k), -1, jnp.int32),
-        )
-        (ls, li), _ = lax.scan(body, init, jnp.arange(nblocks))
+        scores = ell_score(ids, tokT_l, valT_l)  # (q, rows_local)
+        scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
+        k_local = min(k, scores.shape[1])
+        ls, lpos = top_k_blockwise(scores, k_local)
+        li = did_l[lpos]
 
         # merge candidates across doc shards over ICI
-        cand_s = lax.all_gather(ls, DOC_AXIS)  # (S, q, k)
+        cand_s = lax.all_gather(ls, DOC_AXIS)  # (S, q, k_local)
         cand_i = lax.all_gather(li, DOC_AXIS)
         cand_s = jnp.transpose(cand_s, (1, 0, 2)).reshape(q, -1)
         cand_i = jnp.transpose(cand_i, (1, 0, 2)).reshape(q, -1)
@@ -216,7 +192,7 @@ def make_sharded_ell_step(mesh: Mesh, k: int, block_rows: int):
     return jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(DOC_AXIS, None), P(DOC_AXIS, None), P(DOC_AXIS),
+        in_specs=(P(None, DOC_AXIS), P(None, DOC_AXIS), P(DOC_AXIS),
                   P(DATA_AXIS, None)),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
@@ -227,34 +203,40 @@ def make_sharded_ell_step(mesh: Mesh, k: int, block_rows: int):
 class ShardedSparseEngine:
     """Multi-chip doc-sharded ELL BM25 engine (large corpora over a mesh)."""
 
-    tok: jax.Array  # (rows_pad, L) sharded over docs
-    val: jax.Array
+    tokT: jax.Array  # (L_pad, rows_pad) sharded over docs (axis 1)
+    valT: jax.Array
     doc_ids: jax.Array  # (rows_pad,)
     offsets: jax.Array  # (V+1,) replicated
     num_docs: int
     vocab_size: int
     mesh: Mesh
     vocab: dict[str, int] | None = None
-    block_rows: int = 32768
     _cache: dict = None  # type: ignore[assignment]
 
     @classmethod
     def from_scored_index(
-        cls, index: ScoredIndex, mesh: Mesh | None = None,
-        block_rows: int = 32768, dtype=jnp.float32,
+        cls, index: ScoredIndex, mesh: Mesh | None = None, dtype=jnp.float32,
     ) -> "ShardedSparseEngine":
-        from bm25_tpu.models.sparse import build_ell_buckets
+        from bm25_tpu.models.sparse import PAD_TOK, build_ell_buckets
+        from bm25_tpu.ops.ell_score import BLOCK_ROWS
+        from bm25_tpu.utils.padding import next_multiple as _nm
 
         mesh = mesh or make_mesh()
         n_doc = mesh.shape[DOC_AXIS]
-        # single bucket keeps one uniform (rows, L) array to shard evenly
+        # single bucket keeps one uniform array to shard evenly; rows align
+        # to the kernel tile on every shard
         buckets = build_ell_buckets(
-            index, max_buckets=1, row_align=8 * n_doc
+            index, max_buckets=1, row_align=BLOCK_ROWS * n_doc
         )
         (b,) = buckets
-        tok = jax.device_put(b.tok, NamedSharding(mesh, P(DOC_AXIS, None)))
-        val = jax.device_put(
-            b.val.astype(dtype), NamedSharding(mesh, P(DOC_AXIS, None))
+        l_pad = _nm(b.tok.shape[1], 8)
+        tok_t = np.full((l_pad, b.tok.shape[0]), PAD_TOK, dtype=np.int32)
+        tok_t[: b.tok.shape[1]] = b.tok.T
+        val_t = np.zeros((l_pad, b.val.shape[0]), dtype=np.float32)
+        val_t[: b.val.shape[1]] = b.val.T
+        tokT = jax.device_put(tok_t, NamedSharding(mesh, P(None, DOC_AXIS)))
+        valT = jax.device_put(
+            val_t.astype(dtype), NamedSharding(mesh, P(None, DOC_AXIS))
         )
         doc_ids = jax.device_put(b.doc_ids, NamedSharding(mesh, P(DOC_AXIS)))
         v = index.vocab_size
@@ -263,9 +245,9 @@ class ShardedSparseEngine:
             off_host[:v] = index.token_offsets
         offsets = jax.device_put(off_host, NamedSharding(mesh, P()))
         return cls(
-            tok=tok, val=val, doc_ids=doc_ids, offsets=offsets,
+            tokT=tokT, valT=valT, doc_ids=doc_ids, offsets=offsets,
             num_docs=index.num_docs, vocab_size=v, mesh=mesh,
-            vocab=index.vocab, block_rows=block_rows, _cache={},
+            vocab=index.vocab, _cache={},
         )
 
     def search(
@@ -288,13 +270,13 @@ class ShardedSparseEngine:
         t_pad = next_pow2_at_least(max(t_real, 1))
         padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
         padded[:q_real, :t_real] = queries.astype(np.int32)
-        key = (k, q_pad, t_pad, self.tok.shape)
+        key = (k, q_pad, t_pad, self.tokT.shape)
         fn = self._cache.get(key)
         if fn is None:
-            fn = jax.jit(make_sharded_ell_step(self.mesh, k, self.block_rows))
+            fn = jax.jit(make_sharded_ell_step(self.mesh, k))
             self._cache[key] = fn
         ids = jax.device_put(padded, NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        scores, docs = fn(self.tok, self.val, self.doc_ids, ids)
+        scores, docs = fn(self.tokT, self.valT, self.doc_ids, ids)
         # token offsets are doc-independent; add on host
         valid = padded >= 0
         off = np.asarray(self.offsets)
@@ -330,7 +312,7 @@ def dryrun_sharded_step(n_devices: int) -> None:
     np.testing.assert_allclose(scores, os_, rtol=1e-5, atol=1e-6)
 
     # the doc-sharded ELL (large-corpus) path over the same mesh
-    sp = ShardedSparseEngine.from_scored_index(index, mesh=mesh, block_rows=64)
+    sp = ShardedSparseEngine.from_scored_index(index, mesh=mesh)
     docs2, scores2 = sp.search(queries, top_k=7)
     np.testing.assert_allclose(np.sort(scores2, axis=1), np.sort(os_, axis=1),
                                rtol=1e-5, atol=1e-6)

@@ -1,0 +1,84 @@
+"""Pallas kernel parity: gather_add_rows and ell_score vs oracles
+(interpret mode on the CPU backend; identical kernels run on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bm25_tpu.ops.ell_score import BLOCK_ROWS, ell_score
+from bm25_tpu.ops.gather_rows import gather_add_rows
+
+
+@pytest.mark.parametrize("v,d,q,t", [(37, 300, 5, 4), (20, 16384, 3, 2),
+                                     (11, 1024, 9, 1)])
+def test_gather_add_rows_parity(v, d, q, t):
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.random((v, d), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(0, v, (q, t)).astype(np.int32))
+    a = np.asarray(gather_add_rows(table, ids, "lax"))
+    b = np.asarray(gather_add_rows(table, ids, "pallas"))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    exp = np.asarray(table)[np.asarray(ids)].sum(1)
+    np.testing.assert_allclose(a, exp, rtol=1e-6)
+
+
+def _random_ell(rng, l_pad, rows, vocab, fill_max):
+    tokT = np.full((l_pad, rows), -1, np.int32)
+    valT = np.zeros((l_pad, rows), np.float32)
+    for r in range(rows):
+        n = rng.integers(1, fill_max + 1)
+        tokT[:n, r] = rng.choice(vocab, n, replace=False)
+        valT[:n, r] = rng.random(n)
+    return tokT, valT
+
+
+def _oracle(ids, tokT, valT):
+    q, rows = ids.shape[0], tokT.shape[1]
+    exp = np.zeros((q, rows), np.float32)
+    for qq in range(q):
+        qtok = ids[qq][ids[qq] >= 0]
+        for r in range(rows):
+            for l in range(tokT.shape[0]):
+                if tokT[l, r] >= 0:
+                    exp[qq, r] += valT[l, r] * int((qtok == tokT[l, r]).sum())
+    return exp
+
+
+def test_ell_score_parity_and_oracle():
+    rng = np.random.default_rng(1)
+    tokT, valT = _random_ell(rng, l_pad=16, rows=BLOCK_ROWS, vocab=50, fill_max=10)
+    ids = rng.integers(-1, 50, (12, 5)).astype(np.int32)
+    a = np.asarray(ell_score(jnp.asarray(ids), jnp.asarray(tokT),
+                             jnp.asarray(valT), "pallas"))
+    b = np.asarray(ell_score(jnp.asarray(ids), jnp.asarray(tokT),
+                             jnp.asarray(valT), "lax"))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    np.testing.assert_allclose(a, _oracle(ids, tokT, valT), rtol=1e-5)
+
+
+def test_ell_score_duplicate_query_tokens_count_twice():
+    rng = np.random.default_rng(2)
+    tokT, valT = _random_ell(rng, l_pad=8, rows=BLOCK_ROWS, vocab=20, fill_max=6)
+    single = np.full((1, 4), -1, np.int32)
+    single[0, 0] = 7
+    double = np.full((1, 4), -1, np.int32)
+    double[0, :2] = 7
+    s1 = np.asarray(ell_score(jnp.asarray(single), jnp.asarray(tokT),
+                              jnp.asarray(valT)))
+    s2 = np.asarray(ell_score(jnp.asarray(double), jnp.asarray(tokT),
+                              jnp.asarray(valT)))
+    np.testing.assert_allclose(s2, 2 * s1, rtol=1e-6)
+
+
+def test_ell_score_multirow_blocks_and_query_padding():
+    rng = np.random.default_rng(3)
+    tokT, valT = _random_ell(rng, l_pad=8, rows=2 * BLOCK_ROWS, vocab=30,
+                             fill_max=6)
+    ids = rng.integers(0, 30, (700, 3)).astype(np.int32)  # q not multiple of tile
+    out = np.asarray(ell_score(jnp.asarray(ids), jnp.asarray(tokT),
+                               jnp.asarray(valT)))
+    assert out.shape == (700, 2 * BLOCK_ROWS)
+    sample = slice(0, 5)
+    np.testing.assert_allclose(
+        out[sample], _oracle(ids[sample], tokT, valT), rtol=1e-5
+    )

@@ -75,7 +75,7 @@ def test_sharded_sparse_matches_oracle(setup, data, docs):
 
     idx, oracle = setup
     mesh = make_mesh(data * docs, data=data)
-    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, block_rows=64)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh)
     rng = np.random.default_rng(11)
     queries = rng.integers(-1, idx.vocab_size, size=(16, 6), dtype=np.int32)
     k = 13
@@ -93,7 +93,7 @@ def test_sharded_sparse_duplicate_tokens(setup):
     from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
 
     idx, oracle = setup
-    eng = ShardedSparseEngine.from_scored_index(idx, mesh=make_mesh(4), block_rows=64)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=make_mesh(4))
     q = np.array([[2, 2, 9, -1]], dtype=np.int32)
     dd, ds = eng.search(q, top_k=5)
     od, os_ = oracle.search(q, top_k=5)
