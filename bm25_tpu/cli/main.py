@@ -160,6 +160,19 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    from bm25_tpu.datasets import evaluate_dataset, load_beir
+
+    ds = load_beir(args.dataset, split=args.split)
+    result = evaluate_dataset(
+        ds, top_k=args.top_k, engine_mode=args.engine,
+        max_queries=args.max_queries,
+        log=lambda *a: print(*a, file=sys.stderr),
+    )
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from bm25_tpu.serve import Server
 
@@ -202,6 +215,14 @@ def build_parser() -> argparse.ArgumentParser:
     pn = sub.add_parser("info", help="print index stats")
     pn.add_argument("index")
     pn.set_defaults(fn=cmd_info)
+
+    pe = sub.add_parser("eval", help="evaluate on a BEIR-format dataset dir")
+    pe.add_argument("dataset", help="dir with corpus.jsonl/queries.jsonl/qrels/")
+    pe.add_argument("--split", default="test")
+    pe.add_argument("-k", "--top-k", type=int, default=100)
+    pe.add_argument("--engine", default="auto")
+    pe.add_argument("--max-queries", type=int, default=None)
+    pe.set_defaults(fn=cmd_eval)
 
     ps = sub.add_parser("serve", help="HTTP search daemon over a saved index")
     ps.add_argument("index")

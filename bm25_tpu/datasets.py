@@ -1,0 +1,140 @@
+"""Dataset loaders for retrieval evaluation (BEIR layout) + synthetic corpora.
+
+BASELINE.md's configs name BEIR SciFact/FiQA/NFCorpus and MS MARCO; this
+container has no network egress, so the loaders read the standard BEIR
+on-disk layout from a local directory:
+
+    <root>/corpus.jsonl   {"_id": ..., "title": ..., "text": ...}
+    <root>/queries.jsonl  {"_id": ..., "text": ...}
+    <root>/qrels/<split>.tsv  query-id \\t corpus-id \\t score
+
+``synthetic_corpus`` provides the Zipf generator used by bench.py for
+data-free runs at any scale.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class RetrievalDataset:
+    doc_ids: list[str]
+    doc_texts: list[str]
+    query_ids: list[str]
+    query_texts: list[str]
+    # qrels[qid] = {doc_id: relevance}
+    qrels: dict[str, dict[str, int]] = field(default_factory=dict)
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.doc_texts)
+
+
+def load_beir(root: str | os.PathLike, split: str = "test") -> RetrievalDataset:
+    """Load a BEIR-format dataset directory."""
+    root = os.fspath(root)
+    doc_ids, doc_texts = [], []
+    with open(os.path.join(root, "corpus.jsonl")) as f:
+        for line in f:
+            obj = json.loads(line)
+            doc_ids.append(str(obj["_id"]))
+            title = obj.get("title") or ""
+            text = obj.get("text") or ""
+            doc_texts.append(f"{title} {text}".strip())
+    query_ids, query_texts = [], []
+    with open(os.path.join(root, "queries.jsonl")) as f:
+        for line in f:
+            obj = json.loads(line)
+            query_ids.append(str(obj["_id"]))
+            query_texts.append(obj.get("text") or "")
+    qrels: dict[str, dict[str, int]] = {}
+    qrels_path = os.path.join(root, "qrels", f"{split}.tsv")
+    if os.path.exists(qrels_path):
+        with open(qrels_path) as f:
+            reader = csv.reader(f, delimiter="\t")
+            header = next(reader, None)
+            if header and header[0].lower() not in ("query-id", "qid"):
+                f.seek(0)
+                reader = csv.reader(f, delimiter="\t")
+            for row in reader:
+                if len(row) < 3:
+                    continue
+                qid, did, score = row[0], row[1], row[2]
+                qrels.setdefault(str(qid), {})[str(did)] = int(float(score))
+    return RetrievalDataset(doc_ids, doc_texts, query_ids, query_texts, qrels)
+
+
+def evaluate_dataset(
+    ds: RetrievalDataset,
+    top_k: int = 100,
+    engine_mode: str = "auto",
+    max_queries: int | None = None,
+    log=print,
+) -> dict:
+    """Index ds.docs, run its queries, report recall@k / MRR@10 vs qrels."""
+    from bm25_tpu.eval import mrr_at_k
+    from bm25_tpu.index.builder import build_index
+    from bm25_tpu.models.auto import create_engine
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer()
+    index, stats = build_index(ds.doc_texts, tokenizer=tok)
+    log(f"[eval] indexed {stats.num_docs} docs ({stats.docs_per_second:.0f}/s)")
+    engine = create_engine(index, mode=engine_mode)
+
+    qids = ds.query_ids[:max_queries] if max_queries else ds.query_ids
+    qtexts = ds.query_texts[: len(qids)]
+    ids = tok.tokenize_queries(qtexts, index.vocab)
+    docs, scores = engine.search(ids, top_k=top_k)
+
+    # map dataset doc ids to internal positions once
+    pos_of = {did: i for i, did in enumerate(ds.doc_ids)}
+    hits = 0
+    total_rel = 0
+    relevant = []
+    for qid in qids:
+        rel_pos = {
+            pos_of[did]
+            for did, r in ds.qrels.get(qid, {}).items()
+            if r > 0 and did in pos_of
+        }
+        relevant.append(rel_pos)
+        total_rel += len(rel_pos)
+    for qi in range(len(qids)):
+        hits += len(set(docs[qi].tolist()) & relevant[qi])
+    recall = hits / total_rel if total_rel else float("nan")
+    mrr = mrr_at_k(docs[:, :10], relevant)
+    result = {
+        "num_docs": ds.num_docs,
+        "num_queries": len(qids),
+        "top_k": top_k,
+        f"recall@{top_k}": round(recall, 4),
+        "mrr@10": round(mrr, 4),
+        "engine": type(engine).__name__,
+    }
+    log(f"[eval] {result}")
+    return result
+
+
+def synthetic_corpus(num_docs: int, vocab: int = 32768, avg_len: int = 48,
+                     seed: int = 0) -> list[str]:
+    """Zipf word corpus as text (exercises the full tokenizer pipeline)."""
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    cum = np.cumsum(probs)
+    lengths = np.maximum(3, rng.poisson(avg_len, num_docs))
+    flat = np.searchsorted(cum, rng.random(int(lengths.sum())))
+    np.clip(flat, 0, vocab - 1, out=flat)
+    words = np.array([f"w{i:06d}" for i in range(vocab)])
+    docs, pos = [], 0
+    for L in lengths:
+        docs.append(" ".join(words[flat[pos : pos + L]]))
+        pos += L
+    return docs

@@ -1,0 +1,45 @@
+"""BEIR-format loader + end-to-end dataset evaluation."""
+
+import json
+import os
+
+from bm25_tpu.datasets import evaluate_dataset, load_beir, synthetic_corpus
+
+
+def make_beir_dir(tmp_path):
+    docs = [
+        {"_id": "d1", "title": "Cats", "text": "a cat is a feline and likes to purr"},
+        {"_id": "d2", "title": "Dogs", "text": "a dog is the humans best friend"},
+        {"_id": "d3", "title": "Birds", "text": "a bird is a beautiful animal that can fly"},
+        {"_id": "d4", "title": "Fish", "text": "a fish lives in water and swims"},
+    ]
+    queries = [
+        {"_id": "q1", "text": "does the fish purr like a cat?"},
+        {"_id": "q2", "text": "bird that can fly"},
+    ]
+    (tmp_path / "qrels").mkdir()
+    with open(tmp_path / "corpus.jsonl", "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    with open(tmp_path / "queries.jsonl", "w") as f:
+        for q in queries:
+            f.write(json.dumps(q) + "\n")
+    with open(tmp_path / "qrels" / "test.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        f.write("q1\td1\t1\nq2\td3\t1\n")
+    return tmp_path
+
+
+def test_load_and_evaluate_beir(tmp_path):
+    ds = load_beir(make_beir_dir(tmp_path))
+    assert ds.num_docs == 4 and len(ds.query_ids) == 2
+    assert ds.qrels["q1"] == {"d1": 1}
+    result = evaluate_dataset(ds, top_k=2, log=lambda *a: None)
+    assert result["recall@2"] == 1.0
+    assert result["mrr@10"] == 1.0
+
+
+def test_synthetic_corpus():
+    docs = synthetic_corpus(50, vocab=100, avg_len=10, seed=1)
+    assert len(docs) == 50
+    assert all(w.startswith("w") for w in docs[0].split())
