@@ -156,6 +156,10 @@ class SparseEngine:
     session: Session
     vocab: dict[str, int] | None = None
     score_buffer_budget: int = 4 << 30
+    # sub-batch size: chunks dispatch asynchronously, so device compute on
+    # chunk i overlaps result transfer of chunk i-1; also pins the compiled
+    # query-batch shape
+    chunk_queries: int = 512
 
     @classmethod
     def from_scored_index(
@@ -234,6 +238,7 @@ class SparseEngine:
         # chunk queries so transient (Q, rows) score tiles fit the budget
         max_rows = max(b["tokT"].shape[1] for b in self.buckets)
         max_q = max(8, (self.score_buffer_budget // (4 * max_rows)) // 8 * 8)
+        max_q = min(max_q, self.chunk_queries)
         out_docs, out_scores, futures = [], [], []
         for i in range(0, q_real, max_q):
             chunk = queries[i : i + max_q].astype(np.int32)

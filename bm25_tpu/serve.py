@@ -41,8 +41,20 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):
-        if self.path == "/healthz":
-            self._send(200, {"status": "ok", **(self.stats or {})})
+        if self.path.startswith("/healthz"):
+            payload = {"status": "ok", **(self.stats or {})}
+            if "deep=1" in self.path:
+                from bm25_tpu.runtime.health import device_probe, engine_probe
+
+                dev = device_probe()
+                eng = engine_probe(self.engine)
+                payload["device_probe"] = dev.as_dict()
+                payload["engine_probe"] = eng.as_dict()
+                if not (dev.ok and eng.ok):
+                    payload["status"] = "unhealthy"
+                    self._send(503, payload)
+                    return
+            self._send(200, payload)
         else:
             self._send(404, {"error": "not found"})
 

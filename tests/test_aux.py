@@ -66,3 +66,26 @@ def test_matmul_bench_small():
     res = bench_matmul(m=64, k=64, n=64, iters=2, log=lambda *a: None)
     assert {r["algorithm"] for r in res} == {"xla", "naive", "optimized"}
     assert all(r["gflops"] > 0 for r in res)
+
+
+def test_health_probes():
+    from bm25_tpu.runtime.health import device_probe, engine_probe
+    from bm25_tpu.models.dense import DenseEngine
+    from bm25_tpu.scoring import build_scored_index
+    import numpy as np
+
+    assert device_probe().ok
+
+    rng = np.random.default_rng(0)
+    ids = [rng.integers(0, 30, size=5).astype(np.int32) for _ in range(20)]
+    eng = DenseEngine.from_scored_index(build_scored_index(ids, vocab_size=30))
+    assert engine_probe(eng).ok
+
+    class Broken:
+        num_docs = 5
+
+        def search(self, q, top_k):
+            raise RuntimeError("device wedged")
+
+    pr = engine_probe(Broken())
+    assert not pr.ok and "device wedged" in pr.detail

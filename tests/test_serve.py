@@ -61,3 +61,12 @@ def test_unknown_route(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"http://127.0.0.1:{server.port}/nope", timeout=30)
     assert e.value.code == 404
+
+
+def test_healthz_deep(server):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/healthz?deep=1", timeout=60
+    ) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["device_probe"]["ok"] and h["engine_probe"]["ok"]
