@@ -1,0 +1,63 @@
+"""Randomized cross-engine consistency: every engine vs the host oracle."""
+
+import numpy as np
+import pytest
+
+from conftest import make_zipf_corpus, strict_positions
+
+from bm25_tpu.models.dense import DenseEngine
+from bm25_tpu.models.sparse import SparseEngine
+from bm25_tpu.parallel.mesh import make_mesh
+from bm25_tpu.parallel.sharded_engine import ShardedEngine, ShardedSparseEngine
+from bm25_tpu.reference import ReferenceEngine
+from bm25_tpu.scoring import BM25Params, build_scored_index
+from bm25_tpu.text.tokenizer import Tokenizer
+
+
+def build(seed, method, num_docs=150, vocab=300):
+    corpus = make_zipf_corpus(num_docs, vocab=vocab, avg_len=25, seed=seed)
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab),
+                             params=BM25Params(method=method))
+    return idx
+
+
+ENGINES = {
+    "dense": lambda idx: DenseEngine.from_scored_index(idx),
+    "sparse": lambda idx: SparseEngine.from_scored_index(idx),
+    "sharded": lambda idx: ShardedEngine.from_scored_index(
+        idx, mesh=make_mesh(4, data=2)
+    ),
+    "sharded_sparse": lambda idx: ShardedSparseEngine.from_scored_index(
+        idx, mesh=make_mesh(4, data=2)
+    ),
+}
+
+
+@pytest.mark.parametrize("engine_name", list(ENGINES))
+@pytest.mark.parametrize("seed,method,k", [
+    (0, "lucene", 7),
+    (1, "robertson", 3),   # negative idf values possible
+    (2, "bm25+", 11),      # nonzero token offsets
+])
+def test_engine_matches_oracle_fuzz(engine_name, seed, method, k):
+    idx = build(seed, method)
+    oracle = ReferenceEngine.from_scored_index(idx)
+    engine = ENGINES[engine_name](idx)
+    rng = np.random.default_rng(seed + 100)
+    queries = rng.integers(-1, idx.vocab_size, size=(11, 5), dtype=np.int32)
+    # some rows fully padded, some with duplicates
+    queries[0] = -1
+    queries[1, :3] = queries[1, 0]
+    dd, ds = engine.search(queries, top_k=k)
+    od, os_ = oracle.search(queries, top_k=k)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=1e-5)
+    if engine_name in ("dense", "sharded"):
+        strict = strict_positions(os_)
+        np.testing.assert_array_equal(dd[strict], od[strict])
+    else:
+        # permuted-order engines: doc sets agree on fully-strict rows
+        strict = strict_positions(os_)
+        for i in np.flatnonzero(strict.all(axis=1)):
+            assert set(dd[i].tolist()) == set(od[i].tolist())
