@@ -11,7 +11,6 @@ semantics (results cross-checked for recall parity during the run).
 from __future__ import annotations
 
 import os
-import sys
 import time
 from dataclasses import dataclass
 

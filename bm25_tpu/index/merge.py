@@ -17,7 +17,6 @@ COO triplets.
 from __future__ import annotations
 
 import numpy as np
-import scipy.sparse as sp
 
 from bm25_tpu.scoring import BM25Params, ScoredIndex, build_scored_index
 from bm25_tpu.text.tokenizer import TokenizedCorpus

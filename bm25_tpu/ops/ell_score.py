@@ -20,10 +20,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
-from bm25_tpu.utils.padding import cdiv, next_multiple
+from bm25_tpu.utils.padding import next_multiple
 
 # doc-rows per tile (lane axis of the accumulator)
 BLOCK_ROWS = 512

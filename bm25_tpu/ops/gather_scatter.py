@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax import lax
 
 from bm25_tpu.ops.registry import register_op
 

@@ -21,7 +21,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from bm25_tpu.ops.registry import register_op
 from bm25_tpu.utils.padding import next_multiple

@@ -21,7 +21,6 @@ golden-tested against each other and numpy.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

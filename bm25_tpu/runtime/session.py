@@ -11,7 +11,7 @@ boundary, ``/root/reference/gpu_bm25/common.py:38-39,85``).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, Hashable
+from typing import Callable, Hashable
 
 import jax
 import numpy as np

@@ -30,7 +30,7 @@ vector (bm25s's "nonoccurrence array") so sparse storage stays exact.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import scipy.sparse as sp

@@ -18,8 +18,6 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-import numpy as np
-
 
 class BM25RequestHandler(BaseHTTPRequestHandler):
     # set by Server
