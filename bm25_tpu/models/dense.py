@@ -5,9 +5,9 @@ graph ``gather(score_matrix, query_ids, axis=1) -> sum(axis=-1) ->
 transpose -> top_k`` (``/root/reference/gpu_bm25/common.py:40-80``), with the
 reference's layout transposed for the hardware: we hold ``st[V+1, D]``
 (token-major) so a query's token gathers are contiguous row DMAs instead of
-strided column reads, the gather+sum runs as a ``lax.scan`` accumulating a
-``(Q, D)`` tile (constant memory in T, fully fused by XLA), and top-k runs
-per query over the doc axis.
+strided column reads, the gather+sum runs as the fused Pallas
+gather-accumulate kernel (ops/gather_rows.py; lax.scan fallback off-TPU),
+and top-k runs hierarchically per query over the doc axis.
 
 Padding contract: query id -1 (pad/OOV) indexes a dedicated all-zero row, so
 masking costs nothing; padded doc columns are forced to -inf before top-k so
@@ -60,9 +60,9 @@ def make_query_step(num_docs: int, k: int):
 
         doc_ids = lax.broadcasted_iota(jnp.int32, (1, d_pad), 1)
         masked = jnp.where(doc_ids < num_docs, scores, NEG_INF)
-        from bm25_tpu.ops.topk import top_k_blockwise
+        from bm25_tpu.ops.topk import select_top_k
 
-        top_scores, top_docs = top_k_blockwise(masked, k)
+        top_scores, top_docs = select_top_k(masked, k)
         return top_scores + qoff[:, None], top_docs.astype(jnp.int32)
 
     return step

@@ -15,7 +15,7 @@ occurrence-count semantics matching the reference's per-column gather+sum
 
 Query path (one jitted dispatch): per bucket, the fused Pallas scoring
 kernel (ops.ell_score, slot-major layout) produces a (Q, rows) score tile,
-a hierarchical block-max top-k (ops.topk.top_k_blockwise) selects local
+a hierarchical top-k (ops.topk.select_top_k) selects local
 candidates, and all buckets' candidates merge with one final stable top-k —
 the streaming generalization of the reference's two-stage GPU top-k
 (``/root/reference/operations/topk.mojo:576-830``).
@@ -120,7 +120,7 @@ def make_sparse_query_step(k: int):
 
     def step(ids, buckets, offsets):
         from bm25_tpu.ops.ell_score import ell_score
-        from bm25_tpu.ops.topk import top_k_blockwise
+        from bm25_tpu.ops.topk import select_top_k
 
         valid = ids >= 0
         safe = jnp.where(valid, ids, 0)
@@ -133,7 +133,7 @@ def make_sparse_query_step(k: int):
             did = b["doc_ids"]
             scores = jnp.where(did[None, :] >= 0, scores, NEG_INF)
             kk = min(k, scores.shape[1])
-            s, pos = top_k_blockwise(scores, kk)
+            s, pos = select_top_k(scores, kk)
             cand_s.append(s)
             cand_i.append(did[pos])
         cs = jnp.concatenate(cand_s, axis=1)

@@ -241,6 +241,77 @@ def _pallas_topk_lastaxis(x: jax.Array, k: int):
 
 
 # ---------------------------------------------------------------------------
+# tournament-tree exact top-k (large k, huge N)
+# ---------------------------------------------------------------------------
+
+
+def _tree_level(x2: jax.Array, k: int, branch: int, base: int):
+    """Recursive top-k over the last axis of (B, N) via branch-wide maxima.
+
+    Same superset argument as top_k_blockwise (at most k-1 blocks can rank
+    strictly above the k-th value's block) applied recursively with a tiny
+    branch factor, so every merge works on only ``branch * k`` candidates
+    instead of ``block * k``.  Stable + index-ordered at every level ->
+    ties resolve to the smaller original index.
+    """
+    b, n = x2.shape
+    if n <= base or n // branch < k:
+        return lax.top_k(x2, k)
+    n_pad = next_multiple(n, branch)
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n)), constant_values=NEG_INF)
+    groups = x2.reshape(b, n_pad // branch, branch)
+    maxes = jnp.max(groups, axis=-1)  # (b, n/branch)
+    _, top_groups = _tree_level(maxes, k, branch, base)  # indices into groups
+    top_groups = jnp.sort(top_groups, axis=1)  # index order for tie contract
+    cand = jnp.take_along_axis(groups, top_groups[:, :, None], axis=1)
+    cand = cand.reshape(b, k * branch)
+    cand_idx = (
+        top_groups[:, :, None] * branch + jnp.arange(branch)[None, None, :]
+    ).reshape(b, k * branch)
+    vals, pos = lax.top_k(cand, k)
+    return vals, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
+def top_k_tree(
+    x: jax.Array, k: int, branch: int = 8, base: int | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k for large k over a huge last axis (tournament reduction).
+
+    Better than ``top_k_blockwise`` when ``k * 128 >> n`` would make its
+    final merge expensive (the k=1000 regime): total merge work is
+    ``depth * top_k(branch * k -> k)`` and the reductions are one streaming
+    pass over a geometrically shrinking series (~1.14x the input).
+    """
+    orig_shape = x.shape
+    n = orig_shape[-1]
+    if not 1 <= k <= n:
+        raise ValueError(f"k={k} out of range for axis of {n}")
+    if base is None:
+        base = max(2 * k, 4096)
+    b = int(np.prod(orig_shape[:-1], dtype=np.int64)) if x.ndim > 1 else 1
+    vals, idx = _tree_level(x.reshape(b, n), k, branch, base)
+    out_shape = orig_shape[:-1] + (k,)
+    return vals.reshape(out_shape), idx.reshape(out_shape)
+
+
+register_op("top_k_tree")(top_k_tree)
+
+
+def select_top_k(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Best exact top-k strategy for (batch, N) score matrices."""
+    n = x.shape[-1]
+    if n <= max(2 * k, 4096):
+        return top_k(x, k)
+    if k <= 128:
+        return top_k_blockwise(x, k)
+    return top_k_tree(x, k)
+
+
+register_op("select_top_k")(select_top_k)
+
+
+# ---------------------------------------------------------------------------
 # hierarchical (block-max) exact top-k for huge N
 # ---------------------------------------------------------------------------
 

@@ -59,10 +59,10 @@ def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int):
         local_ids = lax.broadcasted_iota(jnp.int32, (1, d_local), 1)
         masked = jnp.where(doc_base + local_ids < num_docs, scores, NEG_INF)
 
-        from bm25_tpu.ops.topk import top_k_blockwise
+        from bm25_tpu.ops.topk import select_top_k
 
         k_local = min(k, d_local)
-        top_s, top_i = top_k_blockwise(masked, k_local)  # stage 1: local
+        top_s, top_i = select_top_k(masked, k_local)  # stage 1: local
         top_i = top_i.astype(jnp.int32) + doc_base
 
         # stage 2: all-gather (shards, q, k_local) candidates over ICI, merge
@@ -171,13 +171,13 @@ def make_sharded_ell_step(mesh: Mesh, k: int):
 
     def local_step(tokT_l, valT_l, did_l, ids):
         from bm25_tpu.ops.ell_score import ell_score
-        from bm25_tpu.ops.topk import top_k_blockwise
+        from bm25_tpu.ops.topk import select_top_k
 
         q = ids.shape[0]
         scores = ell_score(ids, tokT_l, valT_l)  # (q, rows_local)
         scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
         k_local = min(k, scores.shape[1])
-        ls, lpos = top_k_blockwise(scores, k_local)
+        ls, lpos = select_top_k(scores, k_local)
         li = did_l[lpos]
 
         # merge candidates across doc shards over ICI

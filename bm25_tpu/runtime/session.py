@@ -10,6 +10,7 @@ boundary, ``/root/reference/gpu_bm25/common.py:38-39,85``).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import Callable, Hashable
 
@@ -44,6 +45,7 @@ class Session:
 
     device: jax.Device = field(default_factory=get_device)
     _cache: dict[Hashable, Callable] = field(default_factory=dict, repr=False)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     @classmethod
     def create(cls, device_id: int = 0, prefer: str | None = None) -> "Session":
@@ -59,11 +61,15 @@ class Session:
         return np.asarray(x)
 
     def compile(self, key: Hashable, build: Callable[[], Callable]) -> Callable:
-        """Fetch or build+jit a function under a cache key."""
+        """Fetch or build+jit a function under a cache key (thread-safe:
+        serve.py calls engines from a threading HTTP server)."""
         fn = self._cache.get(key)
         if fn is None:
-            fn = build()
-            self._cache[key] = fn
+            with self._lock:
+                fn = self._cache.get(key)
+                if fn is None:
+                    fn = build()
+                    self._cache[key] = fn
         return fn
 
     @property

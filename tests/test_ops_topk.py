@@ -191,3 +191,52 @@ def test_blockwise_unaligned_n_with_padding():
     v, i = top_k_blockwise(jnp.asarray(x), 20, block=256)
     ev, ei = np_topk(x, 20)
     np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+# -- tournament-tree top-k (large k) ------------------------------------------
+
+
+def test_tree_exact_vs_oracle_large_k():
+    from bm25_tpu.ops.topk import top_k_tree
+
+    rng = np.random.default_rng(13)
+    x = rng.random((3, 60000)).astype(np.float32)
+    v, i = top_k_tree(jnp.asarray(x), 700)
+    ev, ei = np_topk(x, 700)
+    np.testing.assert_allclose(np.asarray(v), ev, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+def test_tree_heavy_ties():
+    from bm25_tpu.ops.topk import top_k_tree
+
+    rng = np.random.default_rng(14)
+    x = rng.choice([0.0, 1.0, 2.0], size=(4, 40000)).astype(np.float32)
+    v, i = top_k_tree(jnp.asarray(x), 300)
+    ev, ei = np_topk(x, 300)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+def test_tree_unaligned_and_small():
+    from bm25_tpu.ops.topk import top_k_tree
+
+    rng = np.random.default_rng(15)
+    x = rng.random((2, 12345)).astype(np.float32)
+    v, i = top_k_tree(jnp.asarray(x), 50)
+    ev, ei = np_topk(x, 50)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+    # n below base -> plain top_k path
+    v, i = top_k_tree(jnp.asarray(x[:, :100]), 10)
+    ev, ei = np_topk(x[:, :100], 10)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+def test_select_top_k_dispatch():
+    from bm25_tpu.ops.topk import select_top_k
+
+    rng = np.random.default_rng(16)
+    x = rng.random((2, 30000)).astype(np.float32)
+    for k in (5, 100, 600):
+        v, i = select_top_k(jnp.asarray(x), k)
+        ev, ei = np_topk(x, k)
+        np.testing.assert_array_equal(np.asarray(i), ei)
