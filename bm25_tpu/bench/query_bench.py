@@ -47,20 +47,16 @@ def _zipf_probs(vocab: int) -> np.ndarray:
 
 
 def make_synthetic_index(cfg: BenchConfig):
-    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.scoring import build_scored_index_flat
 
     rng = np.random.default_rng(cfg.seed)
     probs = _zipf_probs(cfg.vocab)
     cum = np.cumsum(probs)
-    lengths = np.maximum(4, rng.poisson(cfg.avg_len, cfg.num_docs))
+    lengths = np.maximum(4, rng.poisson(cfg.avg_len, cfg.num_docs)).astype(np.int32)
     # inverse-CDF sampling (much faster than rng.choice with p at 10M+ draws)
     flat = np.searchsorted(cum, rng.random(int(lengths.sum()))).astype(np.int32)
     np.clip(flat, 0, cfg.vocab - 1, out=flat)
-    ids, pos = [], 0
-    for L in lengths:
-        ids.append(flat[pos : pos + L])
-        pos += L
-    return build_scored_index(ids, vocab_size=cfg.vocab)
+    return build_scored_index_flat(flat, lengths, vocab_size=cfg.vocab)
 
 
 def make_queries(cfg: BenchConfig) -> np.ndarray:

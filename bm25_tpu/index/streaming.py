@@ -67,6 +67,8 @@ class StreamingIndexBuilder:
         return self._num_docs
 
     def finalize(self) -> tuple[ScoredIndex, BuildStats]:
+        from bm25_tpu.scoring import build_scored_index_flat
+
         t0 = time.perf_counter()
         lengths = (
             np.concatenate(self._lengths) if self._lengths else np.zeros(0, np.int32)
@@ -74,10 +76,9 @@ class StreamingIndexBuilder:
         flat = (
             np.concatenate(self._chunks) if self._chunks else np.zeros(0, np.int32)
         )
-        bounds = np.concatenate([[0], np.cumsum(lengths)])
-        per_doc = [flat[bounds[i] : bounds[i + 1]] for i in range(len(lengths))]
-        index = build_scored_index(
-            per_doc,
+        index = build_scored_index_flat(
+            flat,
+            lengths,
             vocab_size=len(self._vocab),
             params=self.params,
             vocab=dict(self._vocab),

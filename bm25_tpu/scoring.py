@@ -157,36 +157,80 @@ def build_scored_index(
 
     Vectorized equivalent of the reference's fit loop
     (``/root/reference/bm25.py:76-121``) without the dense (docs x vocab)
-    materialization: tf via a COO->CSC sparse build, df from column nnz.
-    Postings within each token column are sorted by doc id (ascending), which
-    fixes a deterministic accumulation order for all downstream kernels.
+    materialization.  See build_scored_index_flat for the core.
+    """
+    doc_lengths = np.array([len(t) for t in doc_token_ids], dtype=np.int32)
+    total = int(doc_lengths.sum())
+    flat_tokens = np.empty(total, dtype=np.int64)
+    pos = 0
+    for toks in doc_token_ids:
+        n = len(toks)
+        flat_tokens[pos : pos + n] = toks
+        pos += n
+    return build_scored_index_flat(
+        flat_tokens, doc_lengths, vocab_size=vocab_size, params=params,
+        vocab=vocab, dtype=dtype,
+    )
+
+
+def build_scored_index_flat(
+    flat_tokens: np.ndarray,
+    doc_lengths: np.ndarray,
+    vocab_size: int | None = None,
+    params: BM25Params | None = None,
+    vocab: dict[str, int] | None = None,
+    dtype=np.float32,
+) -> ScoredIndex:
+    """Core index build from a flat token stream + per-doc lengths.
+
+    Postings within each token column are sorted by doc id (ascending),
+    which fixes a deterministic accumulation order for all downstream
+    kernels.
     """
     params = params or BM25Params()
-    num_docs = len(doc_token_ids)
-    doc_lengths = np.array([len(t) for t in doc_token_ids], dtype=np.int32)
+    doc_lengths = np.asarray(doc_lengths, dtype=np.int32)
+    num_docs = len(doc_lengths)
+    total = int(doc_lengths.sum())
+    flat_tokens = np.asarray(flat_tokens)
+    if len(flat_tokens) != total:
+        raise ValueError(
+            f"flat token stream has {len(flat_tokens)} entries, "
+            f"doc lengths sum to {total}"
+        )
     if vocab_size is None:
         if vocab is not None:
             vocab_size = len(vocab)
         else:
-            vocab_size = int(max((int(t.max()) for t in doc_token_ids if len(t)), default=-1)) + 1
+            vocab_size = int(flat_tokens.max(initial=-1)) + 1
+    flat_docs = np.repeat(
+        np.arange(num_docs, dtype=np.int64), doc_lengths
+    )
 
-    total = int(doc_lengths.sum())
-    flat_tokens = np.empty(total, dtype=np.int64)
-    flat_docs = np.empty(total, dtype=np.int64)
-    pos = 0
-    for d, toks in enumerate(doc_token_ids):
-        n = len(toks)
-        flat_tokens[pos : pos + n] = toks
-        flat_docs[pos : pos + n] = d
-        pos += n
-
-    # tf matrix: duplicates in COO are summed on conversion.
-    ones = np.ones(total, dtype=np.float64)
-    tf_csc = sp.coo_matrix(
-        (ones, (flat_docs, flat_tokens)), shape=(num_docs, vocab_size)
-    ).tocsc()
-    tf_csc.sum_duplicates()
-    tf_csc.sort_indices()
+    # Direct CSC construction: one stable sort by token id keeps doc order
+    # ascending inside each column (docs were appended in order), then
+    # run-length encoding of equal (token, doc) pairs yields tf.  ~3x faster
+    # than scipy's COO->CSC at tens of millions of tokens; equivalence with
+    # the scipy path is pinned in tests/test_scoring.py.
+    order = np.argsort(flat_tokens, kind="stable")
+    st = flat_tokens[order]
+    sd = flat_docs[order]
+    if total:
+        new_run = np.empty(total, dtype=bool)
+        new_run[0] = True
+        np.logical_or(st[1:] != st[:-1], sd[1:] != sd[:-1], out=new_run[1:])
+        run_starts = np.flatnonzero(new_run)
+        tf_vals = np.diff(np.append(run_starts, total)).astype(np.float64)
+        col_tok = st[run_starts]
+        row_doc = sd[run_starts].astype(np.int32)
+    else:
+        tf_vals = np.zeros(0, dtype=np.float64)
+        col_tok = np.zeros(0, dtype=np.int64)
+        row_doc = np.zeros(0, dtype=np.int32)
+    indptr = np.zeros(vocab_size + 1, dtype=np.int64)
+    np.cumsum(np.bincount(col_tok, minlength=vocab_size), out=indptr[1:])
+    tf_csc = sp.csc_matrix(
+        (tf_vals, row_doc, indptr), shape=(num_docs, vocab_size)
+    )
 
     df = np.diff(tf_csc.indptr)
     avgdl = float(doc_lengths.mean()) if num_docs else 0.0

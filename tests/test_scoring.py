@@ -104,3 +104,26 @@ def test_reference_engine_rejects_out_of_range_token(animal_corpus):
     eng = ReferenceEngine.from_scored_index(idx)
     with pytest.raises(ValueError, match="out of range"):
         eng.search(np.array([[9999]], dtype=np.int32), top_k=1)
+
+
+def test_direct_csc_build_matches_scipy(zipf_corpus_small):
+    """The sort-based CSC construction equals scipy's COO->CSC conversion."""
+    import scipy.sparse as sp
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+
+    # independent scipy-based tf/df computation
+    rows, cols = [], []
+    for d, toks in enumerate(out.ids):
+        rows.extend([d] * len(toks))
+        cols.extend(toks.tolist())
+    tf = sp.coo_matrix(
+        (np.ones(len(rows)), (rows, cols)),
+        shape=(len(out.ids), len(out.vocab)),
+    ).tocsc()
+    tf.sum_duplicates()
+    tf.sort_indices()
+    np.testing.assert_array_equal(idx.indptr, tf.indptr.astype(idx.indptr.dtype))
+    np.testing.assert_array_equal(idx.indices, tf.indices.astype(np.int32))
