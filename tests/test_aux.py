@@ -89,3 +89,32 @@ def test_health_probes():
 
     pr = engine_probe(Broken())
     assert not pr.ok and "device wedged" in pr.detail
+
+
+def test_device_checkpoint_round_trip(tmp_path, zipf_corpus_small):
+    from bm25_tpu.index.device_checkpoint import (
+        restore_device_checkpoint, save_device_checkpoint)
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    mesh = make_mesh(4)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh)
+    q = np.array([[0, 1, 2]], dtype=np.int32)
+    d0, s0 = eng.search(q, top_k=5)
+
+    path = str(tmp_path / "ckpt")
+    save_device_checkpoint(path, eng)
+
+    # fresh engine (same mesh), arrays replaced by restored shards
+    eng2 = ShardedSparseEngine.from_scored_index(idx, mesh=mesh)
+    import jax.numpy as jnp
+    eng2.valT = jnp.zeros_like(eng2.valT)  # corrupt to prove restore works
+    restore_device_checkpoint(path, eng2)
+    d1, s1 = eng2.search(q, top_k=5)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)

@@ -127,3 +127,22 @@ def test_direct_csc_build_matches_scipy(zipf_corpus_small):
     tf.sort_indices()
     np.testing.assert_array_equal(idx.indptr, tf.indptr.astype(idx.indptr.dtype))
     np.testing.assert_array_equal(idx.indices, tf.indices.astype(np.int32))
+
+
+def test_build_flat_validates_lengths():
+    from bm25_tpu.scoring import build_scored_index_flat
+
+    with pytest.raises(ValueError, match="doc lengths sum"):
+        build_scored_index_flat(
+            np.array([0, 1, 2], dtype=np.int64),
+            np.array([2, 2], dtype=np.int32),
+        )
+
+
+def test_build_empty_corpus():
+    from bm25_tpu.scoring import build_scored_index_flat
+
+    idx = build_scored_index_flat(
+        np.zeros(0, np.int64), np.zeros(0, np.int32), vocab_size=5
+    )
+    assert idx.num_docs == 0 and idx.nnz == 0 and idx.vocab_size == 5
