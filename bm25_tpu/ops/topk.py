@@ -34,8 +34,6 @@ NEG_INF = float("-inf")
 
 # Pallas path limits (analog of the reference's block-size heuristic,
 # topk.mojo:1019-1027 and <=8 blocks per input, :1079-1081)
-_PALLAS_MAX_K = 64
-_PALLAS_MIN_N = 4096
 _PALLAS_CHUNK = 16384
 _PALLAS_MAX_BLOCKS = 16
 
@@ -82,17 +80,12 @@ def top_k(
     impl = implementation
     if impl == "auto":
         n = x.shape[-1]
-        on_tpu = jax.devices()[0].platform == "tpu"
-        use_pallas = (
-            on_tpu
-            and jnp.issubdtype(xs.dtype, jnp.floating)
-            and k <= _PALLAS_MAX_K
-            and n >= _PALLAS_MIN_N
-        )
-        impl = "pallas" if use_pallas else "lax"
+        impl = "tree" if n > max(2 * k, 4096) else "lax"
 
     if impl == "lax":
         v, i = lax.top_k(xs, k)
+    elif impl == "tree":
+        v, i = top_k_tree(xs, k)
     elif impl == "pallas":
         v, i = _pallas_topk_lastaxis(xs, k)
     else:
@@ -273,7 +266,12 @@ def _tree_level(x2: jax.Array, k: int, branch: int, base: int):
         return _sorted_topk(x2, iota, k)
     n_pad = next_multiple(n, branch)
     if n_pad != n:
-        x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n)), constant_values=NEG_INF)
+        lowest = (
+            NEG_INF
+            if jnp.issubdtype(x2.dtype, jnp.floating)
+            else jnp.iinfo(x2.dtype).min
+        )
+        x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n)), constant_values=lowest)
     groups = x2.reshape(b, n_pad // branch, branch)
     maxes = jnp.max(groups, axis=-1)  # (b, n/branch)
     _, top_groups = _tree_level(maxes, k, branch, base)  # indices into groups
