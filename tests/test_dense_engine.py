@@ -95,3 +95,14 @@ def test_dense_nonoccurrence_methods_match_oracle(zipf_corpus_small, method):
     od, os_ = oracle.search(q, top_k=10)
     np.testing.assert_allclose(ds, os_, rtol=1e-5)
     np.testing.assert_array_equal(dd, od)
+
+
+def test_dense_bf16_matrix(small_setup):
+    import jax.numpy as jnp
+
+    idx, _, oracle = small_setup
+    eng = DenseEngine.from_scored_index(idx, dtype=jnp.bfloat16)
+    q = np.array([[0, 3, 9, -1]], dtype=np.int32)
+    dd, ds = eng.search(q, top_k=10)
+    od, os_ = oracle.search(q, top_k=10)
+    np.testing.assert_allclose(ds, os_, rtol=2e-2, atol=1e-2)

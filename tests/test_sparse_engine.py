@@ -86,3 +86,15 @@ def test_sparse_oov_only(setup):
     docs, scores = eng.search(np.full((1, 3), -1, dtype=np.int32), top_k=4)
     np.testing.assert_array_equal(scores, 0.0)
     assert (docs >= 0).all()
+
+
+def test_sparse_bf16_values(setup):
+    """bf16 postings values: half the memory, scores within bf16 tolerance."""
+    import jax.numpy as jnp
+
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, dtype=jnp.bfloat16)
+    q = np.array([[0, 1, 2, -1]], dtype=np.int32)
+    dd, ds = eng.search(q, top_k=10)
+    od, os_ = oracle.search(q, top_k=10)
+    np.testing.assert_allclose(ds, os_, rtol=2e-2, atol=1e-2)
