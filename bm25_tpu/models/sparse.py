@@ -140,7 +140,13 @@ def make_sparse_query_step(k: int):
         ci = jnp.concatenate(cand_i, axis=1)
         kk = min(k, cs.shape[1])
         ms, mpos = lax.top_k(cs, kk)
-        return ms + qoff[:, None], jnp.take_along_axis(ci, mpos, axis=1)
+        docs = jnp.take_along_axis(ci, mpos, axis=1)
+        # pack (scores, docs) into one array: a single device->host fetch
+        # per chunk (doc ids bitcast to f32 lanes; unpacked by the caller)
+        return jnp.concatenate(
+            [ms + qoff[:, None], lax.bitcast_convert_type(docs, jnp.float32)],
+            axis=1,
+        )
 
     return step
 
@@ -247,11 +253,11 @@ class SparseEngine:
             t_pad = next_pow2_at_least(max(t_real, 1))
             padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
             padded[:cq, :t_real] = chunk
-            s, d = self._query_chunk(padded, k)
-            futures.append((cq, s, d))
-        for cq, s, d in futures:
-            out_scores.append(np.asarray(s)[:cq])
-            out_docs.append(np.asarray(d)[:cq])
+            futures.append((cq, self._query_chunk(padded, k)))
+        for cq, packed in futures:
+            host = np.asarray(packed)[:cq]
+            out_scores.append(host[:, :k])
+            out_docs.append(host[:, k:].view(np.int32))
         return np.concatenate(out_docs), np.concatenate(out_scores)
 
     def get_scores(self, query_ids) -> np.ndarray:
