@@ -64,11 +64,25 @@ def build_ell_buckets(
 ) -> list[EllBucket]:
     """Re-lay the CSC index doc-major with length bucketing (vectorized)."""
     csr = index.to_csc().tocsr()
+    return build_ell_buckets_from_csr(
+        csr, index.num_docs, max_buckets=max_buckets,
+        row_align=row_align, width_align=width_align,
+    )
+
+
+def build_ell_buckets_from_csr(
+    csr,
+    num_docs: int,
+    max_buckets: int = 4,
+    row_align: int = 8,
+    width_align: int = 8,
+) -> list[EllBucket]:
+    """ELL bucketing core over a (num_docs, V) CSR of scored postings."""
     csr.sort_indices()
     row_nnz = np.diff(csr.indptr)
     order = np.argsort(row_nnz, kind="stable")
 
-    d = index.num_docs
+    d = num_docs
     if d == 0:
         return []
     bounds = sorted(
@@ -108,17 +122,20 @@ def build_ell_buckets(
 # ---------------------------------------------------------------------------
 
 
-def make_sparse_query_step(k: int):
+def make_sparse_query_step(k: int, hot_h: int = 0):
     """Jittable single-dispatch query step over all ELL buckets.
 
     buckets: list of dicts with ``tokT (L_pad, rows)``, ``valT``, ``doc_ids
-    (rows,)`` device arrays.  Per bucket: fused Pallas scoring ->
-    pad-row masking -> hierarchical local top-k; candidates from all
-    buckets merge with one final stable top-k (two-stage shape of
+    (rows,)`` and optionally ``hotT (H, rows)`` device arrays.  Scoring is
+    hot/cold split: the highest-DF tokens' contributions come from one MXU
+    matmul of per-query hot-token counts against the dense hot sub-matrix,
+    the long tail from the fused Pallas postings kernel; per bucket the sum
+    feeds pad-row masking -> hierarchical local top-k, and all buckets'
+    candidates merge with one final stable top-k (two-stage shape of
     ``/root/reference/operations/topk.mojo:576-830``).
     """
 
-    def step(ids, buckets, offsets):
+    def step(ids, buckets, offsets, hot_table):
         from bm25_tpu.ops.ell_score import ell_score
         from bm25_tpu.ops.topk import select_top_k
 
@@ -127,9 +144,20 @@ def make_sparse_query_step(k: int):
         qoff = jnp.sum(
             jnp.where(valid, offsets[safe], jnp.zeros((), offsets.dtype)), axis=1
         )
+        hot_counts = None
+        if hot_h > 0:
+            hot_ids = jnp.where(valid, hot_table[safe], -1)  # (Q, T)
+            # one_hot(-1) is all-zero, so pads/cold tokens vanish
+            hot_counts = jax.nn.one_hot(
+                hot_ids, hot_h, dtype=buckets[0]["hotT"].dtype
+            ).sum(axis=1)  # (Q, H)
         cand_s, cand_i = [], []
         for b in buckets:
             scores = ell_score(ids, b["tokT"], b["valT"])  # (Q, rows)
+            if hot_counts is not None:
+                scores = scores + jnp.dot(
+                    hot_counts, b["hotT"], preferred_element_type=jnp.float32
+                )
             did = b["doc_ids"]
             scores = jnp.where(did[None, :] >= 0, scores, NEG_INF)
             kk = min(k, scores.shape[1])
@@ -151,12 +179,53 @@ def make_sparse_query_step(k: int):
     return step
 
 
+def split_hot_cold(
+    index: ScoredIndex, hot_tokens: int
+) -> tuple[np.ndarray, "object", np.ndarray]:
+    """Split the index by document frequency.
+
+    Returns ``(hot_ids, cold_csr, hot_dense)``: the token ids of the top
+    ``hot_tokens`` by DF, a CSR matrix of the remaining (cold) postings
+    (token ids unchanged), and the dense (num_docs, H) float32 matrix of
+    hot contributions in original doc order.
+    """
+    df = index.df()
+    h = min(hot_tokens, index.vocab_size)
+    hot_ids = np.sort(np.argsort(-df, kind="stable")[:h]).astype(np.int32)
+    hot_rank = np.full(index.vocab_size, -1, dtype=np.int32)
+    hot_rank[hot_ids] = np.arange(h, dtype=np.int32)
+
+    csr = index.to_csc().tocsr()
+    csr.sort_indices()
+    is_hot = hot_rank[csr.indices] >= 0
+
+    hot_dense = np.zeros((index.num_docs, h), dtype=np.float32)
+    row_of = np.repeat(
+        np.arange(index.num_docs, dtype=np.int64), np.diff(csr.indptr)
+    )
+    hot_dense[row_of[is_hot], hot_rank[csr.indices[is_hot]]] = csr.data[is_hot]
+
+    import scipy.sparse as sp
+
+    keep = ~is_hot
+    counts = np.bincount(row_of[keep], minlength=index.num_docs)
+    cold_indptr = np.zeros(index.num_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=cold_indptr[1:])
+    cold_csr = sp.csr_matrix(
+        (csr.data[keep], csr.indices[keep], cold_indptr),
+        shape=csr.shape,
+    )
+    return hot_ids, cold_csr, hot_dense
+
+
 @dataclass
 class SparseEngine:
     """Device-resident padded-postings BM25 engine (large corpora)."""
 
-    buckets: list  # dicts: tokT (L_pad, rows), valT, doc_ids device arrays
+    buckets: list  # dicts: tokT (L_pad, rows), valT, doc_ids, [hotT] arrays
     offsets: jax.Array  # (V+1,) float32 token offsets
+    hot_table: jax.Array  # (V+1,) int32 token id -> hot rank or -1
+    hot_h: int
     num_docs: int
     vocab_size: int
     session: Session
@@ -174,13 +243,37 @@ class SparseEngine:
         session: Session | None = None,
         max_buckets: int = 4,
         dtype=jnp.float32,
+        hot_tokens: int = 512,
+        hot_dtype=None,
+        hot_budget_bytes: int = 2 << 30,
     ) -> "SparseEngine":
         from bm25_tpu.ops.ell_score import BLOCK_ROWS
 
         session = session or get_session()
-        host_buckets = build_ell_buckets(
-            index, max_buckets=max_buckets, row_align=BLOCK_ROWS
-        )
+        hot_dtype = hot_dtype or dtype
+
+        # cap the dense hot sub-matrix by its memory budget
+        itemsize = jnp.dtype(hot_dtype).itemsize
+        max_h = hot_budget_bytes // max(index.num_docs * itemsize, 1)
+        h = int(min(hot_tokens, max_h, index.vocab_size))
+        if h > 0:
+            hot_ids, cold_csr, hot_dense = split_hot_cold(index, h)
+            h = len(hot_ids)
+            host_buckets = build_ell_buckets_from_csr(
+                cold_csr, index.num_docs, max_buckets=max_buckets,
+                row_align=BLOCK_ROWS,
+            )
+        else:
+            hot_ids, hot_dense = np.zeros(0, np.int32), None
+            host_buckets = build_ell_buckets(
+                index, max_buckets=max_buckets, row_align=BLOCK_ROWS
+            )
+
+        v = index.vocab_size
+        hot_table = np.full((v + 1,), -1, dtype=np.int32)
+        if h > 0:
+            hot_table[hot_ids] = np.arange(h, dtype=np.int32)
+
         dev_buckets = []
         for b in host_buckets:
             l_pad = next_multiple(b.tok.shape[1], 8)
@@ -188,20 +281,27 @@ class SparseEngine:
             tok_t[: b.tok.shape[1]] = b.tok.T
             val_t = np.zeros((l_pad, b.val.shape[0]), dtype=np.float32)
             val_t[: b.val.shape[1]] = b.val.T
-            dev_buckets.append(
-                {
-                    "tokT": session.put(tok_t),
-                    "valT": session.put(val_t.astype(dtype)),
-                    "doc_ids": session.put(b.doc_ids),
-                }
-            )
-        v = index.vocab_size
+            entry = {
+                "tokT": session.put(tok_t),
+                "valT": session.put(val_t.astype(dtype)),
+                "doc_ids": session.put(b.doc_ids),
+            }
+            if h > 0:
+                # hot sub-matrix in this bucket's permuted row order
+                hot_b = np.zeros((h, len(b.doc_ids)), dtype=np.float32)
+                real = b.doc_ids >= 0
+                hot_b[:, real] = hot_dense[b.doc_ids[real]].T
+                entry["hotT"] = session.put(hot_b.astype(hot_dtype))
+            dev_buckets.append(entry)
+
         off_host = np.zeros((v + 1,), dtype=np.float32)
         if index.token_offsets is not None:
             off_host[:v] = index.token_offsets
         return cls(
             buckets=dev_buckets,
             offsets=session.put(off_host),
+            hot_table=session.put(hot_table),
+            hot_h=h,
             num_docs=index.num_docs,
             vocab_size=v,
             session=session,
@@ -215,16 +315,19 @@ class SparseEngine:
         return sum(b["tokT"].shape[1] for b in self.buckets)
 
     def _query_chunk(self, padded: np.ndarray, k: int):
-        """One padded (Q_pad, T_pad) chunk -> (scores, docs) device arrays."""
+        """One padded (Q_pad, T_pad) chunk -> packed (Q_pad, 2k) device array."""
         q_pad, t_pad = padded.shape
         shapes = tuple(
             (tuple(b["tokT"].shape)) for b in self.buckets
         )
         fn = self.session.compile(
-            ("sparse_query", k, q_pad, t_pad, shapes),
-            lambda: jax.jit(make_sparse_query_step(k)),
+            ("sparse_query", k, self.hot_h, q_pad, t_pad, shapes),
+            lambda: jax.jit(make_sparse_query_step(k, self.hot_h)),
         )
-        return fn(self.session.put(padded), self.buckets, self.offsets)
+        return fn(
+            self.session.put(padded), self.buckets, self.offsets,
+            self.hot_table,
+        )
 
     def search(
         self, queries: np.ndarray, top_k: int = 100

@@ -98,3 +98,33 @@ def test_sparse_bf16_values(setup):
     dd, ds = eng.search(q, top_k=10)
     od, os_ = oracle.search(q, top_k=10)
     np.testing.assert_allclose(ds, os_, rtol=2e-2, atol=1e-2)
+
+
+def test_hot_cold_split_matches_no_split(setup):
+    """Hot/cold split is a pure layout change: same results as hot_tokens=0."""
+    idx, oracle = setup
+    eng_split = SparseEngine.from_scored_index(idx, hot_tokens=64)
+    eng_plain = SparseEngine.from_scored_index(idx, hot_tokens=0)
+    assert eng_split.hot_h == 64 and eng_plain.hot_h == 0
+    rng = np.random.default_rng(21)
+    q = rng.integers(-1, idx.vocab_size, size=(9, 6), dtype=np.int32)
+    d1, s1 = eng_split.search(q, top_k=12)
+    d2, s2 = eng_plain.search(q, top_k=12)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+    od, os_ = oracle.search(q, top_k=12)
+    np.testing.assert_allclose(s1, os_, rtol=1e-5, atol=1e-6)
+
+
+def test_hot_split_covers_all_hot_query(setup):
+    """A query made entirely of hot tokens scores purely via the MXU path."""
+    from bm25_tpu.models.sparse import split_hot_cold
+
+    idx, oracle = setup
+    hot_ids, cold_csr, hot_dense = split_hot_cold(idx, 16)
+    # postings conservation: hot + cold == total
+    assert int((hot_dense != 0).sum()) + cold_csr.nnz == idx.nnz
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=16)
+    q = np.array([hot_ids[:4].tolist()], dtype=np.int32)
+    d, s = eng.search(q, top_k=5)
+    od, os_ = oracle.search(q, top_k=5)
+    np.testing.assert_allclose(s, os_, rtol=1e-5, atol=1e-6)
