@@ -25,6 +25,7 @@ _LAZY = {
     "Session": ("bm25_tpu.runtime.session", "Session"),
     "get_session": ("bm25_tpu.runtime.session", "get_session"),
     "create_engine": ("bm25_tpu.models.auto", "create_engine"),
+    "Retriever": ("bm25_tpu.retriever", "Retriever"),
     "BM25": ("bm25_tpu.compat", "BM25"),
     "BM25v": ("bm25_tpu.compat", "BM25v"),
     "Server": ("bm25_tpu.serve", "Server"),

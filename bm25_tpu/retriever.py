@@ -1,0 +1,95 @@
+"""High-level retrieval facade: text in, ranked documents out.
+
+The bm25s-style UX the reference pipeline uses
+(``/root/reference/bm25_test.py:22-31``: tokenize -> index -> retrieve ->
+save/load) as one object bundling tokenizer + vocab + device engine +
+optional corpus store.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+from bm25_tpu.index.builder import build_index
+from bm25_tpu.index.io import MMapCorpus, load_index, save_index
+from bm25_tpu.scoring import BM25Params, ScoredIndex
+from bm25_tpu.text.tokenizer import Tokenizer
+
+
+@dataclass
+class Retriever:
+    index: ScoredIndex
+    engine: object
+    tokenizer: Tokenizer
+    corpus: object | None = None  # MMapCorpus or list[str]
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def fit(
+        cls,
+        corpus: Sequence[str],
+        params: BM25Params | None = None,
+        tokenizer: Tokenizer | None = None,
+        engine_mode: str = "auto",
+        save_to: str | None = None,
+    ) -> "Retriever":
+        """Index a text corpus and stand up a device engine."""
+        from bm25_tpu.models.auto import create_engine
+
+        tokenizer = tokenizer or Tokenizer()
+        index, _ = build_index(
+            corpus, params=params, tokenizer=tokenizer, save_to=save_to
+        )
+        engine = create_engine(index, mode=engine_mode)
+        return cls(index=index, engine=engine, tokenizer=tokenizer,
+                   corpus=list(corpus))
+
+    @classmethod
+    def load(
+        cls,
+        index_dir: str,
+        engine_mode: str = "auto",
+        tokenizer: Tokenizer | None = None,
+    ) -> "Retriever":
+        """Load a saved (bm25s-format) index directory."""
+        from bm25_tpu.models.auto import create_engine
+
+        index = load_index(index_dir)
+        if index.vocab is None:
+            raise ValueError(f"{index_dir} has no vocab.index.json")
+        engine = create_engine(index, mode=engine_mode)
+        try:
+            corpus = MMapCorpus.open(index_dir)
+        except FileNotFoundError:
+            corpus = None
+        return cls(index=index, engine=engine,
+                   tokenizer=tokenizer or Tokenizer(), corpus=corpus)
+
+    # -- retrieval -----------------------------------------------------------
+
+    def retrieve(
+        self, queries: Sequence[str], k: int = 10, return_text: bool = False
+    ):
+        """Batched text retrieval -> (docs (Q,k), scores (Q,k) [, texts])."""
+        ids = self.tokenizer.tokenize_queries(list(queries), self.index.vocab)
+        docs, scores = self.engine.search(ids, top_k=k)
+        if not return_text:
+            return docs, scores
+        texts = [[self.text(int(d)) for d in row] for row in docs]
+        return docs, scores, texts
+
+    def text(self, doc_id: int) -> str:
+        if self.corpus is None:
+            raise ValueError("no corpus stored with this retriever")
+        doc = self.corpus[doc_id]
+        return doc["text"] if isinstance(doc, dict) else doc
+
+    def save(self, path: str, with_corpus: bool = True) -> None:
+        corpus = None
+        if with_corpus and isinstance(self.corpus, list):
+            corpus = self.corpus
+        save_index(path, self.index, corpus=corpus)
