@@ -159,22 +159,31 @@ class ShardedEngine:
         return np.asarray(docs)[:q_real], np.asarray(scores)[:q_real]
 
 
-def make_sharded_ell_step(mesh: Mesh, k: int):
+def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int = 0):
     """Doc-sharded ELL scoring + local blockwise top-k + all-gather merge.
 
-    tokT/valT: (L_pad, rows) sharded P(None, 'docs'); doc_ids: (rows,)
-    sharded P('docs'); ids: (Q, T) sharded P('data', None).  Each chip runs
-    the fused Pallas scoring kernel (ops.ell_score) on its row slice,
-    selects local candidates hierarchically, and the (shards * k) candidate
-    set merges over ICI.
+    tokT/valT/hotT: (L_pad|H, rows) sharded P(None, 'docs'); doc_ids:
+    (rows,) sharded P('docs'); ids: (Q, T) sharded P('data', None).  Each
+    chip runs the fused Pallas scoring kernel (ops.ell_score) plus the MXU
+    hot-token matmul on its row slice, selects local candidates
+    hierarchically, and the (shards * k) candidate set merges over ICI.
     """
 
-    def local_step(tokT_l, valT_l, did_l, ids):
+    def local_step(tokT_l, valT_l, hotT_l, hot_table, did_l, ids):
         from bm25_tpu.ops.ell_score import ell_score
         from bm25_tpu.ops.topk import select_top_k
 
         q = ids.shape[0]
         scores = ell_score(ids, tokT_l, valT_l)  # (q, rows_local)
+        if hot_h > 0:
+            valid = ids >= 0
+            safe = jnp.where(valid, ids, 0)
+            hot_ids = jnp.where(valid, hot_table[safe], -1)
+            hot_counts = jax.nn.one_hot(hot_ids, hot_h, dtype=hotT_l.dtype)
+            hot_counts = hot_counts.sum(axis=1)
+            scores = scores + jnp.dot(
+                hot_counts, hotT_l, preferred_element_type=jnp.float32
+            )
         scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
         k_local = min(k, scores.shape[1])
         ls, lpos = select_top_k(scores, k_local)
@@ -192,8 +201,8 @@ def make_sharded_ell_step(mesh: Mesh, k: int):
     return jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(None, DOC_AXIS), P(None, DOC_AXIS), P(DOC_AXIS),
-                  P(DATA_AXIS, None)),
+        in_specs=(P(None, DOC_AXIS), P(None, DOC_AXIS), P(None, DOC_AXIS),
+                  P(), P(DOC_AXIS), P(DATA_AXIS, None)),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
     )
@@ -205,6 +214,9 @@ class ShardedSparseEngine:
 
     tokT: jax.Array  # (L_pad, rows_pad) sharded over docs (axis 1)
     valT: jax.Array
+    hotT: jax.Array  # (H or dummy, rows_pad) sharded over docs (axis 1)
+    hot_table: jax.Array  # (V+1,) replicated; token id -> hot rank or -1
+    hot_h: int
     doc_ids: jax.Array  # (rows_pad,)
     offsets: jax.Array  # (V+1,) replicated
     num_docs: int
@@ -216,17 +228,30 @@ class ShardedSparseEngine:
     @classmethod
     def from_scored_index(
         cls, index: ScoredIndex, mesh: Mesh | None = None, dtype=jnp.float32,
+        hot_tokens: int = 512, hot_dtype=None, hot_budget_bytes: int = 2 << 30,
     ) -> "ShardedSparseEngine":
-        from bm25_tpu.models.sparse import PAD_TOK, build_ell_buckets
+        from bm25_tpu.models.sparse import (
+            PAD_TOK, build_ell_buckets_from_csr, split_hot_cold)
         from bm25_tpu.ops.ell_score import BLOCK_ROWS
         from bm25_tpu.utils.padding import next_multiple as _nm
 
         mesh = mesh or make_mesh()
         n_doc = mesh.shape[DOC_AXIS]
+        hot_dtype = hot_dtype or dtype
+        itemsize = jnp.dtype(hot_dtype).itemsize
+        max_h = hot_budget_bytes // max(index.num_docs * itemsize, 1)
+        h = int(min(hot_tokens, max_h, index.vocab_size))
+        if h > 0:
+            hot_ids, source_csr, hot_dense = split_hot_cold(index, h)
+            h = len(hot_ids)
+        else:
+            hot_ids, hot_dense = np.zeros(0, np.int32), None
+            source_csr = index.to_csc().tocsr()
         # single bucket keeps one uniform array to shard evenly; rows align
         # to the kernel tile on every shard
-        buckets = build_ell_buckets(
-            index, max_buckets=1, row_align=BLOCK_ROWS * n_doc
+        buckets = build_ell_buckets_from_csr(
+            source_csr, index.num_docs, max_buckets=1,
+            row_align=BLOCK_ROWS * n_doc,
         )
         (b,) = buckets
         l_pad = _nm(b.tok.shape[1], 8)
@@ -240,12 +265,26 @@ class ShardedSparseEngine:
         )
         doc_ids = jax.device_put(b.doc_ids, NamedSharding(mesh, P(DOC_AXIS)))
         v = index.vocab_size
+        hot_table = np.full((v + 1,), -1, dtype=np.int32)
+        if h > 0:
+            hot_table[hot_ids] = np.arange(h, dtype=np.int32)
+            hot_b = np.zeros((h, len(b.doc_ids)), dtype=np.float32)
+            real = b.doc_ids >= 0
+            hot_b[:, real] = hot_dense[b.doc_ids[real]].T
+        else:
+            # keep a 8-row dummy so sharding/pytree shapes stay uniform
+            hot_b = np.zeros((8, len(b.doc_ids)), dtype=np.float32)
+        hotT = jax.device_put(
+            hot_b.astype(hot_dtype), NamedSharding(mesh, P(None, DOC_AXIS))
+        )
         off_host = np.zeros((v + 1,), dtype=np.float32)
         if index.token_offsets is not None:
             off_host[:v] = index.token_offsets
         offsets = jax.device_put(off_host, NamedSharding(mesh, P()))
         return cls(
-            tokT=tokT, valT=valT, doc_ids=doc_ids, offsets=offsets,
+            tokT=tokT, valT=valT, hotT=hotT,
+            hot_table=jax.device_put(hot_table, NamedSharding(mesh, P())),
+            hot_h=h, doc_ids=doc_ids, offsets=offsets,
             num_docs=index.num_docs, vocab_size=v, mesh=mesh,
             vocab=index.vocab, _cache={},
         )
@@ -270,13 +309,14 @@ class ShardedSparseEngine:
         t_pad = next_pow2_at_least(max(t_real, 1))
         padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
         padded[:q_real, :t_real] = queries.astype(np.int32)
-        key = (k, q_pad, t_pad, self.tokT.shape)
+        key = (k, self.hot_h, q_pad, t_pad, self.tokT.shape)
         fn = self._cache.get(key)
         if fn is None:
-            fn = jax.jit(make_sharded_ell_step(self.mesh, k))
+            fn = jax.jit(make_sharded_ell_step(self.mesh, k, self.hot_h))
             self._cache[key] = fn
         ids = jax.device_put(padded, NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        scores, docs = fn(self.tokT, self.valT, self.doc_ids, ids)
+        scores, docs = fn(self.tokT, self.valT, self.hotT, self.hot_table,
+                          self.doc_ids, ids)
         # token offsets are doc-independent; add on host
         valid = padded >= 0
         off = np.asarray(self.offsets)
