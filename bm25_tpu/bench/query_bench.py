@@ -151,6 +151,7 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
             "baseline_qps": round(baseline_qps, 1),
             "index_build_docs_per_sec": round(cfg.num_docs / build_s, 1),
             "engine": type(engine).__name__,
+            "hot_tokens": getattr(engine, "hot_h", 0),
             "index_memory": mem.as_dict(),
         },
     }

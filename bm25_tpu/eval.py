@@ -74,6 +74,8 @@ def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
             dev += int(np.prod(b["tokT"].shape)) * 4
             dev += int(np.prod(b["valT"].shape)) * b["valT"].dtype.itemsize
             dev += int(np.prod(b["doc_ids"].shape)) * 4
+            if "hotT" in b:
+                dev += int(np.prod(b["hotT"].shape)) * b["hotT"].dtype.itemsize
     elif name == "ShardedEngine":
         dev = int(np.prod(engine.st.shape)) * engine.st.dtype.itemsize
     return MemoryStats(

@@ -245,14 +245,18 @@ class SparseEngine:
         dtype=jnp.float32,
         hot_tokens: int = 512,
         hot_dtype=None,
-        hot_budget_bytes: int = 2 << 30,
+        hot_budget_bytes: int | None = None,
     ) -> "SparseEngine":
         from bm25_tpu.ops.ell_score import BLOCK_ROWS
 
         session = session or get_session()
         hot_dtype = hot_dtype or dtype
 
-        # cap the dense hot sub-matrix by its memory budget
+        # cap the dense hot sub-matrix by its memory budget; the default
+        # budget is the raw CSC footprint itself, bounding total device
+        # memory at ~2.3x CSC (ELL ~1.25x + hot <=1x)
+        if hot_budget_bytes is None:
+            hot_budget_bytes = index.data.nbytes + index.indices.nbytes + index.indptr.nbytes
         itemsize = jnp.dtype(hot_dtype).itemsize
         max_h = hot_budget_bytes // max(index.num_docs * itemsize, 1)
         h = int(min(hot_tokens, max_h, index.vocab_size))

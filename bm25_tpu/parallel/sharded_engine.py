@@ -228,7 +228,7 @@ class ShardedSparseEngine:
     @classmethod
     def from_scored_index(
         cls, index: ScoredIndex, mesh: Mesh | None = None, dtype=jnp.float32,
-        hot_tokens: int = 512, hot_dtype=None, hot_budget_bytes: int = 2 << 30,
+        hot_tokens: int = 512, hot_dtype=None, hot_budget_bytes: int | None = None,
     ) -> "ShardedSparseEngine":
         from bm25_tpu.models.sparse import (
             PAD_TOK, build_ell_buckets_from_csr, split_hot_cold)
@@ -238,6 +238,8 @@ class ShardedSparseEngine:
         mesh = mesh or make_mesh()
         n_doc = mesh.shape[DOC_AXIS]
         hot_dtype = hot_dtype or dtype
+        if hot_budget_bytes is None:
+            hot_budget_bytes = index.data.nbytes + index.indices.nbytes + index.indptr.nbytes
         itemsize = jnp.dtype(hot_dtype).itemsize
         max_h = hot_budget_bytes // max(index.num_docs * itemsize, 1)
         h = int(min(hot_tokens, max_h, index.vocab_size))

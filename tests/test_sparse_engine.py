@@ -103,7 +103,9 @@ def test_sparse_bf16_values(setup):
 def test_hot_cold_split_matches_no_split(setup):
     """Hot/cold split is a pure layout change: same results as hot_tokens=0."""
     idx, oracle = setup
-    eng_split = SparseEngine.from_scored_index(idx, hot_tokens=64)
+    eng_split = SparseEngine.from_scored_index(
+        idx, hot_tokens=64, hot_budget_bytes=1 << 20
+    )
     eng_plain = SparseEngine.from_scored_index(idx, hot_tokens=0)
     assert eng_split.hot_h == 64 and eng_plain.hot_h == 0
     rng = np.random.default_rng(21)
@@ -123,7 +125,8 @@ def test_hot_split_covers_all_hot_query(setup):
     hot_ids, cold_csr, hot_dense = split_hot_cold(idx, 16)
     # postings conservation: hot + cold == total
     assert int((hot_dense != 0).sum()) + cold_csr.nnz == idx.nnz
-    eng = SparseEngine.from_scored_index(idx, hot_tokens=16)
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=16,
+                                          hot_budget_bytes=1 << 20)
     q = np.array([hot_ids[:4].tolist()], dtype=np.int32)
     d, s = eng.search(q, top_k=5)
     od, os_ = oracle.search(q, top_k=5)
