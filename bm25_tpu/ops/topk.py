@@ -12,10 +12,15 @@ TPU re-design of the reference's crown-jewel kernel set
   (the stability contract of ``_top_k_cpu``, ``topk.mojo:234-258``)
 * ``top_k_fused_sampling``: top-k + temperature softmax sampling
   (``topk.mojo:271-407``), with JAX PRNG keys instead of a global seed.
+* ``top_k_tree`` / ``select_top_k``: the production selectors — a branch-8
+  tournament reduction whose merges are stable variadic sorts, the same
+  two-stage idea scaled to corpus-sized axes (measured 53x ``lax.top_k``
+  at k=1000 on (512, 524288); docs/design.md).
 
-Dispatch: XLA's native ``lax.top_k`` is used where it wins (large k, CPU);
-the Pallas path covers small-k/large-N on TPU.  Both share semantics and are
-golden-tested against each other and numpy.
+Dispatch (``implementation="auto"``): the tournament tree for large axes,
+``lax.top_k`` for small ones; the literal two-stage Pallas kernel remains
+available as ``implementation="pallas"``.  All paths share semantics and
+are golden-tested against numpy oracles.
 """
 
 from __future__ import annotations
