@@ -155,8 +155,12 @@ def make_sparse_query_step(k: int, hot_h: int = 0):
         for b in buckets:
             scores = ell_score(ids, b["tokT"], b["valT"])  # (Q, rows)
             if hot_counts is not None:
+                # HIGHEST: TPU's default f32 matmul uses bf16 passes
+                # (~1e-3 rel err) — enough to break top-k parity at scale
                 scores = scores + jnp.dot(
-                    hot_counts, b["hotT"], preferred_element_type=jnp.float32
+                    hot_counts, b["hotT"],
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
                 )
             did = b["doc_ids"]
             scores = jnp.where(did[None, :] >= 0, scores, NEG_INF)

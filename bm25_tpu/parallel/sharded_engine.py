@@ -181,8 +181,11 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int = 0):
             hot_ids = jnp.where(valid, hot_table[safe], -1)
             hot_counts = jax.nn.one_hot(hot_ids, hot_h, dtype=hotT_l.dtype)
             hot_counts = hot_counts.sum(axis=1)
+            # HIGHEST: TPU's default f32 matmul uses bf16 passes
             scores = scores + jnp.dot(
-                hot_counts, hotT_l, preferred_element_type=jnp.float32
+                hot_counts, hotT_l,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
             )
         scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
         k_local = min(k, scores.shape[1])
