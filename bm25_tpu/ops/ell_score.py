@@ -39,10 +39,12 @@ def _kernel_body(t_count: int, l_count: int):
         def per_slot(l, acc):
             tok_row = tokT_ref[l, :][None, :]  # (1, BR)
             val_row = valT_ref[l, :][None, :]  # (1, BR)
-            for t in range(t_count):  # T is small and static: unrolled
-                eq = ids[:, t][:, None] == tok_row  # (TQ, BR)
-                acc = acc + jnp.where(eq, val_row, 0.0)
-            return acc
+            # count matches across T first (int adds), multiply once:
+            # 2T+2 VPU ops per slot instead of 3T
+            cnt = (ids[:, 0][:, None] == tok_row).astype(jnp.int32)
+            for t in range(1, t_count):  # T is small and static: unrolled
+                cnt = cnt + (ids[:, t][:, None] == tok_row)
+            return acc + cnt.astype(jnp.float32) * val_row
 
         acc0 = jnp.zeros(out_ref.shape, jnp.float32)
         out_ref[:] = lax.fori_loop(0, l_count, per_slot, acc0)
