@@ -328,8 +328,11 @@ class SparseEngine:
         shapes = tuple(
             (tuple(b["tokT"].shape)) for b in self.buckets
         )
+        dtypes = tuple(
+            str(b[key].dtype) for b in self.buckets for key in sorted(b)
+        )
         fn = self.session.compile(
-            ("sparse_query", k, self.hot_h, q_pad, t_pad, shapes),
+            ("sparse_query", k, self.hot_h, q_pad, t_pad, shapes, dtypes),
             lambda: jax.jit(make_sparse_query_step(k, self.hot_h)),
         )
         return fn(
