@@ -118,3 +118,12 @@ def test_device_checkpoint_round_trip(tmp_path, zipf_corpus_small):
     d1, s1 = eng2.search(q, top_k=5)
     np.testing.assert_array_equal(d0, d1)
     np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+
+def test_distributed_initialize_noop_single_process(monkeypatch):
+    from bm25_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    distributed.initialize()  # single process: must be a silent no-op
+    pid, count = distributed.process_info()
+    assert pid == 0 and count == 1
