@@ -147,20 +147,27 @@ def make_sparse_query_step(k: int, hot_h: int = 0):
         hot_counts = None
         if hot_h > 0:
             hot_ids = jnp.where(valid, hot_table[safe], -1)  # (Q, T)
-            # one_hot(-1) is all-zero, so pads/cold tokens vanish
+            # one_hot(-1) is all-zero, so pads/cold tokens vanish; counts are
+            # small integers, exactly representable in bf16
             hot_counts = jax.nn.one_hot(
-                hot_ids, hot_h, dtype=buckets[0]["hotT"].dtype
+                hot_ids, hot_h, dtype=jnp.bfloat16
             ).sum(axis=1)  # (Q, H)
         cand_s, cand_i = [], []
         for b in buckets:
             scores = ell_score(ids, b["tokT"], b["valT"])  # (Q, rows)
             if hot_counts is not None:
-                # HIGHEST: TPU's default f32 matmul uses bf16 passes
-                # (~1e-3 rel err) — enough to break top-k parity at scale
-                scores = scores + jnp.dot(
-                    hot_counts, b["hotT"],
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST,
+                # split-precision matmul: hot scores are stored as bf16 high
+                # + bf16 residual; two native single-pass MXU products with
+                # exact-bf16 counts reconstruct ~f32 accuracy without relying
+                # on the backend honoring precision=HIGHEST (the TPU default
+                # f32 matmul is bf16 passes, ~1e-3 rel err — breaks top-k
+                # parity at corpus scale)
+                scores = (
+                    scores
+                    + jnp.dot(hot_counts, b["hotT"],
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(hot_counts, b["hotLo"],
+                              preferred_element_type=jnp.float32)
                 )
             did = b["doc_ids"]
             scores = jnp.where(did[None, :] >= 0, scores, NEG_INF)
@@ -248,21 +255,19 @@ class SparseEngine:
         max_buckets: int = 4,
         dtype=jnp.float32,
         hot_tokens: int = 512,
-        hot_dtype=None,
         hot_budget_bytes: int | None = None,
     ) -> "SparseEngine":
         from bm25_tpu.ops.ell_score import BLOCK_ROWS
 
         session = session or get_session()
-        hot_dtype = hot_dtype or dtype
 
         # cap the dense hot sub-matrix by its memory budget; the default
         # budget is the raw CSC footprint itself, bounding total device
-        # memory at ~2.3x CSC (ELL ~1.25x + hot <=1x)
+        # memory at ~2.3x CSC (ELL ~1.25x + hot <=1x).  Hot entries cost
+        # 4 bytes (bf16 high + bf16 residual).
         if hot_budget_bytes is None:
             hot_budget_bytes = index.data.nbytes + index.indices.nbytes + index.indptr.nbytes
-        itemsize = jnp.dtype(hot_dtype).itemsize
-        max_h = hot_budget_bytes // max(index.num_docs * itemsize, 1)
+        max_h = hot_budget_bytes // max(index.num_docs * 4, 1)
         h = int(min(hot_tokens, max_h, index.vocab_size))
         if h > 0:
             hot_ids, cold_csr, hot_dense = split_hot_cold(index, h)
@@ -295,11 +300,16 @@ class SparseEngine:
                 "doc_ids": session.put(b.doc_ids),
             }
             if h > 0:
-                # hot sub-matrix in this bucket's permuted row order
+                # hot sub-matrix in this bucket's permuted row order, stored
+                # as bf16 high + bf16 residual (same bytes as f32, see
+                # make_sparse_query_step for why)
                 hot_b = np.zeros((h, len(b.doc_ids)), dtype=np.float32)
                 real = b.doc_ids >= 0
                 hot_b[:, real] = hot_dense[b.doc_ids[real]].T
-                entry["hotT"] = session.put(hot_b.astype(hot_dtype))
+                hot_hi = hot_b.astype(jnp.bfloat16)
+                hot_lo = (hot_b - hot_hi.astype(np.float32)).astype(jnp.bfloat16)
+                entry["hotT"] = session.put(hot_hi)
+                entry["hotLo"] = session.put(hot_lo)
             dev_buckets.append(entry)
 
         off_host = np.zeros((v + 1,), dtype=np.float32)

@@ -169,7 +169,7 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int = 0):
     hierarchically, and the (shards * k) candidate set merges over ICI.
     """
 
-    def local_step(tokT_l, valT_l, hotT_l, hot_table, did_l, ids):
+    def local_step(tokT_l, valT_l, hotT_l, hotLo_l, hot_table, did_l, ids):
         from bm25_tpu.ops.ell_score import ell_score
         from bm25_tpu.ops.topk import select_top_k
 
@@ -179,13 +179,15 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int = 0):
             valid = ids >= 0
             safe = jnp.where(valid, ids, 0)
             hot_ids = jnp.where(valid, hot_table[safe], -1)
-            hot_counts = jax.nn.one_hot(hot_ids, hot_h, dtype=hotT_l.dtype)
+            hot_counts = jax.nn.one_hot(hot_ids, hot_h, dtype=jnp.bfloat16)
             hot_counts = hot_counts.sum(axis=1)
-            # HIGHEST: TPU's default f32 matmul uses bf16 passes
-            scores = scores + jnp.dot(
-                hot_counts, hotT_l,
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
+            # split-precision hot matmul (see models/sparse.py for why)
+            scores = (
+                scores
+                + jnp.dot(hot_counts, hotT_l,
+                          preferred_element_type=jnp.float32)
+                + jnp.dot(hot_counts, hotLo_l,
+                          preferred_element_type=jnp.float32)
             )
         scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
         k_local = min(k, scores.shape[1])
@@ -205,7 +207,7 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int = 0):
         local_step,
         mesh=mesh,
         in_specs=(P(None, DOC_AXIS), P(None, DOC_AXIS), P(None, DOC_AXIS),
-                  P(), P(DOC_AXIS), P(DATA_AXIS, None)),
+                  P(None, DOC_AXIS), P(), P(DOC_AXIS), P(DATA_AXIS, None)),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
     )
@@ -217,7 +219,8 @@ class ShardedSparseEngine:
 
     tokT: jax.Array  # (L_pad, rows_pad) sharded over docs (axis 1)
     valT: jax.Array
-    hotT: jax.Array  # (H or dummy, rows_pad) sharded over docs (axis 1)
+    hotT: jax.Array  # (H or dummy, rows_pad) bf16 high part, sharded axis 1
+    hotLo: jax.Array  # matching bf16 residual
     hot_table: jax.Array  # (V+1,) replicated; token id -> hot rank or -1
     hot_h: int
     doc_ids: jax.Array  # (rows_pad,)
@@ -231,7 +234,7 @@ class ShardedSparseEngine:
     @classmethod
     def from_scored_index(
         cls, index: ScoredIndex, mesh: Mesh | None = None, dtype=jnp.float32,
-        hot_tokens: int = 512, hot_dtype=None, hot_budget_bytes: int | None = None,
+        hot_tokens: int = 512, hot_budget_bytes: int | None = None,
     ) -> "ShardedSparseEngine":
         from bm25_tpu.models.sparse import (
             PAD_TOK, build_ell_buckets_from_csr, split_hot_cold)
@@ -240,11 +243,9 @@ class ShardedSparseEngine:
 
         mesh = mesh or make_mesh()
         n_doc = mesh.shape[DOC_AXIS]
-        hot_dtype = hot_dtype or dtype
         if hot_budget_bytes is None:
             hot_budget_bytes = index.data.nbytes + index.indices.nbytes + index.indptr.nbytes
-        itemsize = jnp.dtype(hot_dtype).itemsize
-        max_h = hot_budget_bytes // max(index.num_docs * itemsize, 1)
+        max_h = hot_budget_bytes // max(index.num_docs * 4, 1)
         h = int(min(hot_tokens, max_h, index.vocab_size))
         if h > 0:
             hot_ids, source_csr, hot_dense = split_hot_cold(index, h)
@@ -279,15 +280,16 @@ class ShardedSparseEngine:
         else:
             # keep a 8-row dummy so sharding/pytree shapes stay uniform
             hot_b = np.zeros((8, len(b.doc_ids)), dtype=np.float32)
-        hotT = jax.device_put(
-            hot_b.astype(hot_dtype), NamedSharding(mesh, P(None, DOC_AXIS))
-        )
+        hot_hi = hot_b.astype(jnp.bfloat16)
+        hot_lo = (hot_b - hot_hi.astype(np.float32)).astype(jnp.bfloat16)
+        hotT = jax.device_put(hot_hi, NamedSharding(mesh, P(None, DOC_AXIS)))
+        hotLo = jax.device_put(hot_lo, NamedSharding(mesh, P(None, DOC_AXIS)))
         off_host = np.zeros((v + 1,), dtype=np.float32)
         if index.token_offsets is not None:
             off_host[:v] = index.token_offsets
         offsets = jax.device_put(off_host, NamedSharding(mesh, P()))
         return cls(
-            tokT=tokT, valT=valT, hotT=hotT,
+            tokT=tokT, valT=valT, hotT=hotT, hotLo=hotLo,
             hot_table=jax.device_put(hot_table, NamedSharding(mesh, P())),
             hot_h=h, doc_ids=doc_ids, offsets=offsets,
             num_docs=index.num_docs, vocab_size=v, mesh=mesh,
@@ -320,8 +322,8 @@ class ShardedSparseEngine:
             fn = jax.jit(make_sharded_ell_step(self.mesh, k, self.hot_h))
             self._cache[key] = fn
         ids = jax.device_put(padded, NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        scores, docs = fn(self.tokT, self.valT, self.hotT, self.hot_table,
-                          self.doc_ids, ids)
+        scores, docs = fn(self.tokT, self.valT, self.hotT, self.hotLo,
+                          self.hot_table, self.doc_ids, ids)
         # token offsets are doc-independent; add on host
         valid = padded >= 0
         off = np.asarray(self.offsets)
