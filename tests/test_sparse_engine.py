@@ -131,3 +131,24 @@ def test_hot_split_covers_all_hot_query(setup):
     d, s = eng.search(q, top_k=5)
     od, os_ = oracle.search(q, top_k=5)
     np.testing.assert_allclose(s, os_, rtol=1e-5, atol=1e-6)
+
+
+def test_split_precision_hot_representation(setup):
+    """bf16 high + bf16 residual reconstructs hot scores to ~1e-5 relative."""
+    import jax.numpy as jnp
+
+    idx, _ = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=32,
+                                         hot_budget_bytes=1 << 20)
+    for b in eng.buckets:
+        hi = np.asarray(b["hotT"], dtype=np.float32)
+        lo = np.asarray(b["hotLo"], dtype=np.float32)
+        recon = hi + lo
+        # compare against the exact hot matrix rebuilt from the index
+        from bm25_tpu.models.sparse import split_hot_cold
+        hot_ids, _, hot_dense = split_hot_cold(idx, eng.hot_h)
+        real = np.asarray(b["doc_ids"]) >= 0
+        exact = np.zeros_like(recon)
+        exact[:, real] = hot_dense[np.asarray(b["doc_ids"])[real]].T
+        denom = np.maximum(np.abs(exact), 1e-3)
+        assert (np.abs(recon - exact) / denom).max() < 3e-5
