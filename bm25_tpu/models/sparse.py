@@ -180,11 +180,12 @@ def make_sparse_query_step(k: int, hot_h: int = 0):
         kk = min(k, cs.shape[1])
         ms, mpos = lax.top_k(cs, kk)
         docs = jnp.take_along_axis(ci, mpos, axis=1)
-        # pack (scores, docs) into one array: a single device->host fetch
-        # per chunk (doc ids bitcast to f32 lanes; unpacked by the caller)
+        # pack (scores, docs) into one array: a single device->host fetch per
+        # chunk.  Doc ids convert to f32 VALUES (exact below 2^24) — never
+        # bitcast: int bit patterns of small ids are f32 denormals, which the
+        # TPU transfer path flushes to zero (28% of ids corrupted in prod).
         return jnp.concatenate(
-            [ms + qoff[:, None], lax.bitcast_convert_type(docs, jnp.float32)],
-            axis=1,
+            [ms + qoff[:, None], docs.astype(jnp.float32)], axis=1
         )
 
     return step
@@ -260,6 +261,15 @@ class SparseEngine:
         from bm25_tpu.ops.ell_score import BLOCK_ROWS
 
         session = session or get_session()
+        if index.num_docs >= 1 << 24:
+            # doc ids ride back to the host as exact f32 values (packed
+            # with the scores into one transfer); beyond 2^24 that loses
+            # integer exactness — needs an unpacked result path first
+            raise NotImplementedError(
+                f"{index.num_docs} docs >= 2^24: packed doc-id transfer "
+                "would be inexact; shard the corpus (ShardedSparseEngine) "
+                "or split into multiple engines"
+            )
 
         # cap the dense hot sub-matrix by its memory budget; the default
         # budget is the raw CSC footprint itself, bounding total device
@@ -381,7 +391,7 @@ class SparseEngine:
         for cq, packed in futures:
             host = np.asarray(packed)[:cq]
             out_scores.append(host[:, :k])
-            out_docs.append(host[:, k:].view(np.int32))
+            out_docs.append(host[:, k:].astype(np.int32))
         return np.concatenate(out_docs), np.concatenate(out_scores)
 
     def get_scores(self, query_ids) -> np.ndarray:
