@@ -18,6 +18,13 @@ def main() -> int:
     query = sys.argv[1] if len(sys.argv) > 1 else "does the fish purr like a cat"
 
     import jax
+
+    # debug on the host: interpreter-mode kernels + CPU backend (on a
+    # remote/tunneled TPU, per-op interpret dispatch is pathologically slow)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     from jax.experimental.pallas import tpu as pltpu
 
     from bm25_tpu.index.builder import build_index
