@@ -70,3 +70,22 @@ def test_healthz_deep(server):
         h = json.loads(r.read())
     assert h["status"] == "ok"
     assert h["device_probe"]["ok"] and h["engine_probe"]["ok"]
+
+
+def test_concurrent_requests(server):
+    import threading
+
+    results = [None] * 6
+    def hit(i):
+        q = ["does the fish purr like a cat?", "bird that can fly"][i % 2]
+        results[i] = _post(server, {"queries": [q], "top_k": 2})
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, r in enumerate(results):
+        assert r is not None
+        expect = 0 if i % 2 == 0 else 2
+        assert r["results"][0][0]["doc"] == expect
