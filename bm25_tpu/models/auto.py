@@ -20,7 +20,7 @@ def create_engine(
 ):
     """Build the best device engine for this index.
 
-    mode: "auto" | "dense" | "sparse" | "sharded".
+    mode: "auto" / "dense" / "sparse" / "sharded" / "sharded_sparse".
     """
     if mode == "sharded":
         from bm25_tpu.parallel.sharded_engine import ShardedEngine

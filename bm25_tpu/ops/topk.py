@@ -121,7 +121,6 @@ def _extract_topk_rounds(x, col_ids, k, vals_ref, idxs_ref):
     def body(i, cur):
         m = jnp.max(cur, axis=1)
         am = jnp.argmax(cur, axis=1)
-        rows = cur.shape[0]
         sel = jnp.take_along_axis(col_ids, am[:, None], axis=1)[:, 0]
         vals_ref[:, i] = m
         idxs_ref[:, i] = sel
