@@ -154,7 +154,15 @@ def make_sparse_query_step(k: int, hot_h: int = 0):
             ).sum(axis=1)  # (Q, H)
         cand_s, cand_i = [], []
         for b in buckets:
-            scores = ell_score(ids, b["tokT"], b["valT"])  # (Q, rows)
+            if cand_s:
+                # chain each bucket on the previous bucket's candidates so
+                # XLA schedules buckets sequentially — otherwise it keeps
+                # every bucket's (Q, rows) score tile alive at once and OOMs
+                # at ~10M docs (observed: 3x 4 GB HLO temps)
+                ids_in, _ = lax.optimization_barrier((ids, cand_s[-1]))
+            else:
+                ids_in = ids
+            scores = ell_score(ids_in, b["tokT"], b["valT"])  # (Q, rows)
             if hot_counts is not None:
                 # split-precision matmul: hot scores are stored as bf16 high
                 # + bf16 residual; two native single-pass MXU products with
