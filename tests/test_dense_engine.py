@@ -106,3 +106,13 @@ def test_dense_bf16_matrix(small_setup):
     dd, ds = eng.search(q, top_k=10)
     od, os_ = oracle.search(q, top_k=10)
     np.testing.assert_allclose(ds, os_, rtol=2e-2, atol=1e-2)
+
+
+def test_dense_search_pipelined_matches_search(small_setup):
+    idx, dense, oracle = small_setup
+    rng = np.random.default_rng(77)
+    queries = rng.integers(-1, idx.vocab_size, size=(40, 5), dtype=np.int32)
+    d1, s1 = dense.search(queries, top_k=9)
+    d2, s2 = dense.search_pipelined(queries, top_k=9, batch=16)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)

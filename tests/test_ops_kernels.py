@@ -82,3 +82,13 @@ def test_ell_score_multirow_blocks_and_query_padding():
     np.testing.assert_allclose(
         out[sample], _oracle(ids[sample], tokT, valT), rtol=1e-5
     )
+
+
+def test_gather_add_rows_column_blocked():
+    """D large enough to trigger the multi-col-block path (nc > 1)."""
+    rng = np.random.default_rng(4)
+    d = 270336  # > 256 * 1024 -> two col blocks
+    table = jnp.asarray(rng.random((3, d)).astype(np.float32))
+    ids = jnp.asarray(np.array([[2]], dtype=np.int32))
+    out = np.asarray(gather_add_rows(table, ids, "pallas"))
+    np.testing.assert_allclose(out[0], np.asarray(table)[2], rtol=1e-6)
