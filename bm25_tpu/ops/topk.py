@@ -393,12 +393,63 @@ register_op("top_k_blockwise")(top_k_blockwise)
 # ---------------------------------------------------------------------------
 
 
+def _pallas_gumbel_choice(logits: jax.Array, seed) -> jax.Array:
+    """Sample one index per row from softmax(logits) on-chip.
+
+    Gumbel-max with the TPU PRNG (``pltpu.prng_seed`` /
+    ``prng_random_bits``): z = logits + Gumbel noise, take argmax — the
+    on-chip analog of the reference's fused stage-2 sampling
+    (``topk.mojo:742-830``).  logits: (B, k), already temperature-scaled;
+    returns (B,) int32 choices.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, k = logits.shape
+    b_pad = next_multiple(b, 8)
+    k_pad = next_multiple(k, 128)
+    if (b_pad, k_pad) != (b, k):
+        logits = jnp.pad(
+            logits, ((0, b_pad - b), (0, k_pad - k)), constant_values=NEG_INF
+        )
+
+    def kernel(seed_ref, logits_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0])
+        bits = pltpu.prng_random_bits(logits_ref.shape)
+        # uniform in (0, 1): use the top 24 bits for an exact float mantissa
+        u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+        g = -jnp.log(-jnp.log(u))
+        z = logits_ref[:] + g
+        choice = jnp.argmax(z, axis=1).astype(jnp.int32)
+        out_ref[:] = jnp.broadcast_to(choice[:, None], out_ref.shape)
+
+    # TPU-specific PRNG primitives need the TPU interpreter off-chip (the
+    # generic interpreter has no lowering for prng_seed)
+    interpret = (
+        pltpu.InterpretParams()
+        if jax.devices()[0].platform != "tpu"
+        else False
+    )
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 128), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray([seed], dtype=jnp.int32).reshape(1), logits)
+    return out[:b, 0]
+
+
 def top_k_fused_sampling(
     key: jax.Array,
     x: jax.Array,
     k: int,
     temperature: float | jax.Array = 1.0,
     axis: int = -1,
+    implementation: str = "jax",
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k + temperature softmax sampling of one index per row.
 
@@ -416,7 +467,17 @@ def top_k_fused_sampling(
     idxs_last = jnp.moveaxis(idxs, axis, -1)
     t = jnp.maximum(jnp.asarray(temperature, vals_last.dtype), 1e-6)
     logits = (vals_last - vals_last[..., :1]) / t
-    choice = jax.random.categorical(key, logits.astype(jnp.float32), axis=-1)
+    if implementation == "pallas":
+        # on-chip Gumbel-max sampling with the TPU PRNG; `key` provides the
+        # seed (its first lane), giving deterministic per-seed draws
+        batch_shape = logits.shape[:-1]
+        flat = logits.astype(jnp.float32).reshape(-1, logits.shape[-1])
+        seed = jnp.asarray(key).reshape(-1)[0].astype(jnp.int32)
+        choice = _pallas_gumbel_choice(flat, seed).reshape(batch_shape)
+    elif implementation == "jax":
+        choice = jax.random.categorical(key, logits.astype(jnp.float32), axis=-1)
+    else:
+        raise ValueError(f"unknown implementation {implementation!r}")
     sampled = jnp.take_along_axis(idxs_last, choice[..., None], axis=-1)
     return vals, jnp.moveaxis(sampled, -1, axis)
 

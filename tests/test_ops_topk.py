@@ -240,3 +240,31 @@ def test_select_top_k_dispatch():
         v, i = select_top_k(jnp.asarray(x), k)
         ev, ei = np_topk(x, k)
         np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+# -- pallas fused sampling (TPU PRNG Gumbel-max) -------------------------------
+
+
+def test_pallas_sampling_member_and_determinism():
+    from bm25_tpu.ops.topk import top_k_fused_sampling
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.random((5, 60), np.float32))
+    key = jax.random.PRNGKey(3)
+    vals, s1 = top_k_fused_sampling(key, x, k=6, implementation="pallas")
+    _, s2 = top_k_fused_sampling(key, x, k=6, implementation="pallas")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    ev, ei = np_topk(np.asarray(x), 6)
+    for r in range(5):
+        assert int(s1[r, 0]) in set(ei[r].tolist())
+
+
+def test_pallas_sampling_respects_distribution():
+    """With one dominant logit, sampling should almost always pick it."""
+    from bm25_tpu.ops.topk import top_k_fused_sampling
+
+    x = np.zeros((8, 30), np.float32)
+    x[:, 7] = 50.0  # overwhelming winner
+    _, s = top_k_fused_sampling(jax.random.PRNGKey(0), jnp.asarray(x), k=5,
+                                temperature=1.0, implementation="pallas")
+    np.testing.assert_array_equal(np.asarray(s)[:, 0], 7)
