@@ -415,9 +415,16 @@ def _pallas_gumbel_choice(logits: jax.Array, seed) -> jax.Array:
 
     def kernel(seed_ref, logits_ref, out_ref):
         pltpu.prng_seed(seed_ref[0])
-        bits = pltpu.prng_random_bits(logits_ref.shape)
-        # uniform in (0, 1): use the top 24 bits for an exact float mantissa
-        u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+        # on hardware prng_random_bits yields signed int32 lanes: bitcast to
+        # uint32 BEFORE shifting, or the arithmetic shift produces negative
+        # "uniforms" -> log(negative) = NaN -> garbage argmax (found on-chip;
+        # the interpreter returns unsigned bits and hides it)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(logits_ref.shape),
+                             jnp.uint32)
+        # uniform in (0, 1): logical-shift the top 24 bits as uint32, then
+        # bitcast to (now positive) int32 — Mosaic has no uint32->f32 cast
+        top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+        u = top24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
         g = -jnp.log(-jnp.log(u))
         z = logits_ref[:] + g
         choice = jnp.argmax(z, axis=1).astype(jnp.int32)
@@ -472,7 +479,11 @@ def top_k_fused_sampling(
         # seed (its first lane), giving deterministic per-seed draws
         batch_shape = logits.shape[:-1]
         flat = logits.astype(jnp.float32).reshape(-1, logits.shape[-1])
-        seed = jnp.asarray(key).reshape(-1)[0].astype(jnp.int32)
+        # fold the whole key into one seed lane (key[0] alone is 0 for all
+        # small PRNGKeys)
+        kd = jnp.asarray(key).reshape(-1).astype(jnp.uint32)
+        seed = jax.lax.reduce_xor(kd * jnp.uint32(2654435761), axes=(0,))
+        seed = seed.astype(jnp.int32)
         choice = _pallas_gumbel_choice(flat, seed).reshape(batch_shape)
     elif implementation == "jax":
         choice = jax.random.categorical(key, logits.astype(jnp.float32), axis=-1)

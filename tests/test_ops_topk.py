@@ -268,3 +268,21 @@ def test_pallas_sampling_respects_distribution():
     _, s = top_k_fused_sampling(jax.random.PRNGKey(0), jnp.asarray(x), k=5,
                                 temperature=1.0, implementation="pallas")
     np.testing.assert_array_equal(np.asarray(s)[:, 0], 7)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="the TPU interpreter's PRNG returns constant bits; seed "
+           "sensitivity is only observable on hardware (validated on-chip)",
+)
+def test_pallas_sampling_seed_sensitivity():
+    """Different PRNG keys must produce different draws at high temperature."""
+    from bm25_tpu.ops.topk import top_k_fused_sampling
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((32, 60), np.float32))
+    _, sa = top_k_fused_sampling(jax.random.PRNGKey(1), x, k=10,
+                                 temperature=5.0, implementation="pallas")
+    _, sb = top_k_fused_sampling(jax.random.PRNGKey(2), x, k=10,
+                                 temperature=5.0, implementation="pallas")
+    assert (np.asarray(sa) != np.asarray(sb)).any()
