@@ -1,0 +1,1 @@
+"""Command-line entry points (see bm25_tpu.cli.main)."""

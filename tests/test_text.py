@@ -48,3 +48,15 @@ def test_pad_token_lists():
     m = pad_token_lists([[1, 2, 3], [4]], pad_to=5)
     assert m.shape == (2, 5)
     assert m[0, 3] == -1 and m[1, 1] == -1
+
+
+def test_tokenize_queries_pad_to(animal_corpus):
+    tok = Tokenizer()
+    corpus = tok.tokenize_corpus(animal_corpus)
+    q = tok.tokenize_queries(["cat"], corpus.vocab, pad_to=8)
+    assert q.shape == (1, 8) and (q[0, 1:] == -1).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="more than pad_to"):
+        tok.tokenize_queries(["cat feline purr fish bird"], corpus.vocab,
+                             pad_to=2)
