@@ -66,6 +66,12 @@ def ell_score_pallas(
     q, t = ids.shape
     l_pad, rows = tokT.shape
     assert rows % BLOCK_ROWS == 0, rows
+    if valT.dtype != jnp.float32:
+        # bf16 sublane tiling (16, 128) breaks the kernel's dynamic
+        # single-row slot indexing on hardware ("index in dimension 0 is a
+        # multiple of 8" Mosaic error); keep bf16 as the storage format but
+        # upcast transiently for the scan.  Native bf16 slots = round-2.
+        valT = valT.astype(jnp.float32)
     q_pad = next_multiple(q, 8)
     tq = min(BLOCK_Q, q_pad)
     while q_pad % tq:
