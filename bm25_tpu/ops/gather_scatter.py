@@ -101,6 +101,7 @@ def scatter_elements(
     reduction: str = "none",
 ) -> jax.Array:
     """torch.scatter / ONNX ScatterElements (out-of-place)."""
+    data = jnp.asarray(data)
     axis = axis % data.ndim
     indices = _normalize_indices(jnp.asarray(indices), data.shape[axis])
     if reduction not in _REDUCTIONS:
@@ -121,6 +122,7 @@ def scatter_nd(
     reduction: str = "none",
 ) -> jax.Array:
     """ONNX ScatterND (out-of-place update of data)."""
+    data = jnp.asarray(data)
     indices = jnp.asarray(indices)
     if reduction not in _REDUCTIONS:
         raise ValueError(f"unknown reduction {reduction!r}")
