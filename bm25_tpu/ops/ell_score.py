@@ -26,8 +26,10 @@ from bm25_tpu.utils.padding import next_multiple
 
 # doc-rows per tile (lane axis of the accumulator)
 BLOCK_ROWS = 512
-# queries per tile (sublane axis)
-BLOCK_Q = 256
+# queries per tile (sublane axis); measured on v5e at bench shapes
+# (512K docs, 4 buckets, T=8): TQ=128 runs ~5% faster than 256 (60.1 vs
+# 63.4 ms/512-query batch), 512 is slower; BR=1024/2048 don't beat 512
+BLOCK_Q = 128
 
 
 def _kernel_body(t_count: int, l_count: int):
