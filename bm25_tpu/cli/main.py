@@ -177,7 +177,8 @@ def cmd_serve(args) -> int:
     from bm25_tpu.serve import Server
 
     Server(args.index, host=args.host, port=args.port,
-           engine_mode=args.engine).serve_forever()
+           engine_mode=args.engine,
+           batch_window_ms=args.batch_window_ms).serve_forever()
     return 0
 
 
@@ -230,6 +231,9 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--port", type=int, default=8225)
     ps.add_argument("--engine", default="auto",
                     choices=["auto", "dense", "sparse", "sharded"])
+    ps.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="coalesce concurrent requests arriving within this "
+                         "window into one device batch (0 = off)")
     ps.set_defaults(fn=cmd_serve)
     return p
 

@@ -8,15 +8,120 @@ Stdlib-only JSON-over-HTTP:
                 -> {"results": [[{"doc": id, "score": s, "text": ...}]]}
     GET  /healthz  -> {"status": "ok", "num_docs": N, ...}
 
-Batched: each request's queries run as one device batch.  Start with
-``bm25-tpu serve <index_dir>`` or ``Server(...).serve_forever()``.
+Batched: each request's queries run as one device batch.  With
+``batch_window_ms > 0`` a :class:`MicroBatcher` additionally coalesces
+queries from *concurrent* requests that arrive within the window into one
+device dispatch (admission control), so many small clients share the
+throughput of one large batch instead of serializing per-request launches.
+Start with ``bm25-tpu serve <index_dir>`` or ``Server(...).serve_forever()``.
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Cross-request micro-batching for a shared device engine.
+
+    ``search()`` blocks the calling (request handler) thread; a single
+    collector thread drains the queue, waits up to ``window_ms`` after the
+    first arrival for companions (or until ``max_rows`` queries are
+    pending), groups by ``top_k``, pads query matrices to a common width
+    and runs ONE ``engine.search`` per group.  An idle server keeps the
+    request = batch behavior (the window only opens when a request is
+    already in hand, so a lone request pays at most ``window_ms`` extra).
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, engine, window_ms: float = 2.0, max_rows: int = 2048):
+        self.engine = engine
+        self.window = window_ms / 1e3
+        self.max_rows = max_rows
+        self.batches_run = 0
+        self.rows_run = 0
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._loop, name="bm25-microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    def search(self, ids: np.ndarray, top_k: int):
+        """Submit one request's (n, T) query matrix; blocks until scored."""
+        item = {"ids": ids, "k": int(top_k), "ev": threading.Event(), "out": None}
+        self._q.put(item)
+        item["ev"].wait()
+        if isinstance(item["out"], Exception):
+            raise item["out"]
+        return item["out"]
+
+    def close(self):
+        self._q.put(self._SENTINEL)
+        self._thread.join(timeout=10)
+
+    # internal -----------------------------------------------------------
+
+    def _loop(self):
+        while True:
+            first = self._q.get()
+            if first is self._SENTINEL:
+                return
+            batch = [first]
+            rows = len(first["ids"])
+            deadline = time.monotonic() + self.window
+            while rows < self.max_rows:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if item is self._SENTINEL:
+                    self._flush(batch)
+                    return
+                batch.append(item)
+                rows += len(item["ids"])
+            self._flush(batch)
+
+    def _flush(self, batch):
+        by_k: dict[int, list] = {}
+        for it in batch:
+            by_k.setdefault(it["k"], []).append(it)
+        for k, items in by_k.items():
+            try:
+                t_max = max(it["ids"].shape[1] for it in items)
+                mats = [
+                    np.pad(
+                        it["ids"],
+                        ((0, 0), (0, t_max - it["ids"].shape[1])),
+                        constant_values=-1,
+                    )
+                    for it in items
+                ]
+                ids = np.concatenate(mats, axis=0)
+                docs, scores = self.engine.search(ids, top_k=k)
+                self.batches_run += 1
+                self.rows_run += len(ids)
+                off = 0
+                for it in items:
+                    n = len(it["ids"])
+                    it["out"] = (docs[off : off + n], scores[off : off + n])
+                    off += n
+            except Exception as e:  # deliver the failure to every waiter
+                for it in items:
+                    if it["out"] is None:
+                        it["out"] = e
+            finally:
+                for it in items:
+                    it["ev"].set()
 
 
 class BM25RequestHandler(BaseHTTPRequestHandler):
@@ -26,6 +131,7 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
     vocab = None
     corpus = None
     stats = None
+    batcher = None  # optional MicroBatcher
 
     def _send(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
@@ -74,7 +180,10 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             return
 
         ids = self.tokenizer.tokenize_queries(queries, self.vocab)
-        docs, scores = self.engine.search(ids, top_k=top_k)
+        if self.batcher is not None:
+            docs, scores = self.batcher.search(ids, top_k=top_k)
+        else:
+            docs, scores = self.engine.search(ids, top_k=top_k)
         results = []
         for qi in range(len(queries)):
             row = []
@@ -91,7 +200,7 @@ class Server:
     """Owns the engine + HTTP server; use as a context manager in tests."""
 
     def __init__(self, index_dir: str, host: str = "127.0.0.1", port: int = 8225,
-                 engine_mode: str = "auto"):
+                 engine_mode: str = "auto", batch_window_ms: float = 0.0):
         from bm25_tpu.index.io import MMapCorpus, load_index
         from bm25_tpu.models.auto import create_engine
         from bm25_tpu.text.tokenizer import Tokenizer
@@ -110,10 +219,17 @@ class Server:
         handler.tokenizer = Tokenizer()
         handler.vocab = index.vocab
         handler.corpus = corpus
+        self.batcher = (
+            MicroBatcher(engine, window_ms=batch_window_ms)
+            if batch_window_ms > 0
+            else None
+        )
+        handler.batcher = self.batcher
         handler.stats = {
             "num_docs": index.num_docs,
             "vocab_size": index.vocab_size,
             "engine": type(engine).__name__,
+            "batch_window_ms": batch_window_ms,
         }
         self.httpd = ThreadingHTTPServer((host, port), handler)
 
@@ -133,3 +249,5 @@ class Server:
     def shutdown(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+        if self.batcher is not None:
+            self.batcher.close()

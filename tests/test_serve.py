@@ -89,3 +89,170 @@ def test_concurrent_requests(server):
         assert r is not None
         expect = 0 if i % 2 == 0 else 2
         assert r["results"][0][0]["doc"] == expect
+
+
+# ---------------------------------------------------------------------------
+# micro-batching (MicroBatcher + batch_window_ms server mode)
+# ---------------------------------------------------------------------------
+
+
+class _RecordingEngine:
+    """Engine stub: top_k copies of the row-sum as 'scores', row index as doc."""
+
+    def __init__(self):
+        self.batch_sizes = []
+
+    def search(self, ids, top_k):
+        import numpy as np
+
+        self.batch_sizes.append(len(ids))
+        n = len(ids)
+        scores = np.repeat(
+            np.where(ids >= 0, ids, 0).sum(axis=1, keepdims=True), top_k, axis=1
+        ).astype(np.float32)
+        docs = np.tile(np.arange(top_k, dtype=np.int32), (n, 1))
+        return docs, scores
+
+
+def test_microbatcher_coalesces_and_splits():
+    import threading
+
+    import numpy as np
+
+    from bm25_tpu.serve import MicroBatcher
+
+    eng = _RecordingEngine()
+    mb = MicroBatcher(eng, window_ms=200.0)
+    try:
+        outs = [None] * 4
+
+        def submit(i):
+            ids = np.full((i + 1, 3), i, dtype=np.int32)  # i+1 rows of token i
+            outs[i] = mb.search(ids, top_k=2)
+
+        threads = [threading.Thread(target=submit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # all four requests coalesced into one device call of 1+2+3+4 rows
+        assert eng.batch_sizes == [10]
+        for i, (docs, scores) in enumerate(outs):
+            assert docs.shape == (i + 1, 2)
+            assert (scores == 3 * i).all()  # each row's sum = 3 tokens of id i
+    finally:
+        mb.close()
+
+
+def test_microbatcher_groups_by_top_k():
+    import threading
+
+    import numpy as np
+
+    from bm25_tpu.serve import MicroBatcher
+
+    eng = _RecordingEngine()
+    mb = MicroBatcher(eng, window_ms=200.0)
+    try:
+        outs = {}
+
+        def submit(k):
+            outs[k] = mb.search(np.zeros((1, 2), np.int32), top_k=k)
+
+        threads = [threading.Thread(target=submit, args=(k,)) for k in (3, 5, 3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # one flush, two engine calls (k=3 group of 2 rows, k=5 group of 1)
+        assert sorted(eng.batch_sizes) == [1, 2]
+        assert outs[3][0].shape[1] == 3 and outs[5][0].shape[1] == 5
+    finally:
+        mb.close()
+
+
+def test_microbatcher_pads_mixed_query_widths():
+    import threading
+
+    import numpy as np
+
+    from bm25_tpu.serve import MicroBatcher
+
+    eng = _RecordingEngine()
+    mb = MicroBatcher(eng, window_ms=200.0)
+    try:
+        outs = [None, None]
+
+        def submit(i, t_width):
+            outs[i] = mb.search(np.ones((1, t_width), np.int32), top_k=1)
+
+        threads = [
+            threading.Thread(target=submit, args=(0, 2)),
+            threading.Thread(target=submit, args=(1, 6)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert eng.batch_sizes == [2]
+        # padding is -1 (masked to 0 by the stub), so sums stay per-width
+        assert outs[0][1][0, 0] == 2 and outs[1][1][0, 0] == 6
+    finally:
+        mb.close()
+
+
+def test_microbatcher_propagates_engine_errors():
+    import numpy as np
+
+    from bm25_tpu.serve import MicroBatcher
+
+    class Boom:
+        def search(self, ids, top_k):
+            raise RuntimeError("device on fire")
+
+    mb = MicroBatcher(Boom(), window_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            mb.search(np.zeros((1, 2), np.int32), top_k=1)
+    finally:
+        mb.close()
+
+
+@pytest.fixture(scope="module")
+def batched_server(tmp_path_factory, request):
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_batched")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0, batch_window_ms=20.0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def test_batched_server_concurrent_correctness(batched_server):
+    import threading
+
+    results = [None] * 8
+
+    def hit(i):
+        q = ["does the fish purr like a cat?", "bird that can fly"][i % 2]
+        results[i] = _post(batched_server, {"queries": [q], "top_k": 2})
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, r in enumerate(results):
+        expect = 0 if i % 2 == 0 else 2
+        assert r["results"][0][0]["doc"] == expect
+    # the window actually coalesced concurrent requests into fewer dispatches
+    assert batched_server.batcher.batches_run < batched_server.batcher.rows_run
+
+
+def test_batched_server_healthz_reports_window(batched_server):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{batched_server.port}/healthz", timeout=30
+    ) as r:
+        h = json.loads(r.read())
+    assert h["batch_window_ms"] == 20.0
