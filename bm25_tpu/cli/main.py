@@ -178,7 +178,8 @@ def cmd_serve(args) -> int:
 
     Server(args.index, host=args.host, port=args.port,
            engine_mode=args.engine,
-           batch_window_ms=args.batch_window_ms).serve_forever()
+           batch_window_ms=args.batch_window_ms,
+           warmup_top_k=args.warmup_top_k).serve_forever()
     return 0
 
 
@@ -234,6 +235,9 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--batch-window-ms", type=float, default=0.0,
                     help="coalesce concurrent requests arriving within this "
                          "window into one device batch (0 = off)")
+    ps.add_argument("--warmup-top-k", type=int, default=0,
+                    help="compile the query path for this top_k before "
+                         "accepting traffic (0 = no warmup)")
     ps.set_defaults(fn=cmd_serve)
     return p
 

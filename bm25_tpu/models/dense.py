@@ -161,7 +161,7 @@ class DenseEngine:
         k = min(top_k, self.num_docs)
         q_real, t_real = queries.shape
         q_pad = next_multiple(q_real, 8)
-        t_pad = next_pow2_at_least(max(t_real, 1))
+        t_pad = next_pow2_at_least(max(t_real, 8))
         padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
         padded[:q_real, :t_real] = queries
         step = self.session.compile(

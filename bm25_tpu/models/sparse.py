@@ -392,7 +392,7 @@ class SparseEngine:
             chunk = queries[i : i + max_q].astype(np.int32)
             cq = len(chunk)
             q_pad = next_multiple(cq, 8)
-            t_pad = next_pow2_at_least(max(t_real, 1))
+            t_pad = next_pow2_at_least(max(t_real, 8))
             padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
             padded[:cq, :t_real] = chunk
             futures.append((cq, self._query_chunk(padded, k)))

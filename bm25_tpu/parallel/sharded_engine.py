@@ -145,7 +145,7 @@ class ShardedEngine:
         n_data = self.mesh.shape[DATA_AXIS]
         q_real, t_real = queries.shape
         q_pad = next_multiple(q_real, 8 * n_data)
-        t_pad = next_pow2_at_least(max(t_real, 1))
+        t_pad = next_pow2_at_least(max(t_real, 8))
         padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
         padded[:q_real, :t_real] = queries.astype(np.int32)
 
@@ -313,7 +313,7 @@ class ShardedSparseEngine:
         n_data = self.mesh.shape[DATA_AXIS]
         q_real, t_real = queries.shape
         q_pad = next_multiple(q_real, 8 * n_data)
-        t_pad = next_pow2_at_least(max(t_real, 1))
+        t_pad = next_pow2_at_least(max(t_real, 8))
         padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
         padded[:q_real, :t_real] = queries.astype(np.int32)
         key = (k, self.hot_h, q_pad, t_pad, self.tokT.shape)

@@ -200,7 +200,8 @@ class Server:
     """Owns the engine + HTTP server; use as a context manager in tests."""
 
     def __init__(self, index_dir: str, host: str = "127.0.0.1", port: int = 8225,
-                 engine_mode: str = "auto", batch_window_ms: float = 0.0):
+                 engine_mode: str = "auto", batch_window_ms: float = 0.0,
+                 warmup_top_k: int = 0):
         from bm25_tpu.index.io import MMapCorpus, load_index
         from bm25_tpu.models.auto import create_engine
         from bm25_tpu.text.tokenizer import Tokenizer
@@ -231,6 +232,16 @@ class Server:
             "engine": type(engine).__name__,
             "batch_window_ms": batch_window_ms,
         }
+        if warmup_top_k > 0:
+            # trigger the first-query JIT compile before accepting traffic
+            # (cold compile through a remote-compile relay can take minutes;
+            # observed 4m22s on the first live request without this)
+            # T=8 hits the engines' floor query width (all queries with <= 8
+            # terms share this compiled shape)
+            t0 = time.monotonic()
+            engine.search(np.full((1, 8), -1, np.int32), top_k=warmup_top_k)
+            print(f"bm25-tpu warmup (top_k={warmup_top_k}): "
+                  f"{time.monotonic() - t0:.1f}s")
         self.httpd = ThreadingHTTPServer((host, port), handler)
 
     @property

@@ -256,3 +256,17 @@ def test_batched_server_healthz_reports_window(batched_server):
     ) as r:
         h = json.loads(r.read())
     assert h["batch_window_ms"] == 20.0
+
+
+def test_server_warmup(tmp_path_factory, request, capsys):
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_warm")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0, warmup_top_k=3)
+    try:
+        assert "warmup (top_k=3)" in capsys.readouterr().out
+        srv.start_background()
+        out = _post(srv, {"queries": ["a cat that purrs"], "top_k": 3})
+        assert out["results"][0][0]["doc"] == 0
+    finally:
+        srv.shutdown()
