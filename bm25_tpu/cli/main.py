@@ -201,7 +201,7 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("query", nargs="*")
     pq.add_argument("-k", "--top-k", type=int, default=5)
     pq.add_argument("--engine", default="auto",
-                    choices=["auto", "dense", "sparse", "sharded"])
+                    choices=["auto", "dense", "sparse", "sharded", "sharded_sparse"])
     pq.add_argument("-i", "--interactive", action="store_true")
     pq.set_defaults(fn=cmd_query)
 
@@ -231,7 +231,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8225)
     ps.add_argument("--engine", default="auto",
-                    choices=["auto", "dense", "sparse", "sharded"])
+                    choices=["auto", "dense", "sparse", "sharded", "sharded_sparse"])
     ps.add_argument("--batch-window-ms", type=float, default=0.0,
                     help="coalesce concurrent requests arriving within this "
                          "window into one device batch (0 = off)")

@@ -116,3 +116,25 @@ def test_dense_search_pipelined_matches_search(small_setup):
     d2, s2 = dense.search_pipelined(queries, top_k=9, batch=16)
     np.testing.assert_array_equal(d1, d2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_short_queries_share_one_compiled_shape(request):
+    """T <= 8 queries pad to one (q_pad, 8) shape: a single jit entry serves
+    them all (serving latency stability; see serve --warmup-top-k)."""
+    import numpy as np
+
+    from bm25_tpu.models.dense import DenseEngine
+    from bm25_tpu.runtime.session import Session
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    corpus = request.getfixturevalue("animal_corpus")
+    out = Tokenizer().tokenize_corpus(corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    eng = DenseEngine.from_scored_index(idx, session=Session())
+    n0 = len(eng.session._cache)
+    for t in (1, 3, 8):
+        eng.search(np.zeros((2, t), np.int32), top_k=2)
+    assert len(eng.session._cache) == n0 + 1  # one compiled step for all
+    eng.search(np.zeros((2, 9), np.int32), top_k=2)  # > 8 -> new shape
+    assert len(eng.session._cache) == n0 + 2
