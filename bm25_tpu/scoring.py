@@ -161,7 +161,7 @@ def build_scored_index(
     """
     doc_lengths = np.array([len(t) for t in doc_token_ids], dtype=np.int32)
     total = int(doc_lengths.sum())
-    flat_tokens = np.empty(total, dtype=np.int64)
+    flat_tokens = np.empty(total, dtype=np.int32)
     pos = 0
     for toks in doc_token_ids:
         n = len(toks)
@@ -203,14 +203,17 @@ def build_scored_index_flat(
         else:
             vocab_size = int(flat_tokens.max(initial=-1)) + 1
     flat_docs = np.repeat(
-        np.arange(num_docs, dtype=np.int64), doc_lengths
+        np.arange(num_docs, dtype=np.int32), doc_lengths
     )
 
     # Direct CSC construction: one stable sort by token id keeps doc order
     # ascending inside each column (docs were appended in order), then
     # run-length encoding of equal (token, doc) pairs yields tf.  ~3x faster
     # than scipy's COO->CSC at tens of millions of tokens; equivalence with
-    # the scipy path is pinned in tests/test_scoring.py.
+    # the scipy path is pinned in tests/test_scoring.py.  int32 keys keep
+    # numpy's stable integer sort on the radix path at half the key width.
+    if flat_tokens.dtype != np.int32:
+        flat_tokens = flat_tokens.astype(np.int32)
     order = np.argsort(flat_tokens, kind="stable")
     st = flat_tokens[order]
     sd = flat_docs[order]
@@ -219,12 +222,16 @@ def build_scored_index_flat(
         new_run[0] = True
         np.logical_or(st[1:] != st[:-1], sd[1:] != sd[:-1], out=new_run[1:])
         run_starts = np.flatnonzero(new_run)
-        tf_vals = np.diff(np.append(run_starts, total)).astype(np.float64)
+        run_ends = np.empty(len(run_starts), dtype=np.int64)
+        run_ends[:-1] = run_starts[1:]
+        run_ends[-1] = total
+        # tf counts are small integers: exact in float32 (< 2^24)
+        tf_vals = (run_ends - run_starts).astype(dtype)
         col_tok = st[run_starts]
-        row_doc = sd[run_starts].astype(np.int32)
+        row_doc = sd[run_starts]
     else:
-        tf_vals = np.zeros(0, dtype=np.float64)
-        col_tok = np.zeros(0, dtype=np.int64)
+        tf_vals = np.zeros(0, dtype=dtype)
+        col_tok = np.zeros(0, dtype=np.int32)
         row_doc = np.zeros(0, dtype=np.int32)
     indptr = np.zeros(vocab_size + 1, dtype=np.int64)
     np.cumsum(np.bincount(col_tok, minlength=vocab_size), out=indptr[1:])
@@ -245,15 +252,15 @@ def build_scored_index_flat(
 
     # Per-nnz transform: data[i] = idf[col(i)] * sat(tf[i], dl_norm[row(i)]).
     nnz = tf_csc.nnz
-    col_of = np.repeat(np.arange(vocab_size, dtype=np.int64), df)
-    row_of = tf_csc.indices.astype(np.int64)
+    col_of = np.repeat(np.arange(vocab_size, dtype=np.int32), df)
+    row_of = tf_csc.indices
     # bm25s computes the score arrays in the target dtype (float32): idf and
     # the length norm are rounded to `dtype` BEFORE the saturation/product, so
     # we do the same to stay bit-exact with the reference artifacts
     # (verified in tests/test_scoring.py against animal_index_bm25).
     sat = tf_saturation(
         params.method,
-        tf_csc.data.astype(dtype),
+        tf_csc.data.astype(dtype, copy=False),
         dl_norm_per_doc.astype(dtype)[row_of],
         dtype(params.k1),
         dtype(params.delta),
@@ -269,7 +276,7 @@ def build_scored_index_flat(
     assert len(scores) == nnz
     return ScoredIndex(
         indptr=tf_csc.indptr.astype(np.int32) if nnz < 2**31 else tf_csc.indptr,
-        indices=tf_csc.indices.astype(np.int32),
+        indices=tf_csc.indices.astype(np.int32, copy=False),
         data=scores,
         num_docs=num_docs,
         doc_lengths=doc_lengths,
