@@ -152,3 +152,18 @@ def test_split_precision_hot_representation(setup):
         exact[:, real] = hot_dense[np.asarray(b["doc_ids"])[real]].T
         denom = np.maximum(np.abs(exact), 1e-3)
         assert (np.abs(recon - exact) / denom).max() < 3e-5
+
+
+def test_short_queries_share_one_compiled_shape(setup):
+    """The t_pad floor of 8 applies to the sparse engine too."""
+    import numpy as np
+
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.runtime.session import Session
+
+    idx, _ = setup
+    eng = SparseEngine.from_scored_index(idx, session=Session())
+    n0 = len(eng.session._cache)
+    for t in (2, 5, 8):
+        eng.search(np.zeros((3, t), np.int32), top_k=3)
+    assert len(eng.session._cache) == n0 + 1
