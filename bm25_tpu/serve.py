@@ -57,7 +57,10 @@ class MicroBatcher:
         """Submit one request's (n, T) query matrix; blocks until scored."""
         item = {"ids": ids, "k": int(top_k), "ev": threading.Event(), "out": None}
         self._q.put(item)
-        item["ev"].wait()
+        # poll the collector's liveness so a dead thread can't strand waiters
+        while not item["ev"].wait(timeout=1.0):
+            if not self._thread.is_alive():
+                raise RuntimeError("MicroBatcher collector thread died")
         if isinstance(item["out"], Exception):
             raise item["out"]
         return item["out"]

@@ -270,3 +270,14 @@ def test_server_warmup(tmp_path_factory, request, capsys):
         assert out["results"][0][0]["doc"] == 0
     finally:
         srv.shutdown()
+
+
+def test_microbatcher_dead_collector_raises():
+    import numpy as np
+
+    from bm25_tpu.serve import MicroBatcher
+
+    mb = MicroBatcher(_RecordingEngine(), window_ms=1.0)
+    mb.close()  # collector exits cleanly; queue is no longer drained
+    with pytest.raises(RuntimeError, match="collector thread died"):
+        mb.search(np.zeros((1, 2), np.int32), top_k=1)
