@@ -52,6 +52,10 @@ def save_snapshot(path: str | os.PathLike, index: ScoredIndex) -> None:
 
 def load_snapshot(path: str | os.PathLike) -> ScoredIndex:
     path = os.fspath(path)
+    # np.savez_compressed appends .npz to extension-less save paths; accept
+    # the same path the caller passed to save_snapshot
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path += ".npz"
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode())
         if meta["version"] != SNAPSHOT_VERSION:

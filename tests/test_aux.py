@@ -127,3 +127,24 @@ def test_distributed_initialize_noop_single_process(monkeypatch):
     distributed.initialize()  # single process: must be a silent no-op
     pid, count = distributed.process_info()
     assert pid == 0 and count == 1
+
+
+def test_snapshot_round_trip_without_npz_extension(tmp_path, zipf_corpus_small):
+    """save_snapshot('x') -> load_snapshot('x') must work even though numpy
+    silently writes 'x.npz' (found by a live round-trip drive)."""
+    import numpy as np
+
+    from bm25_tpu.index.snapshot import load_snapshot, save_snapshot
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    out = Tokenizer(stopwords=None, stemmer=None).tokenize_corpus(
+        zipf_corpus_small[:50]
+    )
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    p = str(tmp_path / "snap")  # no extension
+    save_snapshot(p, idx)
+    idx2 = load_snapshot(p)
+    np.testing.assert_array_equal(idx.indptr, idx2.indptr)
+    np.testing.assert_array_equal(idx.indices, idx2.indices)
+    np.testing.assert_allclose(idx.data, idx2.data)
