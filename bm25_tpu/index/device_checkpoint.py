@@ -26,7 +26,21 @@ def _engine_state(engine) -> dict:
             "doc_ids": engine.doc_ids,
             "offsets": engine.offsets,
         }
-    raise TypeError(f"unsupported engine type {name}")
+    if name == "DenseEngine":
+        return {"st": engine.st, "offsets": engine.offsets}
+    if name == "SparseEngine":
+        # buckets is a list of dicts of device arrays — a pytree Orbax
+        # shards/restores directly, skipping the host index rebuild on a
+        # warm restart (3.7 GB device state at MS MARCO scale)
+        return {
+            "buckets": engine.buckets,
+            "offsets": engine.offsets,
+            "hot_table": engine.hot_table,
+        }
+    raise TypeError(
+        f"unsupported engine type {name}; use index/snapshot.py for "
+        "host-side index state"
+    )
 
 
 def save_device_checkpoint(path: str | os.PathLike, engine) -> None:

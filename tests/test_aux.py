@@ -148,3 +148,43 @@ def test_snapshot_round_trip_without_npz_extension(tmp_path, zipf_corpus_small):
     np.testing.assert_array_equal(idx.indptr, idx2.indptr)
     np.testing.assert_array_equal(idx.indices, idx2.indices)
     np.testing.assert_allclose(idx.data, idx2.data)
+
+
+def test_device_checkpoint_single_chip_engines(tmp_path, zipf_corpus_small):
+    import numpy as np
+
+    from bm25_tpu.index.device_checkpoint import (
+        restore_device_checkpoint,
+        save_device_checkpoint,
+    )
+    from bm25_tpu.models.dense import DenseEngine
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    out = Tokenizer(stopwords=None, stemmer=None).tokenize_corpus(
+        zipf_corpus_small[:80]
+    )
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    q = np.array([[0, 2, 5, -1]], dtype=np.int32)
+    for i, cls in enumerate((SparseEngine, DenseEngine)):
+        e1 = cls.from_scored_index(idx)
+        d1, s1 = e1.search(q, top_k=4)
+        save_device_checkpoint(tmp_path / f"ck{i}", e1)
+        e2 = cls.from_scored_index(idx)
+        restore_device_checkpoint(tmp_path / f"ck{i}", e2)
+        d2, s2 = e2.search(q, top_k=4)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(s1, s2)
+
+
+def test_device_checkpoint_rejects_unknown_engine(tmp_path):
+    import pytest as _pytest
+
+    from bm25_tpu.index.device_checkpoint import save_device_checkpoint
+
+    class Odd:
+        pass
+
+    with _pytest.raises(TypeError, match="snapshot.py"):
+        save_device_checkpoint(tmp_path / "x", Odd())
