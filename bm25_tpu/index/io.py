@@ -31,7 +31,7 @@ FORMAT_VERSION = "0.2.12"
 PAD_TOKEN = ""
 
 
-def _params_to_json(p: BM25Params, num_docs: int) -> dict:
+def _params_to_json(p: BM25Params, num_docs: int, int_dtype: str = "int32") -> dict:
     return {
         "k1": p.k1,
         "b": p.b,
@@ -39,7 +39,7 @@ def _params_to_json(p: BM25Params, num_docs: int) -> dict:
         "method": p.method,
         "idf_method": p.effective_idf_method,
         "dtype": "float32",
-        "int_dtype": "int32",
+        "int_dtype": int_dtype,
         "num_docs": num_docs,
         "version": FORMAT_VERSION,
         "backend": "jax-tpu",
@@ -59,7 +59,14 @@ def save_index(
     np.save(
         os.path.join(path, "indices.csc.index.npy"), index.indices.astype(np.int32)
     )
-    np.save(os.path.join(path, "indptr.csc.index.npy"), index.indptr.astype(np.int32))
+    # bm25s pins int32 offsets; above 2^31-1 postings an int32 cast would
+    # silently wrap, so keep int64 (recorded in params.index.json int_dtype;
+    # load_index reads either width)
+    indptr_dtype = np.int32 if index.nnz < 2**31 else np.int64
+    np.save(
+        os.path.join(path, "indptr.csc.index.npy"),
+        index.indptr.astype(indptr_dtype),
+    )
 
     vocab = dict(index.vocab) if index.vocab else {
         str(i): i for i in range(index.vocab_size)
@@ -70,7 +77,13 @@ def save_index(
         json.dump(vocab, f)
 
     with open(os.path.join(path, "params.index.json"), "w") as f:
-        json.dump(_params_to_json(index.params, index.num_docs), f, indent=4)
+        json.dump(
+            _params_to_json(
+                index.params, index.num_docs, int_dtype=np.dtype(indptr_dtype).name
+            ),
+            f,
+            indent=4,
+        )
 
     if index.token_offsets is not None and np.any(index.token_offsets):
         np.save(

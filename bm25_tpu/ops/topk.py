@@ -75,8 +75,10 @@ def top_k(
     neg = not largest
     if neg:
         if not jnp.issubdtype(x.dtype, jnp.floating):
-            # avoid INT_MIN overflow: promote to float for selection
-            xs = -x.astype(jnp.float32)
+            # bitwise NOT is an exact, overflow-free order reversal for
+            # two's-complement (and unsigned) ints — unlike -x, which wraps
+            # at INT_MIN
+            xs = ~x
         else:
             xs = -x
     else:
@@ -97,9 +99,7 @@ def top_k(
         raise ValueError(f"unknown implementation {implementation!r}")
 
     if neg:
-        v = (-v).astype(x.dtype)
-        if not jnp.issubdtype(x.dtype, jnp.floating):
-            v = jnp.take_along_axis(x, i, axis=-1)
+        v = ~v if not jnp.issubdtype(x.dtype, jnp.floating) else (-v).astype(x.dtype)
     return v, i
 
 
@@ -245,12 +245,18 @@ def _pallas_topk_lastaxis(x: jax.Array, k: int):
 def _sorted_topk(vals: jax.Array, idx: jax.Array, k: int):
     """(vals, idx) -> k largest, sorted desc, ties by candidate order.
 
-    Uses a stable variadic ``lax.sort`` on negated values carrying the
-    index operand — measured ~50x faster than ``lax.top_k`` for k=1000 on
-    TPU v5e (see docs/design.md).
+    Uses a stable variadic ``lax.sort`` on order-reversed values carrying
+    the index operand — measured ~50x faster than ``lax.top_k`` for k=1000
+    on TPU v5e (see docs/design.md).  Integer inputs reverse via bitwise
+    NOT (exact for the whole range, including the INT_MIN padding
+    ``_tree_level`` inserts — negation would wrap INT_MIN back onto itself
+    and let pad slots win).
     """
-    nv, ni = lax.sort((-vals, idx), num_keys=1, is_stable=True)
-    return -nv[:, :k], ni[:, :k]
+    if jnp.issubdtype(vals.dtype, jnp.floating):
+        nv, ni = lax.sort((-vals, idx), num_keys=1, is_stable=True)
+        return -nv[:, :k], ni[:, :k]
+    nv, ni = lax.sort((~vals, idx), num_keys=1, is_stable=True)
+    return ~nv[:, :k], ni[:, :k]
 
 
 def _tree_level(x2: jax.Array, k: int, branch: int, base: int):

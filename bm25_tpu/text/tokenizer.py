@@ -144,22 +144,44 @@ class Tokenizer:
 
             native = _native_loader.get()
         if native is not None:
-            return native.tokenize_corpus(texts, stopwords=self._stop)
+            # The native pipeline matches the Python oracle byte-for-byte on
+            # ASCII only: its word classes, case folding, and stemmer do not
+            # handle non-ASCII (unicode punctuation would glue tokens, and
+            # 'Über' would never fold/stem to the query path's 'über').
+            # Route non-ASCII documents through the Python path, sharing one
+            # vocab, so corpus and query tokenization always agree.
+            non_ascii = [i for i, t in enumerate(texts) if not t.isascii()]
+            if not non_ascii:
+                return native.tokenize_corpus(texts, stopwords=self._stop)
+            ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
+            tc = native.tokenize_corpus(
+                [texts[i] for i in ascii_idx], stopwords=self._stop
+            )
+            vocab = tc.vocab
+            ids: list[np.ndarray] = [None] * len(texts)  # type: ignore[list-item]
+            for pos, i in enumerate(ascii_idx):
+                ids[i] = tc.ids[pos]
+            for i in non_ascii:
+                ids[i] = self._encode_doc(texts[i], vocab)
+            return TokenizedCorpus(ids=ids, vocab=vocab)
 
         if vocab is None:
             vocab = {}
-        ids: list[np.ndarray] = []
-        for text in texts:
-            ws = self.words(text)
-            doc = np.empty(len(ws), dtype=np.int32)
-            for j, w in enumerate(ws):
-                tid = vocab.get(w)
-                if tid is None:
-                    tid = len(vocab)
-                    vocab[w] = tid
-                doc[j] = tid
-            ids.append(doc)
-        return TokenizedCorpus(ids=ids, vocab=vocab)
+        return TokenizedCorpus(
+            ids=[self._encode_doc(text, vocab) for text in texts], vocab=vocab
+        )
+
+    def _encode_doc(self, text: str, vocab: dict[str, int]) -> np.ndarray:
+        """Encode one document's words to ids, extending ``vocab`` in place."""
+        ws = self.words(text)
+        doc = np.empty(len(ws), dtype=np.int32)
+        for j, w in enumerate(ws):
+            tid = vocab.get(w)
+            if tid is None:
+                tid = len(vocab)
+                vocab[w] = tid
+            doc[j] = tid
+        return doc
 
     def _is_native_compatible(self) -> bool:
         return (

@@ -74,3 +74,38 @@ def test_mmindex_offsets_match_reference_convention(tmp_path, animal_corpus,
     build_index(animal_corpus, save_to=str(tmp_path / "idx"))
     offsets = json.load(open(tmp_path / "idx" / "corpus.mmindex.json"))
     assert offsets == reference_artifacts["mmindex"]
+
+
+def test_save_index_keeps_int64_indptr_above_int32_nnz(tmp_path, monkeypatch):
+    """nnz >= 2^31 must not silently wrap indptr to int32 (ADVICE r1)."""
+    import json
+    from unittest import mock
+
+    import numpy as np
+
+    from bm25_tpu.index.io import load_index, save_index
+    from bm25_tpu.scoring import BM25Params, ScoredIndex
+
+    idx = ScoredIndex(
+        indptr=np.array([0, 1, 2, 3], dtype=np.int64),
+        indices=np.array([0, 1, 0], dtype=np.int32),
+        data=np.array([1.0, 2.0, 3.0], dtype=np.float32),
+        num_docs=2,
+        doc_lengths=np.array([2, 1], dtype=np.int32),
+        params=BM25Params(),
+        vocab={"a": 0, "b": 1, "c": 2},
+    )
+    with mock.patch.object(
+        type(idx), "nnz", new_callable=mock.PropertyMock, return_value=2**31 + 7
+    ):
+        save_index(tmp_path / "big", idx)
+    out = np.load(tmp_path / "big" / "indptr.csc.index.npy")
+    assert out.dtype == np.int64
+    with open(tmp_path / "big" / "params.index.json") as f:
+        assert json.load(f)["int_dtype"] == "int64"
+    # normal-size indices still save int32 (bm25s byte compatibility)
+    save_index(tmp_path / "small", idx)
+    out = np.load(tmp_path / "small" / "indptr.csc.index.npy")
+    assert out.dtype == np.int32
+    loaded = load_index(tmp_path / "small")
+    np.testing.assert_array_equal(loaded.indptr, idx.indptr)

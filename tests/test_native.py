@@ -71,3 +71,44 @@ def test_tokenizer_auto_uses_native(native, animal_corpus):
     assert t_on.vocab == t_off.vocab
     for a, b in zip(t_on.ids, t_off.ids):
         np.testing.assert_array_equal(a, b)
+
+
+def test_tokenizer_unicode_parity_with_native_enabled(native):
+    """Non-ASCII docs route through the Python oracle path even when the
+    native fast path is enabled (ADVICE r1: the C++ tokenizer treats bytes
+    >= 0x80 as word chars and never folds/stems non-ASCII, so corpus and
+    query tokenization would silently diverge)."""
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    docs = [
+        "the quick brown fox jumps over lazy dogs",
+        "Über das schöne Café — naïve Träume!",
+        "plain ascii document about felines and dogs",
+        "cafÉ people… enjoy coffee’s aroma",
+        "mixed doc: naïve cats eat ASCII food",
+    ]
+    t_on = Tokenizer(use_native=True).tokenize_corpus(docs)
+    t_off = Tokenizer(use_native=False).tokenize_corpus(docs)
+    # vocab id ORDER may differ (native assigns ASCII-doc terms first); the
+    # invariant is the per-doc term sequence.
+    inv_on = {v: k for k, v in t_on.vocab.items()}
+    inv_off = {v: k for k, v in t_off.vocab.items()}
+    assert set(t_on.vocab) == set(t_off.vocab)
+    for a, b in zip(t_on.ids, t_off.ids):
+        assert [inv_on[i] for i in a.tolist()] == [inv_off[i] for i in b.tolist()]
+    # query-time tokens must hit the corpus vocab (the round-1 failure mode
+    # was 'über'/'café' OOV because the corpus kept 'Über'/'cafÉ')
+    tok = Tokenizer(use_native=True)
+    q = tok.tokenize_queries(["über café naïve"], t_on.vocab)
+    assert (q >= 0).sum() == 3
+
+
+def test_tokenizer_all_non_ascii_corpus(native):
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    docs = ["schöne Träume über alles", "naïve café präzise"]
+    t_on = Tokenizer(use_native=True).tokenize_corpus(docs)
+    t_off = Tokenizer(use_native=False).tokenize_corpus(docs)
+    assert t_on.vocab == t_off.vocab
+    for a, b in zip(t_on.ids, t_off.ids):
+        np.testing.assert_array_equal(a, b)

@@ -286,3 +286,47 @@ def test_pallas_sampling_seed_sensitivity():
     _, sb = top_k_fused_sampling(jax.random.PRNGKey(2), x, k=10,
                                  temperature=5.0, implementation="pallas")
     assert (np.asarray(sa) != np.asarray(sb)).any()
+
+
+# -- integer dtypes through the tree path (ADVICE r1: INT_MIN padding) ---------
+
+
+def test_int_dtype_tree_unaligned_n():
+    """auto-dispatch uses the tree for n > max(2k, 4096); INT_MIN group
+    padding must never win (bitwise-NOT keys, not negation)."""
+    rng = np.random.default_rng(17)
+    x = rng.integers(-(2**31) + 1, 2**31 - 1, size=(1, 5001), dtype=np.int32)
+    v, i = top_k(jnp.asarray(x), 3)
+    ev, ei = np_topk(x, 3)
+    np.testing.assert_array_equal(np.asarray(v), ev.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(i), ei)
+    assert np.asarray(i).max() < 5001
+    assert np.asarray(v).dtype == np.int32
+
+
+def test_int_dtype_smallest_exact():
+    """largest=False on ints must select exactly (no float32 rounding of the
+    keys) and return exact values."""
+    rng = np.random.default_rng(18)
+    base = np.int32(2**30)
+    # adjacent huge ints that would collide after a float32 round-trip
+    x = (base + rng.permutation(6000).astype(np.int32))[None, :]
+    v, i = top_k(jnp.asarray(x), 5, largest=False)
+    ev, ei = np_topk(x, 5, largest=False)
+    np.testing.assert_array_equal(np.asarray(v), ev.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(i), ei)
+    v, i = top_k(jnp.asarray(x[:, :64]), 5, largest=False)
+    ev, ei = np_topk(x[:, :64], 5, largest=False)
+    np.testing.assert_array_equal(np.asarray(v), ev.astype(np.int64))
+
+
+def test_int_dtype_extremes_with_ties():
+    x = np.array(
+        [[7, -(2**31), 2**31 - 1, 7, 2**31 - 1, -(2**31), 0]], dtype=np.int32
+    )
+    x = np.tile(x, (1, 750))  # n=5250 -> tree path
+    for largest in (True, False):
+        v, i = top_k(jnp.asarray(x), 4, largest=largest)
+        ev, ei = np_topk(x, 4, largest=largest)
+        np.testing.assert_array_equal(np.asarray(v), ev.astype(np.int64))
+        np.testing.assert_array_equal(np.asarray(i), ei)
