@@ -65,19 +65,30 @@ def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
     csc = (
         index.indptr.nbytes + index.indices.nbytes + index.data.nbytes
     )
+    def _nbytes(x) -> int:
+        return int(np.prod(x.shape)) * x.dtype.itemsize
+
     dev = 0
     name = type(engine).__name__
     if name == "DenseEngine":
-        dev = int(np.prod(engine.st.shape)) * engine.st.dtype.itemsize
+        dev = _nbytes(engine.st)
     elif name == "SparseEngine":
         for b in engine.buckets:
-            dev += int(np.prod(b["tokT"].shape)) * 4
-            dev += int(np.prod(b["valT"].shape)) * b["valT"].dtype.itemsize
-            dev += int(np.prod(b["doc_ids"].shape)) * 4
-            if "hotT" in b:
-                dev += int(np.prod(b["hotT"].shape)) * b["hotT"].dtype.itemsize
+            # every device array the query step reads (hotLo is the bf16
+            # residual pair of hotT — same size again)
+            dev += sum(_nbytes(b[key]) for key in b)
+        for extra in ("offsets", "hot_table"):
+            dev += _nbytes(getattr(engine, extra))
+        for tail_key in ("tail_docs", "tail_vals", "tail_toks", "tail_rows"):
+            arr = getattr(engine, tail_key, None)
+            if arr is not None:
+                dev += _nbytes(arr)
     elif name == "ShardedEngine":
-        dev = int(np.prod(engine.st.shape)) * engine.st.dtype.itemsize
+        dev = _nbytes(engine.st)
+    elif name == "ShardedSparseEngine":
+        for key in ("tokT", "valT", "hotT", "hotLo", "doc_ids", "offsets",
+                    "hot_table"):
+            dev += _nbytes(getattr(engine, key))
     return MemoryStats(
         csc_bytes=csc, device_bytes=dev,
         overhead_ratio=dev / csc if csc else float("inf"),

@@ -1,21 +1,48 @@
-"""Sharded device checkpoints via Orbax (multi-chip warm restart).
+"""Device checkpoints via Orbax: warm restart without the host rebuild.
 
-Complements index/snapshot.py (host-side .npz): for sharded engines the
-index arrays live distributed across the mesh, and Orbax checkpoints them
-without gathering to one host — each process writes its shards, and
-restore places shards directly according to the target sharding.  This is
-the restart path for multi-host serving (the reference has no multi-device
-state at all, SURVEY.md section 5).
+Complements index/snapshot.py (host-side .npz): engines checkpoint every
+device array their query step reads, plus a JSON metadata sidecar carrying
+the scalar fields (num_docs, hot_h, ...) and the vocab.  Restore therefore
+has a metadata-only path — ``load_device_checkpoint`` reconstructs the
+engine object from the sidecar and places arrays straight onto the device
+mesh, skipping ``from_scored_index`` (and the ELL/hot-split rebuild)
+entirely.  For sharded engines each process writes/reads only its shards.
+
+The reference has no multi-device or device-resident state at all
+(SURVEY.md section 5); this is the TPU-native extension of its bm25s
+save/load checkpointing (``/root/reference/bm25_test.py:35-42``).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
+import numpy as np
+
+CHECKPOINT_VERSION = 2
+
+# engine field -> PartitionSpec factory for sharded restore targets
+_SHARDED_SPECS = {
+    "ShardedEngine": {
+        "st": ("none", "docs"),
+        "offsets": (),
+    },
+    "ShardedSparseEngine": {
+        "tokT": ("none", "docs"),
+        "valT": ("none", "docs"),
+        "hotT": ("none", "docs"),
+        "hotLo": ("none", "docs"),
+        "doc_ids": ("docs",),
+        "offsets": (),
+        "hot_table": (),
+    },
+}
 
 
 def _engine_state(engine) -> dict:
+    """Every device array the engine's query step reads."""
     name = type(engine).__name__
     if name == "ShardedEngine":
         return {"st": engine.st, "offsets": engine.offsets}
@@ -23,50 +50,214 @@ def _engine_state(engine) -> dict:
         return {
             "tokT": engine.tokT,
             "valT": engine.valT,
+            "hotT": engine.hotT,
+            "hotLo": engine.hotLo,
             "doc_ids": engine.doc_ids,
             "offsets": engine.offsets,
+            "hot_table": engine.hot_table,
         }
     if name == "DenseEngine":
         return {"st": engine.st, "offsets": engine.offsets}
     if name == "SparseEngine":
-        # buckets is a list of dicts of device arrays — a pytree Orbax
-        # shards/restores directly, skipping the host index rebuild on a
-        # warm restart (3.7 GB device state at MS MARCO scale)
-        return {
+        state = {
             "buckets": engine.buckets,
             "offsets": engine.offsets,
             "hot_table": engine.hot_table,
         }
+        for key in ("tail_docs", "tail_vals", "tail_toks", "tail_rows"):
+            arr = getattr(engine, key, None)
+            if arr is not None:
+                state[key] = arr
+        return state
     raise TypeError(
         f"unsupported engine type {name}; use index/snapshot.py for "
         "host-side index state"
     )
 
 
+def _engine_meta(engine) -> dict:
+    name = type(engine).__name__
+    meta = {
+        "version": CHECKPOINT_VERSION,
+        "engine": name,
+        "num_docs": int(engine.num_docs),
+        "vocab_size": int(engine.vocab_size),
+        "vocab": engine.vocab,
+        "hot_h": int(getattr(engine, "hot_h", 0)),
+        "tail_cap": int(getattr(engine, "tail_cap", 0)),
+        "tree": jax.tree.map(
+            lambda x: [list(x.shape), str(x.dtype)], _engine_state(engine)
+        ),
+    }
+    return meta
+
+
+def _meta_path(path: str) -> str:
+    return path + ".meta.json"
+
+
 def save_device_checkpoint(path: str | os.PathLike, engine) -> None:
-    """Write the engine's device arrays as an Orbax checkpoint."""
+    """Write the engine's device arrays + metadata sidecar."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.fspath(path))
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, _engine_state(engine))
+    if jax.process_index() == 0:
+        with open(_meta_path(path), "w") as f:
+            json.dump(_engine_meta(engine), f)
+
+
+def _restore_state(path: str, meta: dict, shardings) -> dict:
+    import orbax.checkpoint as ocp
+
+    targets = jax.tree.map(
+        lambda spec, sh: jax.ShapeDtypeStruct(
+            tuple(spec[0]), np.dtype(spec[1]), sharding=sh
+        ),
+        meta["tree"],
+        shardings,
+        is_leaf=lambda x: isinstance(x, list) and len(x) == 2
+        and isinstance(x[1], str),
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, targets)
+
+
+def _single_device_shardings(meta: dict, device) -> dict:
+    sh = jax.sharding.SingleDeviceSharding(device)
+    return jax.tree.map(
+        lambda spec: sh,
+        meta["tree"],
+        is_leaf=lambda x: isinstance(x, list) and len(x) == 2
+        and isinstance(x[1], str),
+    )
+
+
+def _mesh_shardings(meta: dict, mesh) -> dict:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bm25_tpu.parallel.mesh import DOC_AXIS
+
+    specs = _SHARDED_SPECS[meta["engine"]]
+
+    def to_sharding(field_spec):
+        parts = tuple(
+            None if p == "none" else DOC_AXIS if p == "docs" else p
+            for p in field_spec
+        )
+        return NamedSharding(mesh, P(*parts))
+
+    return {key: to_sharding(spec) for key, spec in specs.items()}
+
+
+def load_device_checkpoint(
+    path: str | os.PathLike, mesh=None, session=None
+):
+    """Reconstruct an engine from a checkpoint — metadata-only, no host index.
+
+    This is the warm-restart path: no ScoredIndex, no ELL re-bucketing, no
+    hot/cold re-split; arrays restore straight to their device placements.
+    ``mesh`` is required for sharded engine types (must match the shape the
+    checkpoint was saved under); ``session`` optionally pins the device for
+    single-chip engines.
+    """
+    path = os.path.abspath(os.fspath(path))
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    if meta["version"] > CHECKPOINT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {meta['version']}")
+    name = meta["engine"]
+    vocab = meta["vocab"]
+    if vocab is not None:
+        vocab = dict(vocab)
+
+    if name in ("DenseEngine", "SparseEngine"):
+        from bm25_tpu.runtime.session import get_session
+
+        session = session or get_session()
+        state = _restore_state(
+            path, meta, _single_device_shardings(meta, session.device)
+        )
+        if name == "DenseEngine":
+            from bm25_tpu.models.dense import DenseEngine
+
+            return DenseEngine(
+                st=state["st"],
+                offsets=state["offsets"],
+                num_docs=meta["num_docs"],
+                vocab_size=meta["vocab_size"],
+                session=session,
+                vocab=vocab,
+            )
+        from bm25_tpu.models.sparse import SparseEngine
+
+        return SparseEngine(
+            buckets=state["buckets"],
+            offsets=state["offsets"],
+            hot_table=state["hot_table"],
+            hot_h=meta["hot_h"],
+            num_docs=meta["num_docs"],
+            vocab_size=meta["vocab_size"],
+            session=session,
+            vocab=vocab,
+            tail_docs=state.get("tail_docs"),
+            tail_vals=state.get("tail_vals"),
+            tail_toks=state.get("tail_toks"),
+            tail_rows=state.get("tail_rows"),
+            tail_cap=meta.get("tail_cap", 0),
+        )
+
+    if name in _SHARDED_SPECS:
+        if mesh is None:
+            from bm25_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        state = _restore_state(path, meta, _mesh_shardings(meta, mesh))
+        if name == "ShardedEngine":
+            from bm25_tpu.parallel.sharded_engine import ShardedEngine
+
+            return ShardedEngine(
+                st=state["st"],
+                offsets=state["offsets"],
+                num_docs=meta["num_docs"],
+                vocab_size=meta["vocab_size"],
+                mesh=mesh,
+                vocab=vocab,
+                _cache={},
+            )
+        from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+        return ShardedSparseEngine(
+            tokT=state["tokT"],
+            valT=state["valT"],
+            hotT=state["hotT"],
+            hotLo=state["hotLo"],
+            hot_table=state["hot_table"],
+            hot_h=meta["hot_h"],
+            doc_ids=state["doc_ids"],
+            offsets=state["offsets"],
+            num_docs=meta["num_docs"],
+            vocab_size=meta["vocab_size"],
+            mesh=mesh,
+            vocab=vocab,
+            _cache={},
+        )
+    raise TypeError(f"unsupported engine type {name} in checkpoint")
 
 
 def restore_device_checkpoint(path: str | os.PathLike, engine) -> None:
-    """Restore device arrays in place of the engine's (same mesh/sharding).
+    """Restore device arrays in place of an already-built engine's.
 
-    ``engine`` must be constructed with the same index metadata (shapes,
-    mesh); its arrays provide the target shardings for distributed restore.
+    Prefer ``load_device_checkpoint`` (no host rebuild needed); this
+    variant exists for restoring into a live engine whose mesh/session
+    should be kept.
     """
-    import orbax.checkpoint as ocp
-
     path = os.path.abspath(os.fspath(path))
     state = _engine_state(engine)
-    targets = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
-        state,
-    )
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, targets)
+    shardings = jax.tree.map(lambda x: x.sharding, state)
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    restored = _restore_state(path, meta, shardings)
     for key, val in restored.items():
         setattr(engine, key, val)

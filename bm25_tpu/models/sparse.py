@@ -255,6 +255,12 @@ class SparseEngine:
     # chunk i overlaps result transfer of chunk i-1; also pins the compiled
     # query-batch shape
     chunk_queries: int = 512
+    # tail tier (candidate generation for low-DF tokens); None = disabled
+    tail_docs: jax.Array | None = None  # (R, P) int32 doc ids, -1 pad
+    tail_vals: jax.Array | None = None  # (R, P) float32 contributions
+    tail_toks: jax.Array | None = None  # (R, P) int32 owning token ids
+    tail_rows: jax.Array | None = None  # (V+1, C) int32 row ids, -1 pad
+    tail_cap: int = 0  # max DF routed to the tail tier
 
     @classmethod
     def from_scored_index(

@@ -36,6 +36,8 @@ def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int):
     n_doc_shards = mesh.shape[DOC_AXIS]
 
     def local_step(st_l, offsets, ids):
+        from bm25_tpu.ops.gather_rows import gather_add_rows
+
         # st_l: (V_pad, D_pad / n_doc_shards) — this shard's doc slice
         q, t = ids.shape
         d_local = st_l.shape[1]
@@ -43,12 +45,10 @@ def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int):
         valid = ids >= 0
         safe = jnp.where(valid, ids, zero_row)
 
-        def body(acc, ids_t):
-            return acc + st_l[ids_t], None
-
-        scores, _ = lax.scan(
-            body, jnp.zeros((q, d_local), st_l.dtype), jnp.transpose(safe)
-        )
+        # same fused scalar-prefetch gather kernel as the single-chip
+        # DenseEngine (3.1x the scan-gather; docs/design.md) — kernel parity
+        # between sharded and single-chip dense paths
+        scores = gather_add_rows(st_l, safe)
 
         qoff = jnp.sum(
             jnp.where(valid, offsets[safe], jnp.zeros((), offsets.dtype)), axis=1

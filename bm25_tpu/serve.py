@@ -22,9 +22,58 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class ServerMetrics:
+    """Thread-safe request/latency/batch-occupancy counters for /healthz.
+
+    Latency percentiles are computed over a sliding window of the most
+    recent requests (default 4096) so long-running servers report current
+    behavior, not lifetime averages.
+    """
+
+    def __init__(self, window: int = 4096):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.queries = 0
+        self.errors = 0
+        self._lat = deque(maxlen=window)
+
+    def record(self, n_queries: int, seconds: float) -> None:
+        with self._lock:
+            self.requests += 1
+            self.queries += n_queries
+            self._lat.append(seconds)
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self, batcher=None) -> dict:
+        with self._lock:
+            lat = list(self._lat)
+            out = {
+                "requests": self.requests,
+                "queries": self.queries,
+                "errors": self.errors,
+            }
+        if lat:
+            arr = np.asarray(lat)
+            out["latency_ms"] = {
+                "p50": round(float(np.percentile(arr, 50)) * 1e3, 2),
+                "p90": round(float(np.percentile(arr, 90)) * 1e3, 2),
+                "p99": round(float(np.percentile(arr, 99)) * 1e3, 2),
+            }
+        if batcher is not None:
+            out["batches_run"] = batcher.batches_run
+            out["batch_occupancy"] = round(
+                batcher.rows_run / max(batcher.batches_run, 1), 2
+            )
+        return out
 
 
 class MicroBatcher:
@@ -135,6 +184,7 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
     corpus = None
     stats = None
     batcher = None  # optional MicroBatcher
+    metrics = None  # ServerMetrics
 
     def _send(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
@@ -150,6 +200,8 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path.startswith("/healthz"):
             payload = {"status": "ok", **(self.stats or {})}
+            if self.metrics is not None:
+                payload["metrics"] = self.metrics.snapshot(self.batcher)
             if "deep=1" in self.path:
                 from bm25_tpu.runtime.health import device_probe, engine_probe
 
@@ -182,11 +234,20 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             self._send(400, {"error": str(e)})
             return
 
-        ids = self.tokenizer.tokenize_queries(queries, self.vocab)
-        if self.batcher is not None:
-            docs, scores = self.batcher.search(ids, top_k=top_k)
-        else:
-            docs, scores = self.engine.search(ids, top_k=top_k)
+        t0 = time.monotonic()
+        try:
+            ids = self.tokenizer.tokenize_queries(queries, self.vocab)
+            if self.batcher is not None:
+                docs, scores = self.batcher.search(ids, top_k=top_k)
+            else:
+                docs, scores = self.engine.search(ids, top_k=top_k)
+        except Exception as e:
+            if self.metrics is not None:
+                self.metrics.record_error()
+            self._send(500, {"error": str(e)})
+            return
+        if self.metrics is not None:
+            self.metrics.record(len(queries), time.monotonic() - t0)
         results = []
         for qi in range(len(queries)):
             row = []
@@ -229,6 +290,7 @@ class Server:
             else None
         )
         handler.batcher = self.batcher
+        self.metrics = handler.metrics = ServerMetrics()
         handler.stats = {
             "num_docs": index.num_docs,
             "vocab_size": index.vocab_size,

