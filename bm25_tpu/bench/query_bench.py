@@ -25,7 +25,10 @@ class BenchConfig:
     num_queries: int = 2048
     batch: int = 512
     query_len: int = 8
-    top_k: int = 100
+    # headline config is the BASELINE.md target row (k=1000); k=100 is
+    # measured alongside as the secondary row
+    top_k: int = 1000
+    top_k2: int = 100
     baseline_queries: int = 32
     seed: int = 0
     engine: str = "auto"
@@ -73,17 +76,119 @@ def recall_at_k(got_docs: np.ndarray, want_docs: np.ndarray) -> float:
     return hits / want_docs.size
 
 
-def run(cfg: BenchConfig | None = None, log=print) -> dict:
-    cfg = cfg or BenchConfig.from_env()
-    log(f"[bench] building synthetic index: {cfg.num_docs} docs, vocab {cfg.vocab}")
-    t0 = time.perf_counter()
-    index = make_synthetic_index(cfg)
-    build_s = time.perf_counter() - t0
-    log(f"[bench] built in {build_s:.1f}s (nnz={index.nnz})")
-    queries = make_queries(cfg)
-    k = min(cfg.top_k, cfg.num_docs)
+def measure_device_step_ms(engine, queries: np.ndarray, k: int,
+                           iters: int = 5) -> float | None:
+    """Relay-proof on-device step time: N dependency-chained steps, 1 fetch.
 
-    # --- baseline: reference CSC engine on host -----------------------------
+    Through the axon relay every host fetch pays a ~30 ms round trip and
+    d2h runs at ~25-37 MB/s, so wall-clock e2e numbers are dominated by
+    transfers; this measures the pure device step as
+    (t(iters) - t(1)) / (iters - 1).  SparseEngine only (the bench engine).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from bm25_tpu.models.sparse import SparseEngine, make_sparse_query_step
+    from bm25_tpu.utils.padding import next_multiple, next_pow2_at_least
+
+    if not isinstance(engine, SparseEngine):
+        return None
+    q_real, t_real = queries.shape
+    q_pad = next_multiple(q_real, 8)
+    t_pad = next_pow2_at_least(max(t_real, 8))
+    padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
+    padded[:q_real, :t_real] = queries.astype(np.int32)
+    ids = engine.session.put(padded)
+    step = make_sparse_query_step(min(k, engine.num_docs), engine.hot_h,
+                                  pack=True)
+    tail = engine._tail
+
+    def looped(n):
+        # arrays enter as jit ARGUMENTS — closing over them would bake
+        # them into the HLO as giant literal constants (the remote-compile
+        # relay rejects the oversized program with HTTP 413)
+        @jax.jit
+        def f(ids, buckets, offsets, hot_table, tail_arrs):
+            def body(i, acc):
+                out = step(ids + (acc * 0).astype(jnp.int32),
+                           buckets, offsets, hot_table, tail_arrs)
+                return out[0, 0]
+
+            return lax.fori_loop(0, n, body, jnp.float32(0))
+
+        return f
+
+    args = (ids, engine.buckets, engine.offsets, engine.hot_table, tail)
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    f1, fn_ = looped(1), looped(iters)
+    float(f1(*args))  # compile
+    float(fn_(*args))
+    t1, tn = timed(f1), timed(fn_)
+    return max((tn - t1) / (iters - 1), 0.0) * 1e3
+
+
+def estimate_step_hbm_bytes(engine, q: int) -> int | None:
+    """Minimum HBM traffic model for one SparseEngine batch.
+
+    Per batch: the ELL postings stream once per query tile (TQ=128), the
+    hot matrices stream once through the MXU, and each bucket's dense
+    (Q, rows) base tile is written once and read ~twice (mask + top-k
+    tree's geometric series).
+    """
+    from bm25_tpu.models.sparse import SparseEngine
+
+    if not isinstance(engine, SparseEngine):
+        return None
+    from bm25_tpu.ops.ell_score import BLOCK_Q
+
+    def nbytes(a):
+        return int(np.prod(a.shape)) * a.dtype.itemsize
+
+    q_tiles = max(1, -(-q // BLOCK_Q))
+    total = 0
+    for b in engine.buckets:
+        rows = b["doc_ids"].shape[0]
+        if "tokT" in b:
+            total += (nbytes(b["tokT"]) + nbytes(b["valT"])) * q_tiles
+        for key in ("hotT", "hotLo"):
+            if key in b:
+                total += nbytes(b[key])
+        total += q * rows * 4 * 3  # base write + mask read + top-k read
+    return total
+
+
+# v5e peak HBM bandwidth (GB/s), the utilization denominator
+V5E_HBM_GBPS = 819.0
+# v5e VPU elementwise ceiling (ops/s): 4 x (8, 128) vector ALUs @ ~940 MHz.
+# The ELL compare-count step is VPU-bound, so this is its speed-of-light.
+V5E_VPU_OPS = 3.85e12
+
+
+def estimate_step_vpu_ops(engine, q: int, t: int) -> int | None:
+    """VPU op model for one SparseEngine batch: per (query, slot) the ELL
+    kernel runs T compares + T adds + ~2 accumulate ops."""
+    from bm25_tpu.models.sparse import SparseEngine
+
+    if not isinstance(engine, SparseEngine):
+        return None
+    slots = 0
+    for b in engine.buckets:
+        if "tokT" in b:
+            slots += int(np.prod(b["tokT"].shape))
+    return q * slots * (2 * t + 2)
+
+
+def _measure_k(cfg, index, engine, queries, k: int, log) -> dict:
+    """One k-point: baseline, latency percentiles, sustained qps, recall."""
     from bm25_tpu.reference import ReferenceEngine
 
     ref = ReferenceEngine.from_scored_index(index)
@@ -91,22 +196,11 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
     t0 = time.perf_counter()
     ref_docs, ref_scores = ref.search(queries[:nb], top_k=k)
     baseline_qps = nb / (time.perf_counter() - t0)
-    log(f"[bench] baseline (scipy CSC): {baseline_qps:.1f} qps")
-
-    # --- TPU engine ----------------------------------------------------------
-    from bm25_tpu.models.auto import create_engine
-
-    t0 = time.perf_counter()
-    engine = create_engine(index, mode=cfg.engine)
-    upload_s = time.perf_counter() - t0
-    log(f"[bench] engine={type(engine).__name__} upload+init {upload_s:.1f}s")
 
     batches = [
         queries[i : i + cfg.batch] for i in range(0, len(queries), cfg.batch)
     ]
-    # warmup / compile
-    docs0, scores0 = engine.search(batches[0], top_k=k)
-    # per-batch latency (each call blocks on its own results)
+    docs0, scores0 = engine.search(batches[0], top_k=k)  # warmup / compile
     lat = []
     for b in batches:
         t0 = time.perf_counter()
@@ -122,36 +216,96 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
         search_all(queries, top_k=k, batch=cfg.batch)
     else:
         engine.search(queries, top_k=k)
-    total_s = time.perf_counter() - t_all
-    qps = len(queries) / total_s
+    qps = len(queries) / (time.perf_counter() - t_all)
+    recall = recall_at_k(docs0[:nb], ref_docs)
 
-    # --- parity check vs baseline -------------------------------------------
+    row = {
+        "top_k": k,
+        "qps": round(qps, 1),
+        "vs_baseline": round(qps / baseline_qps, 2),
+        "baseline_qps": round(baseline_qps, 1),
+        "p50_batch_ms": round(p50 * 1e3, 2),
+        "p99_batch_ms": round(p99 * 1e3, 2),
+        "recall_vs_reference": round(recall, 4),
+    }
+    step_ms = measure_device_step_ms(engine, batches[0], k)
+    if step_ms is not None:
+        row["device_step_ms"] = round(step_ms, 2)
+        model_bytes = estimate_step_hbm_bytes(engine, len(batches[0]))
+        if model_bytes and step_ms > 0:
+            gbps = model_bytes / (step_ms / 1e3) / 1e9
+            row["achieved_hbm_gbps"] = round(gbps, 1)
+            row["hbm_utilization"] = round(gbps / V5E_HBM_GBPS, 3)
+        vpu_ops = estimate_step_vpu_ops(engine, len(batches[0]),
+                                        max(cfg.query_len, 8))
+        if vpu_ops and step_ms > 0:
+            rate = vpu_ops / (step_ms / 1e3)
+            row["achieved_vpu_tops"] = round(rate / 1e12, 2)
+            # the scoring pass is VPU-bound compare-count; utilization vs
+            # the elementwise ceiling is its speed-of-light measure
+            row["vpu_utilization"] = round(rate / V5E_VPU_OPS, 3)
+    log(
+        f"[bench] k={k}: qps={qps:.0f} p50={p50*1e3:.1f}ms "
+        f"recall@{k}={recall:.4f} vs_baseline={qps/baseline_qps:.1f}x "
+        f"device_step={row.get('device_step_ms', '?')}ms"
+    )
+    return row
+
+
+def run(cfg: BenchConfig | None = None, log=print) -> dict:
+    cfg = cfg or BenchConfig.from_env()
+    log(f"[bench] building synthetic index: {cfg.num_docs} docs, vocab {cfg.vocab}")
+    t0 = time.perf_counter()
+    index = make_synthetic_index(cfg)
+    build_s = time.perf_counter() - t0
+    log(f"[bench] built in {build_s:.1f}s (nnz={index.nnz})")
+    queries = make_queries(cfg)
+
+    from bm25_tpu.models.auto import create_engine
+
+    t0 = time.perf_counter()
+    engine = create_engine(index, mode=cfg.engine)
+    upload_s = time.perf_counter() - t0
+    log(f"[bench] engine={type(engine).__name__} upload+init {upload_s:.1f}s")
+
+    # headline = cfg.top_k (the BASELINE.md k=1000 row); cfg.top_k2 secondary
+    ks = []
+    for k in (cfg.top_k, cfg.top_k2):
+        k = min(k, cfg.num_docs)
+        if k not in ks:
+            ks.append(k)
+    rows = {k: _measure_k(cfg, index, engine, queries, k, log) for k in ks}
+    head = rows[ks[0]]
+
     from bm25_tpu.eval import index_memory_stats
 
     mem = index_memory_stats(index, engine)
-    recall = recall_at_k(docs0[:nb], ref_docs)
-    log(
-        f"[bench] qps={qps:.0f} p50_batch={p50*1e3:.1f}ms p99={p99*1e3:.1f}ms "
-        f"recall@{k}={recall:.4f} vs_baseline={qps / baseline_qps:.1f}x"
-    )
 
+    # end-to-end retrieval-quality smoke on a self-labelled BEIR-style
+    # dataset — exercises tokenize -> build -> search -> qrels every round
+    # (real BEIR drops use the same pipeline via `bm25-tpu eval`)
+    from bm25_tpu.datasets import evaluate_dataset, synthetic_beir_dataset
+
+    beir = evaluate_dataset(
+        synthetic_beir_dataset(num_docs=5000, num_queries=50, seed=cfg.seed),
+        top_k=10,
+        log=log,
+    )
     return {
         "metric": "bm25_query_throughput",
-        "value": round(qps, 1),
+        "value": head["qps"],
         "unit": "queries/sec",
-        "vs_baseline": round(qps / baseline_qps, 2),
+        "vs_baseline": head["vs_baseline"],
         "extra": {
             "num_docs": cfg.num_docs,
             "vocab": cfg.vocab,
-            "top_k": k,
             "batch": cfg.batch,
-            "p50_batch_ms": round(p50 * 1e3, 2),
-            "p99_batch_ms": round(p99 * 1e3, 2),
-            "recall_vs_reference": round(recall, 4),
-            "baseline_qps": round(baseline_qps, 1),
+            "headline": head,
+            "secondary": [rows[k] for k in ks[1:]],
             "index_build_docs_per_sec": round(cfg.num_docs / build_s, 1),
             "engine": type(engine).__name__,
             "hot_tokens": getattr(engine, "hot_h", 0),
             "index_memory": mem.as_dict(),
+            "beir_synthetic_eval": beir,
         },
     }

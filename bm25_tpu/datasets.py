@@ -138,3 +138,41 @@ def synthetic_corpus(num_docs: int, vocab: int = 32768, avg_len: int = 48,
         docs.append(" ".join(words[flat[pos : pos + L]]))
         pos += L
     return docs
+
+
+def synthetic_beir_dataset(
+    num_docs: int = 5000,
+    num_queries: int = 50,
+    vocab: int = 8192,
+    avg_len: int = 32,
+    query_terms: int = 4,
+    seed: int = 0,
+) -> RetrievalDataset:
+    """Self-labelled BEIR-style dataset (no egress needed).
+
+    Each query samples ``query_terms`` of the rarest words from one target
+    document; that document is the (single) relevant qrel.  Exercises the
+    full tokenize -> index -> search -> qrels pipeline the real BEIR drops
+    would use, with a known-good expected recall (BM25 ranks the source doc
+    highly for its own rare terms).
+    """
+    rng = np.random.default_rng(seed)
+    docs = synthetic_corpus(num_docs, vocab=vocab, avg_len=avg_len, seed=seed)
+    doc_ids = [f"d{i}" for i in range(num_docs)]
+    targets = rng.choice(num_docs, size=num_queries, replace=False)
+    query_ids, query_texts, qrels = [], [], {}
+    for qi, t in enumerate(targets):
+        words = docs[t].split()
+        # rarest words of the doc = highest word id in the Zipf generator
+        rare = sorted(set(words), key=lambda w: -int(w[1:]))[:query_terms]
+        qid = f"q{qi}"
+        query_ids.append(qid)
+        query_texts.append(" ".join(rare))
+        qrels[qid] = {doc_ids[t]: 1}
+    return RetrievalDataset(
+        doc_ids=doc_ids,
+        doc_texts=docs,
+        query_ids=query_ids,
+        query_texts=query_texts,
+        qrels=qrels,
+    )

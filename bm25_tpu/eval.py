@@ -79,7 +79,8 @@ def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
             dev += sum(_nbytes(b[key]) for key in b)
         for extra in ("offsets", "hot_table"):
             dev += _nbytes(getattr(engine, extra))
-        for tail_key in ("tail_docs", "tail_vals", "tail_toks", "tail_rows"):
+        for tail_key in ("tail_docs", "tail_vals", "tail_toks", "tail_rows",
+                         "tail_gpos"):
             arr = getattr(engine, tail_key, None)
             if arr is not None:
                 dev += _nbytes(arr)

@@ -64,7 +64,8 @@ def _engine_state(engine) -> dict:
             "offsets": engine.offsets,
             "hot_table": engine.hot_table,
         }
-        for key in ("tail_docs", "tail_vals", "tail_toks", "tail_rows"):
+        for key in ("tail_docs", "tail_vals", "tail_toks", "tail_rows",
+                    "tail_gpos"):
             arr = getattr(engine, key, None)
             if arr is not None:
                 state[key] = arr
@@ -85,6 +86,7 @@ def _engine_meta(engine) -> dict:
         "vocab": engine.vocab,
         "hot_h": int(getattr(engine, "hot_h", 0)),
         "tail_cap": int(getattr(engine, "tail_cap", 0)),
+        "score_dtype": getattr(engine, "score_dtype", "float32"),
         "tree": jax.tree.map(
             lambda x: [list(x.shape), str(x.dtype)], _engine_state(engine)
         ),
@@ -205,7 +207,9 @@ def load_device_checkpoint(
             tail_vals=state.get("tail_vals"),
             tail_toks=state.get("tail_toks"),
             tail_rows=state.get("tail_rows"),
+            tail_gpos=state.get("tail_gpos"),
             tail_cap=meta.get("tail_cap", 0),
+            score_dtype=meta.get("score_dtype", "float32"),
         )
 
     if name in _SHARDED_SPECS:

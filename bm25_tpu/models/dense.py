@@ -35,12 +35,20 @@ from bm25_tpu.utils.padding import next_multiple, next_pow2_at_least
 NEG_INF = float("-inf")
 
 
-def make_query_step(num_docs: int, k: int):
+def make_query_step(num_docs: int, k: int, scoring: str = "gather"):
     """Build the jittable (st, offsets, ids) -> (top_scores, top_docs) step.
 
     Pure function of static ``num_docs`` (real docs, un-padded) and ``k``;
     shapes of ``ids`` (Q, T) and ``st`` (V_pad, D_pad) are taken from the
     traced arguments.
+
+    ``scoring="matmul"`` is the reference's vectorized SpGEMM alternative
+    (sparse one-hot query matrix x score matrix,
+    ``/root/reference/bm25_native.py:160-192``), expressed TPU-natively as
+    one-hot token counts through two MXU products (bf16 high + residual
+    reconstruct ~f32 accuracy; counts are small integers, exact in bf16).
+    The default ``"gather"`` (fused gather-accumulate kernel) wins when
+    T << V; matmul wins for very wide queries.
     """
 
     def step(st: jax.Array, offsets: jax.Array, ids: jax.Array):
@@ -51,7 +59,19 @@ def make_query_step(num_docs: int, k: int):
         zero_row = st.shape[0] - 1  # last row is all-zero (pad/OOV target)
         valid = ids >= 0
         safe = jnp.where(valid, ids, zero_row)
-        scores = gather_add_rows(st, safe)  # pallas on TPU, scan elsewhere
+        if scoring == "matmul":
+            counts = jax.nn.one_hot(
+                jnp.where(valid, ids, -1), st.shape[0], dtype=jnp.bfloat16
+            ).sum(axis=1)  # (Q, V_pad); one_hot(-1) is all-zero
+            hi = st.astype(jnp.bfloat16)
+            lo = (st - hi.astype(st.dtype)).astype(jnp.bfloat16)
+            scores = jnp.dot(
+                counts, hi, preferred_element_type=jnp.float32
+            ) + jnp.dot(counts, lo, preferred_element_type=jnp.float32)
+        elif scoring == "gather":
+            scores = gather_add_rows(st, safe)  # pallas on TPU, scan elsewhere
+        else:
+            raise ValueError(f"unknown scoring {scoring!r}")
 
         # doc-independent per-token offsets (bm25l/bm25+ nonoccurrence term)
         qoff = jnp.sum(
@@ -79,6 +99,7 @@ class DenseEngine:
     vocab_size: int
     session: Session
     vocab: dict[str, int] | None = None
+    scoring: str = "gather"  # or "matmul" (full-vocab SpGEMM variant)
 
     # -- construction --------------------------------------------------------
 
@@ -152,8 +173,14 @@ class DenseEngine:
         for i in range(0, len(queries), batch):
             chunk = queries[i : i + batch]
             futures.append((len(chunk), self._dispatch(chunk, top_k)))
-        docs = np.concatenate([np.asarray(d)[:n] for n, (s, d) in futures])
-        scores = np.concatenate([np.asarray(s)[:n] for n, (s, d) in futures])
+        # one batched fetch: the relay moves multiple arrays concurrently
+        fetched = jax.device_get([r for _, r in futures])
+        docs = np.concatenate(
+            [d[:n] for (n, _), (s, d) in zip(futures, fetched)]
+        )
+        scores = np.concatenate(
+            [s[:n] for (n, _), (s, d) in zip(futures, fetched)]
+        )
         return docs, scores
 
     def _dispatch(self, queries: np.ndarray, top_k: int):
@@ -165,8 +192,9 @@ class DenseEngine:
         padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
         padded[:q_real, :t_real] = queries
         step = self.session.compile(
-            ("dense_query", self.num_docs, k, q_pad, t_pad, self.st.shape),
-            lambda: jax.jit(make_query_step(self.num_docs, k)),
+            ("dense_query", self.num_docs, k, q_pad, t_pad, self.st.shape,
+             self.scoring),
+            lambda: jax.jit(make_query_step(self.num_docs, k, self.scoring)),
         )
         return step(self.st, self.offsets, self.session.put(padded))
 

@@ -42,22 +42,70 @@ def gather(data: jax.Array, indices: jax.Array, axis: int = 0) -> jax.Array:
     return jnp.take(data, idx, axis=axis)
 
 
+# named reductions for gather_reduce: (combine_fn, identity); matches the
+# arbitrary reduce_fn/reduce_init parameters of the reference kernel
+# (/root/reference/operations/gather_scatter.mojo:116-140) with the identity
+# supplied per reduction instead of per call
+def _lowest(dtype):
+    return -jnp.inf if jnp.issubdtype(dtype, jnp.floating) else jnp.iinfo(dtype).min
+
+
+def _highest(dtype):
+    return jnp.inf if jnp.issubdtype(dtype, jnp.floating) else jnp.iinfo(dtype).max
+
+
+_GATHER_REDUCE_FNS = {
+    "sum": (jnp.sum, lambda dt: 0),
+    "max": (jnp.max, _lowest),
+    "min": (jnp.min, _highest),
+    "prod": (jnp.prod, lambda dt: 1),
+}
+
+
 @register_op("gather_reduce")
-def gather_reduce(data: jax.Array, indices: jax.Array) -> jax.Array:
-    """Fused gather + sum: for each index row, sum the gathered rows of data.
+def gather_reduce(
+    data: jax.Array,
+    indices: jax.Array,
+    reduce_fn="sum",
+    reduce_init=None,
+) -> jax.Array:
+    """Fused gather + reduce: for each index row, reduce the gathered rows.
 
     ``data (N, *F)``, ``indices (*B, M)`` -> ``(*B, *F)``: EmbeddingBag-style
     multi-hot reduction (reference ``gather_reduce``,
-    ``gather_scatter.mojo:116-281``).  Negative indices are padding and
-    contribute zero (our unified pad contract).  This is exactly the BM25
-    scoring primitive: data = token-major score matrix, indices = query ids.
+    ``gather_scatter.mojo:116-281``, whose ``reduce_fn``/``reduce_init``
+    parameters this mirrors).  ``reduce_fn`` is one of "sum"/"max"/"min"/
+    "prod"/"mean", or any callable ``f(array, axis=...)`` paired with an
+    explicit ``reduce_init`` identity.  Negative indices are padding and
+    contribute the identity (our unified pad contract).  sum is exactly the
+    BM25 scoring primitive: data = token-major score matrix, indices =
+    query ids.
     """
     indices = jnp.asarray(indices)
     valid = indices >= 0
     safe = jnp.where(valid, indices, 0)
     g = jnp.take(data, safe, axis=0)  # (*B, M, *F)
     mask = valid.reshape(valid.shape + (1,) * (data.ndim - 1))
-    return jnp.sum(g * mask.astype(g.dtype), axis=indices.ndim - 1)
+    axis = indices.ndim - 1
+    if reduce_fn == "mean":
+        # mean over the *valid* gathered rows (pads excluded)
+        total = jnp.sum(jnp.where(mask, g, 0).astype(g.dtype), axis=axis)
+        count = jnp.maximum(jnp.sum(mask, axis=axis), 1).astype(g.dtype)
+        return total / count
+    if callable(reduce_fn):
+        if reduce_init is None:
+            raise ValueError("a callable reduce_fn needs an explicit reduce_init")
+        fn, init = reduce_fn, reduce_init
+    else:
+        try:
+            fn, init_fn = _GATHER_REDUCE_FNS[reduce_fn]
+        except KeyError:
+            raise ValueError(
+                f"unknown reduce_fn {reduce_fn!r}; expected one of "
+                f"{sorted(_GATHER_REDUCE_FNS)} + ['mean'] or a callable"
+            ) from None
+        init = init_fn(g.dtype) if reduce_init is None else reduce_init
+    return fn(jnp.where(mask, g, jnp.asarray(init, g.dtype)), axis=axis)
 
 
 @register_op("gather_elements")
@@ -120,13 +168,25 @@ def scatter_nd(
     indices: jax.Array,
     updates: jax.Array,
     reduction: str = "none",
+    update_fn=None,
 ) -> jax.Array:
-    """ONNX ScatterND (out-of-place update of data)."""
+    """ONNX ScatterND (out-of-place update of data).
+
+    ``update_fn`` optionally replaces the named reduction with an arbitrary
+    ``f(old, update) -> new`` — the reference's ``scatter_nd_generator``
+    update lambda (``/root/reference/operations/gather_scatter.mojo:
+    772-1011``), realized as gather -> apply -> set.  Duplicate indices
+    follow the ONNX contract (unspecified order; here the last write wins),
+    same as the reference's parallelized generator.
+    """
     data = jnp.asarray(data)
     indices = jnp.asarray(indices)
+    idx = tuple(jnp.moveaxis(indices, -1, 0))
+    if update_fn is not None:
+        old = data[idx]
+        return data.at[idx].set(update_fn(old, updates), mode="drop")
     if reduction not in _REDUCTIONS:
         raise ValueError(f"unknown reduction {reduction!r}")
-    idx = tuple(jnp.moveaxis(indices, -1, 0))
     return _REDUCTIONS[reduction](data, idx, updates)
 
 

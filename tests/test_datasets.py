@@ -43,3 +43,15 @@ def test_synthetic_corpus():
     docs = synthetic_corpus(50, vocab=100, avg_len=10, seed=1)
     assert len(docs) == 50
     assert all(w.startswith("w") for w in docs[0].split())
+
+
+def test_synthetic_beir_dataset_end_to_end():
+    from bm25_tpu.datasets import evaluate_dataset, synthetic_beir_dataset
+
+    ds = synthetic_beir_dataset(num_docs=400, num_queries=12, vocab=1024,
+                                avg_len=20, seed=3)
+    assert len(ds.qrels) == 12
+    result = evaluate_dataset(ds, top_k=10, log=lambda *a: None)
+    # querying a doc's own rarest terms must rank it near the top
+    assert result["recall@10"] >= 0.9
+    assert result["mrr@10"] >= 0.7

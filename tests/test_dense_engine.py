@@ -138,3 +138,28 @@ def test_short_queries_share_one_compiled_shape(request):
     assert len(eng.session._cache) == n0 + 1  # one compiled step for all
     eng.search(np.zeros((2, 9), np.int32), top_k=2)  # > 8 -> new shape
     assert len(eng.session._cache) == n0 + 2
+
+
+def test_matmul_scoring_variant_matches_gather(request):
+    """Full-vocab SpGEMM variant (reference bm25_native.py:160-192)."""
+    from bm25_tpu.models.dense import DenseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    corpus = request.getfixturevalue("zipf_corpus_small")
+    out = Tokenizer(stopwords=None, stemmer=None).tokenize_corpus(corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    g = DenseEngine.from_scored_index(idx)
+    m = DenseEngine.from_scored_index(idx)
+    m.scoring = "matmul"
+    rng = np.random.default_rng(13)
+    queries = rng.integers(-1, idx.vocab_size, size=(10, 6), dtype=np.int32)
+    dg, sg = g.search(queries, top_k=12)
+    dm, sm = m.search(queries, top_k=12)
+    np.testing.assert_allclose(sm, sg, rtol=2e-4, atol=1e-5)
+    same = np.isclose(sg, sm, rtol=2e-4, atol=1e-5)
+    assert same.all()
+    # doc agreement wherever scores are strictly ordered
+    from conftest import strict_positions
+    strict = strict_positions(sg)
+    np.testing.assert_array_equal(dm[strict], dg[strict])

@@ -167,3 +167,162 @@ def test_short_queries_share_one_compiled_shape(setup):
     for t in (2, 5, 8):
         eng.search(np.zeros((3, t), np.int32), top_k=3)
     assert len(eng.session._cache) == n0 + 1
+
+
+# -- three-tier (hot / mid ELL / tail candidates) scoring ----------------------
+
+
+def test_three_tier_matches_oracle(setup):
+    """Force all three tiers active and check exact parity vs the oracle."""
+    idx, oracle = setup
+    df = idx.df()
+    # tail_cap at the median DF -> some cold tokens stay in the mid ELL
+    cap = int(np.median(df[df > 0]))
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=4, tail_cap=cap)
+    assert eng.hot_h == 4
+    assert eng.tail_docs is not None
+    assert any("tokT" in b for b in eng.buckets), "mid tier should be active"
+    rng = np.random.default_rng(7)
+    queries = rng.integers(-1, idx.vocab_size, size=(16, 7), dtype=np.int32)
+    for k in (3, 25):
+        dd, ds = eng.search(queries, top_k=k)
+        od, os_ = oracle.search(queries, top_k=k)
+        np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+        strict = strict_positions(os_)
+        np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+def test_tail_only_no_mid_ell(setup):
+    """With a large tail_cap the mid tier disappears: no ELL arrays at all."""
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=8, tail_cap=1 << 30)
+    assert all("tokT" not in b for b in eng.buckets)
+    assert len(eng.buckets) == 1
+    # identity bucket: original doc order (tie contract by construction)
+    did = np.asarray(eng.buckets[0]["doc_ids"])
+    np.testing.assert_array_equal(
+        did[: idx.num_docs], np.arange(idx.num_docs)
+    )
+    rng = np.random.default_rng(8)
+    queries = rng.integers(-1, idx.vocab_size, size=(12, 6), dtype=np.int32)
+    dd, ds = eng.search(queries, top_k=20)
+    od, os_ = oracle.search(queries, top_k=20)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+def test_tail_disabled_matches_oracle(setup):
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, tail_cap=0)
+    assert eng.tail_docs is None
+    rng = np.random.default_rng(9)
+    queries = rng.integers(-1, idx.vocab_size, size=(8, 6), dtype=np.int32)
+    dd, ds = eng.search(queries, top_k=10)
+    od, os_ = oracle.search(queries, top_k=10)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+
+
+def test_sparse_tie_contract_smallest_doc_id():
+    """Equal scores must resolve to ascending doc ids (VERDICT r1 item 10:
+    the old engine resolved ties in permuted-bucket order)."""
+    corpus = ["identical words here"] * 37  # every doc scores the same
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    q = np.array([[0, 1]], dtype=np.int32)
+    for kwargs in (
+        {"tail_cap": 4096},
+        {"tail_cap": 0},
+        {"tail_cap": 1, "hot_tokens": 1, "max_buckets": 3},
+    ):
+        eng = SparseEngine.from_scored_index(idx, **kwargs)
+        dd, ds = eng.search(q, top_k=9)
+        assert len(set(ds[0].tolist())) == 1, kwargs  # all tied
+        np.testing.assert_array_equal(dd[0], np.arange(9)), kwargs
+
+
+def test_unpacked_result_path_matches_packed(setup):
+    """num_docs >= 2^24 switches to the two-fetch int32 result path; force
+    it small-scale and check identical results (VERDICT r1 item 6)."""
+    from unittest import mock
+
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx)
+    rng = np.random.default_rng(10)
+    queries = rng.integers(-1, idx.vocab_size, size=(9, 5), dtype=np.int32)
+    d_packed, s_packed = eng.search(queries, top_k=12)
+    assert eng._pack_results
+    with mock.patch.object(
+        type(eng), "_pack_results", new_callable=mock.PropertyMock,
+        return_value=False,
+    ):
+        d_unpacked, s_unpacked = eng.search(queries, top_k=12)
+    np.testing.assert_array_equal(d_packed, d_unpacked)
+    np.testing.assert_array_equal(s_packed, s_unpacked)
+    assert d_unpacked.dtype == np.int32
+
+
+def test_tail_excludes_negative_value_tokens():
+    """Tokens with negative contributions (robertson IDF at DF > N/2) must
+    stay out of the tail tier — the exact-merge proof needs tail >= 0."""
+    from bm25_tpu.models.sparse import build_token_tail
+    from bm25_tpu.scoring import BM25Params
+
+    rng = np.random.default_rng(11)
+    ids = [rng.integers(0, 12, size=6).astype(np.int32) for _ in range(30)]
+    # token 0 in (almost) every doc -> df > N/2 -> negative robertson idf
+    for a in ids[:28]:
+        a[0] = 0
+    idx = build_scored_index(
+        ids, vocab_size=12, params=BM25Params(method="robertson")
+    )
+    tail, is_tail = build_token_tail(idx, np.zeros(0, np.int32), tail_cap=1 << 30)
+    df = idx.df()
+    neg_tokens = [
+        v for v in range(12)
+        if df[v] and idx.data[idx.indptr[v]:idx.indptr[v + 1]].min() < 0
+    ]
+    assert neg_tokens, "test needs at least one negative-IDF token"
+    for v in neg_tokens:
+        assert not is_tail[v]
+    # and the engine still matches the oracle on that method
+    eng = SparseEngine.from_scored_index(idx)
+    oracle = ReferenceEngine.from_scored_index(idx)
+    q = rng.integers(-1, 12, size=(8, 4), dtype=np.int32)
+    dd, ds = eng.search(q, top_k=6)
+    od, os_ = oracle.search(q, top_k=6)
+    # negative tokens ride the hot tier's bf16 hi+lo representation
+    # (~2^-16 relative error)
+    np.testing.assert_allclose(ds, os_, rtol=2e-4, atol=1e-5)
+
+
+def test_score_dtype_bfloat16_same_docs(setup):
+    """bf16 result transfer: identical doc selection, rounded scores."""
+    idx, oracle = setup
+    f32 = SparseEngine.from_scored_index(idx)
+    b16 = SparseEngine.from_scored_index(idx, score_dtype="bfloat16")
+    rng = np.random.default_rng(12)
+    queries = rng.integers(-1, idx.vocab_size, size=(10, 6), dtype=np.int32)
+    d1, s1 = f32.search(queries, top_k=15)
+    d2, s2 = b16.search(queries, top_k=15)
+    np.testing.assert_array_equal(d1, d2)  # selection is f32 on device
+    assert s2.dtype == np.float32  # returned as f32 values
+    np.testing.assert_allclose(s1, s2, rtol=8e-3, atol=1e-3)
+
+
+def test_tail_engine_device_checkpoint_roundtrip(tmp_path, setup):
+    from bm25_tpu.index.device_checkpoint import (
+        load_device_checkpoint, save_device_checkpoint)
+
+    idx, _ = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=4, tail_cap=1 << 30)
+    assert eng.tail_docs is not None
+    q = np.array([[0, 2, 5, -1]], dtype=np.int32)
+    d1, s1 = eng.search(q, top_k=6)
+    save_device_checkpoint(tmp_path / "tail_ck", eng)
+    eng2 = load_device_checkpoint(tmp_path / "tail_ck")
+    assert eng2.tail_docs is not None and eng2.tail_cap == 1 << 30
+    d2, s2 = eng2.search(q, top_k=6)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
