@@ -98,3 +98,24 @@ def test_sharded_sparse_duplicate_tokens(setup):
     dd, ds = eng.search(q, top_k=5)
     od, os_ = oracle.search(q, top_k=5)
     np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_engines_tie_contract_smallest_doc_id():
+    """Equal scores resolve to ascending doc ids across shard boundaries
+    (doc-ordered rows + stable merge)."""
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import (
+        ShardedEngine, ShardedSparseEngine)
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    corpus = ["identical words here"] * 41
+    out = Tokenizer(stopwords=None, stemmer=None).tokenize_corpus(corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    mesh = make_mesh(4)
+    q = np.array([[0, 1]], dtype=np.int32)
+    for cls in (ShardedEngine, ShardedSparseEngine):
+        eng = cls.from_scored_index(idx, mesh=mesh)
+        dd, ds = eng.search(q, top_k=9)
+        assert len(set(np.asarray(ds[0]).tolist())) == 1, cls
+        np.testing.assert_array_equal(dd[0], np.arange(9))
