@@ -176,10 +176,14 @@ def cmd_eval(args) -> int:
 def cmd_serve(args) -> int:
     from bm25_tpu.serve import Server
 
+    engine_kwargs = {}
+    if args.score_dtype != "float32":
+        engine_kwargs["score_dtype"] = args.score_dtype
     Server(args.index, host=args.host, port=args.port,
            engine_mode=args.engine,
            batch_window_ms=args.batch_window_ms,
-           warmup_top_k=args.warmup_top_k).serve_forever()
+           warmup_top_k=args.warmup_top_k,
+           engine_kwargs=engine_kwargs).serve_forever()
     return 0
 
 
@@ -238,6 +242,11 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--warmup-top-k", type=int, default=0,
                     help="compile the query path for this top_k before "
                          "accepting traffic (0 = no warmup)")
+    ps.add_argument("--score-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 halves result-transfer bytes (sparse "
+                         "engines; doc ids stay exact, returned score "
+                         "values round to bf16)")
     ps.set_defaults(fn=cmd_serve)
     return p
 

@@ -6,10 +6,18 @@ per chunk (native C++ fast path when built), token-id streams accumulate in
 flat int32 arrays, and scoring happens once at finalize.  Combined with
 ``parallel.distributed.DocShardPlan``, each host builds only its doc range
 and the shards concatenate positionally.
+
+With ``spill_dir`` set, buffered token-id streams spill to a flat binary
+file once they exceed ``spill_threshold_bytes``, and ``finalize()`` reads
+them back through a memmap — accumulation RAM stays O(chunk) instead of
+O(corpus tokens), so a small-RAM host can tokenize a corpus whose id
+stream only has to fit at the final scoring step (and that step reads the
+memmap, saving one full in-RAM copy).
 """
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Iterable, Sequence
@@ -27,12 +35,18 @@ class StreamingIndexBuilder:
 
     params: BM25Params | None = None
     tokenizer: Tokenizer = field(default_factory=Tokenizer)
+    # spill buffered token ids to <spill_dir>/tokens.bin beyond the
+    # threshold; None keeps everything in RAM
+    spill_dir: str | None = None
+    spill_threshold_bytes: int = 1 << 30
 
     _vocab: dict = field(default_factory=dict, repr=False)
     _chunks: list = field(default_factory=list, repr=False)
     _lengths: list = field(default_factory=list, repr=False)
     _num_docs: int = 0
     _tokenize_s: float = 0.0
+    _buffered_bytes: int = 0
+    _spilled_tokens: int = 0
 
     def add(self, texts: Sequence[str]) -> int:
         """Tokenize and buffer one chunk of documents; returns docs so far."""
@@ -50,10 +64,30 @@ class StreamingIndexBuilder:
         ids = [remap[doc] for doc in tok.ids]
         self._tokenize_s += time.perf_counter() - t0
         if ids:
-            self._chunks.append(np.concatenate(ids) if ids else np.zeros(0, np.int32))
+            chunk = np.concatenate(ids) if ids else np.zeros(0, np.int32)
+            self._chunks.append(chunk)
+            self._buffered_bytes += chunk.nbytes
             self._lengths.append(np.array([len(d) for d in ids], dtype=np.int32))
+            if (
+                self.spill_dir is not None
+                and self._buffered_bytes >= self.spill_threshold_bytes
+            ):
+                self._spill()
         self._num_docs += len(texts)
         return self._num_docs
+
+    @property
+    def _spill_path(self) -> str:
+        return os.path.join(self.spill_dir, "tokens.bin")
+
+    def _spill(self) -> None:
+        os.makedirs(self.spill_dir, exist_ok=True)
+        with open(self._spill_path, "ab") as f:
+            for chunk in self._chunks:
+                f.write(np.ascontiguousarray(chunk, dtype=np.int32).tobytes())
+                self._spilled_tokens += len(chunk)
+        self._chunks.clear()
+        self._buffered_bytes = 0
 
     def add_iter(self, docs: Iterable[str], chunk_size: int = 10000) -> int:
         batch = []
@@ -73,9 +107,16 @@ class StreamingIndexBuilder:
         lengths = (
             np.concatenate(self._lengths) if self._lengths else np.zeros(0, np.int32)
         )
-        flat = (
-            np.concatenate(self._chunks) if self._chunks else np.zeros(0, np.int32)
-        )
+        if self._spilled_tokens:
+            self._spill()  # flush the remainder, then read back via memmap
+            flat = np.memmap(
+                self._spill_path, dtype=np.int32, mode="r",
+                shape=(self._spilled_tokens,),
+            )
+        else:
+            flat = (
+                np.concatenate(self._chunks) if self._chunks else np.zeros(0, np.int32)
+            )
         index = build_scored_index_flat(
             flat,
             lengths,

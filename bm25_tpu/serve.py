@@ -265,7 +265,7 @@ class Server:
 
     def __init__(self, index_dir: str, host: str = "127.0.0.1", port: int = 8225,
                  engine_mode: str = "auto", batch_window_ms: float = 0.0,
-                 warmup_top_k: int = 0):
+                 warmup_top_k: int = 0, engine_kwargs: dict | None = None):
         from bm25_tpu.index.io import MMapCorpus, load_index
         from bm25_tpu.models.auto import create_engine
         from bm25_tpu.text.tokenizer import Tokenizer
@@ -273,7 +273,7 @@ class Server:
         index = load_index(index_dir)
         if index.vocab is None:
             raise ValueError("index has no vocab; cannot serve text queries")
-        engine = create_engine(index, mode=engine_mode)
+        engine = create_engine(index, mode=engine_mode, **(engine_kwargs or {}))
         try:
             corpus = MMapCorpus.open(index_dir)
         except FileNotFoundError:

@@ -23,8 +23,8 @@ def main():
     from bm25_tpu.models.sparse import SparseEngine
     from bm25_tpu.reference import ReferenceEngine
 
-    cfg = BenchConfig(num_docs=20_000_000, vocab=65536, avg_len=12,
-                      num_queries=512, query_len=8)
+    cfg = BenchConfig(num_docs=20_000_000, vocab=65536, avg_len=8,
+                      num_queries=256, query_len=8)
     t0 = time.perf_counter()
     index = make_synthetic_index(cfg)
     print(f"[20m] built in {time.perf_counter()-t0:.0f}s nnz={index.nnz}",
@@ -33,6 +33,10 @@ def main():
 
     t0 = time.perf_counter()
     eng = SparseEngine.from_scored_index(index)
+    # 20M-row buckets: keep transient (Q, rows) score tiles + top-k temps
+    # well inside HBM next to the ~3 GB resident index (a 4 GB budget
+    # crashed the TPU worker at this scale — kernel-fault OOM)
+    eng.score_buffer_budget = 1 << 30
     print(f"[20m] engine up in {time.perf_counter()-t0:.0f}s "
           f"hot_h={eng.hot_h} buckets={len(eng.buckets)} "
           f"pack={eng._pack_results}", flush=True)
@@ -42,8 +46,7 @@ def main():
         t0 = time.perf_counter()
         dd, ss = eng.search(queries, top_k=k)
         dt = time.perf_counter() - t0
-        print(f"[20m] k={k}: {len(queries)/dt:.0f} qps "
-              f"({dt*1e3/ (len(queries)/512):.0f} ms/512-batch)", flush=True)
+        print(f"[20m] k={k}: {len(queries)/dt:.0f} qps", flush=True)
         assert dd.dtype == np.int32 and int(dd.max()) < cfg.num_docs
 
     # oracle spot-parity on a few queries

@@ -26,6 +26,12 @@ def build(seed, method, num_docs=150, vocab=300):
 ENGINES = {
     "dense": lambda idx: DenseEngine.from_scored_index(idx),
     "sparse": lambda idx: SparseEngine.from_scored_index(idx),
+    "sparse_tail": lambda idx: SparseEngine.from_scored_index(
+        idx, hot_tokens=6, tail_cap=1 << 30  # hot + tail, no mid ELL
+    ),
+    "sparse_3tier": lambda idx: SparseEngine.from_scored_index(
+        idx, hot_tokens=4, tail_cap=8  # all three tiers active
+    ),
     "sharded": lambda idx: ShardedEngine.from_scored_index(
         idx, mesh=make_mesh(4, data=2)
     ),
@@ -53,11 +59,7 @@ def test_engine_matches_oracle_fuzz(engine_name, seed, method, k):
     dd, ds = engine.search(queries, top_k=k)
     od, os_ = oracle.search(queries, top_k=k)
     np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=1e-5)
-    if engine_name in ("dense", "sharded"):
-        strict = strict_positions(os_)
-        np.testing.assert_array_equal(dd[strict], od[strict])
-    else:
-        # permuted-order engines: doc sets agree on fully-strict rows
-        strict = strict_positions(os_)
-        for i in np.flatnonzero(strict.all(axis=1)):
-            assert set(dd[i].tolist()) == set(od[i].tolist())
+    # every engine honors the smallest-doc-id tie contract now (round 2);
+    # strict positions exclude only float-accumulation near-ties
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])

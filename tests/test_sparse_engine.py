@@ -326,3 +326,13 @@ def test_tail_engine_device_checkpoint_roundtrip(tmp_path, setup):
     d2, s2 = eng2.search(q, top_k=6)
     np.testing.assert_array_equal(d1, d2)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_score_buffer_budget_scales_with_resident_index(setup, monkeypatch):
+    """The transient-buffer budget shrinks when the resident index leaves
+    little HBM headroom (device OOM crashes the worker, it doesn't raise)."""
+    idx, _ = setup
+    eng = SparseEngine.from_scored_index(idx)
+    assert eng.score_buffer_budget <= 4 << 30
+    # a tiny index keeps the full default
+    assert eng.score_buffer_budget > 1 << 30

@@ -30,3 +30,26 @@ def test_streaming_add_iter(animal_corpus):
     sb.add_iter(iter(animal_corpus), chunk_size=2)
     idx, stats = sb.finalize()
     assert idx.num_docs == 4 and idx.nnz == 20
+
+
+def test_streaming_spill_to_disk_matches_in_ram(tmp_path, zipf_corpus_small):
+    """spill_dir keeps accumulation RAM O(chunk): identical index bytes."""
+    from bm25_tpu.index.streaming import StreamingIndexBuilder
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    def build(**kw):
+        b = StreamingIndexBuilder(
+            tokenizer=Tokenizer(stopwords=None, stemmer=None), **kw
+        )
+        for i in range(0, len(zipf_corpus_small), 40):
+            b.add(zipf_corpus_small[i : i + 40])
+        return b.finalize()[0]
+
+    ram = build()
+    spilled = build(spill_dir=str(tmp_path / "spill"), spill_threshold_bytes=256)
+    assert (tmp_path / "spill" / "tokens.bin").exists()
+    np.testing.assert_array_equal(ram.indptr, spilled.indptr)
+    np.testing.assert_array_equal(ram.indices, spilled.indices)
+    np.testing.assert_allclose(ram.data, spilled.data)
+    assert ram.vocab == spilled.vocab
+    np.testing.assert_array_equal(ram.doc_lengths, spilled.doc_lengths)
