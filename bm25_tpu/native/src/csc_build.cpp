@@ -1,0 +1,181 @@
+// Native CSC index construction: flat doc-major token stream -> CSC (by
+// token column) with per-(doc, token) term frequencies.
+//
+// Replaces the numpy radix argsort + fancy-gather + run-length pipeline of
+// bm25_tpu/scoring.py::build_scored_index_flat with a stable counting sort
+// (one histogram pass + one scatter pass + one RLE pass), parallelized over
+// input/column ranges when more than one hardware thread is available.
+// Output contract is identical: postings within each token column are
+// ordered by ascending doc id (the input stream is doc-major and the sort
+// is stable), and tf counts are exact.  The BM25 scoring transform stays in
+// Python so the scorer semantics remain single-sourced.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <new>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct CscHandle {
+  std::vector<int64_t> indptr;   // V+1 (over RLE'd postings)
+  std::vector<int32_t> docs;     // nnz doc ids, ascending per column
+  std::vector<float> tf;         // nnz term frequencies
+};
+
+inline int pick_threads(int64_t n) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw <= 1 || n < (1 << 20)) return 1;
+  int t = static_cast<int>(std::min<unsigned>(hw, 16));
+  return static_cast<int>(std::min<int64_t>(t, n / (1 << 19)));
+}
+
+template <typename F>
+void run_parallel(int threads, F&& body) {
+  if (threads <= 1) {
+    body(0);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(body, t);
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// flat: n token ids (doc-major); lengths: d per-doc token counts summing to
+// n; v: vocab size (all ids in [0, v)).  Returns a CscHandle* or null.
+void* bm25_build_csc(const int32_t* flat, int64_t n, const int32_t* lengths,
+                     int64_t d, int64_t v) {
+  if (n < 0 || d < 0 || v < 0) return nullptr;
+  auto* h = new (std::nothrow) CscHandle();
+  if (!h) return nullptr;
+
+  // doc boundaries (prefix sums of lengths)
+  std::vector<int64_t> doc_end(static_cast<size_t>(d) + 1, 0);
+  for (int64_t i = 0; i < d; ++i) doc_end[i + 1] = doc_end[i] + lengths[i];
+
+  const int threads = pick_threads(n);
+  const int64_t chunk = threads ? (n + threads - 1) / threads : 0;
+
+  // phase 1: per-thread token histograms
+  std::vector<std::vector<int64_t>> hist(
+      threads, std::vector<int64_t>(static_cast<size_t>(v), 0));
+  run_parallel(threads, [&](int t) {
+    const int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+    auto& hh = hist[t];
+    for (int64_t i = lo; i < hi; ++i) hh[flat[i]]++;
+  });
+
+  // phase 2: column starts (occurrence-level) + per-thread write offsets
+  std::vector<int64_t> occ_start(static_cast<size_t>(v) + 1, 0);
+  {
+    int64_t acc = 0;
+    for (int64_t tok = 0; tok < v; ++tok) {
+      occ_start[tok] = acc;
+      for (int t = 0; t < threads; ++t) {
+        int64_t c = hist[t][tok];
+        hist[t][tok] = acc;  // becomes this thread's write cursor
+        acc += c;
+      }
+    }
+    occ_start[v] = acc;
+  }
+
+  // phase 3: stable scatter of doc ids into occurrence-sorted order
+  std::vector<int32_t> occ_docs(static_cast<size_t>(n));
+  run_parallel(threads, [&](int t) {
+    const int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+    if (lo >= hi) return;
+    // current doc for position lo
+    int64_t doc = std::upper_bound(doc_end.begin(), doc_end.end(), lo) -
+                  doc_end.begin() - 1;
+    auto& cursor = hist[t];
+    for (int64_t i = lo; i < hi; ++i) {
+      while (i >= doc_end[doc + 1]) ++doc;
+      occ_docs[cursor[flat[i]]++] = static_cast<int32_t>(doc);
+    }
+  });
+
+  // phase 4: RLE per column (docs ascend within a column) -> counts
+  const int col_threads = threads;
+  const int64_t col_chunk =
+      col_threads ? (v + col_threads - 1) / col_threads : 0;
+  std::vector<int64_t> runs_per_thread(col_threads, 0);
+  run_parallel(col_threads, [&](int t) {
+    const int64_t clo = t * col_chunk, chi = std::min<int64_t>(v, clo + col_chunk);
+    int64_t runs = 0;
+    for (int64_t tok = clo; tok < chi; ++tok) {
+      int32_t prev = -1;
+      for (int64_t i = occ_start[tok]; i < occ_start[tok + 1]; ++i) {
+        runs += (occ_docs[i] != prev);
+        prev = occ_docs[i];
+      }
+    }
+    runs_per_thread[t] = runs;
+  });
+  int64_t nnz = 0;
+  std::vector<int64_t> run_base(col_threads, 0);
+  for (int t = 0; t < col_threads; ++t) {
+    run_base[t] = nnz;
+    nnz += runs_per_thread[t];
+  }
+
+  h->indptr.assign(static_cast<size_t>(v) + 1, 0);
+  h->docs.resize(static_cast<size_t>(nnz));
+  h->tf.resize(static_cast<size_t>(nnz));
+  run_parallel(col_threads, [&](int t) {
+    const int64_t clo = t * col_chunk, chi = std::min<int64_t>(v, clo + col_chunk);
+    int64_t w = run_base[t];
+    for (int64_t tok = clo; tok < chi; ++tok) {
+      h->indptr[tok] = w;
+      int64_t i = occ_start[tok];
+      const int64_t end = occ_start[tok + 1];
+      while (i < end) {
+        const int32_t doc = occ_docs[i];
+        int64_t j = i + 1;
+        while (j < end && occ_docs[j] == doc) ++j;
+        h->docs[w] = doc;
+        h->tf[w] = static_cast<float>(j - i);  // < 2^24: exact in f32
+        ++w;
+        i = j;
+      }
+    }
+    if (chi == v) h->indptr[v] = w;
+  });
+  // fix indptr for columns owned by later threads (their first token wrote
+  // run_base, intermediate boundaries are already correct within threads)
+  for (int t = 1; t < col_threads; ++t) {
+    const int64_t clo = t * col_chunk;
+    if (clo < v) h->indptr[clo] = run_base[t];
+  }
+  h->indptr[v] = nnz;
+  return h;
+}
+
+int64_t csc_nnz(void* hp) { return static_cast<CscHandle*>(hp)->docs.size(); }
+
+void csc_copy_indptr(void* hp, int64_t* out) {
+  auto* h = static_cast<CscHandle*>(hp);
+  std::memcpy(out, h->indptr.data(), h->indptr.size() * sizeof(int64_t));
+}
+
+void csc_copy_indices(void* hp, int32_t* out) {
+  auto* h = static_cast<CscHandle*>(hp);
+  std::memcpy(out, h->docs.data(), h->docs.size() * sizeof(int32_t));
+}
+
+void csc_copy_tf(void* hp, float* out) {
+  auto* h = static_cast<CscHandle*>(hp);
+  std::memcpy(out, h->tf.data(), h->tf.size() * sizeof(float));
+}
+
+void csc_free(void* hp) { delete static_cast<CscHandle*>(hp); }
+
+}  // extern "C"

@@ -35,7 +35,60 @@ class NativeTextPipeline:
         lib.bm25_stem.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
         ]
+        self._has_csc = hasattr(lib, "bm25_build_csc")
+        if self._has_csc:
+            lib.bm25_build_csc.restype = ctypes.c_void_p
+            lib.bm25_build_csc.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            lib.csc_nnz.restype = ctypes.c_int64
+            lib.csc_nnz.argtypes = [ctypes.c_void_p]
+            lib.csc_copy_indptr.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+            lib.csc_copy_indices.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+            lib.csc_copy_tf.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+            lib.csc_free.argtypes = [ctypes.c_void_p]
         self._lib = lib
+
+    def build_tf_csc(self, flat_tokens: "np.ndarray", doc_lengths: "np.ndarray",
+                     vocab_size: int):
+        """Counting-sort CSC build: (indptr int64, doc ids int32, tf f32).
+
+        Same output contract as the numpy pipeline in
+        ``scoring.build_scored_index_flat`` (ascending doc ids per column,
+        exact tf); single histogram + scatter + RLE passes, threaded when
+        cores are available.
+        """
+        if not self._has_csc:
+            return None
+        flat = np.ascontiguousarray(flat_tokens, dtype=np.int32)
+        lens = np.ascontiguousarray(doc_lengths, dtype=np.int32)
+        h = self._lib.bm25_build_csc(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(flat),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(lens),
+            int(vocab_size),
+        )
+        if not h:
+            raise MemoryError("bm25_build_csc failed")
+        try:
+            nnz = self._lib.csc_nnz(h)
+            indptr = np.empty(vocab_size + 1, dtype=np.int64)
+            indices = np.empty(nnz, dtype=np.int32)
+            tf = np.empty(nnz, dtype=np.float32)
+            self._lib.csc_copy_indptr(
+                h, indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            if nnz:
+                self._lib.csc_copy_indices(
+                    h, indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+                self._lib.csc_copy_tf(
+                    h, tf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        finally:
+            self._lib.csc_free(h)
+        return indptr, indices, tf
 
     def stem(self, word: str) -> str:
         buf = ctypes.create_string_buffer(4 * len(word) + 16)

@@ -202,44 +202,50 @@ def build_scored_index_flat(
             vocab_size = len(vocab)
         else:
             vocab_size = int(flat_tokens.max(initial=-1)) + 1
-    flat_docs = np.repeat(
-        np.arange(num_docs, dtype=np.int32), doc_lengths
-    )
-
-    # Direct CSC construction: one stable sort by token id keeps doc order
-    # ascending inside each column (docs were appended in order), then
-    # run-length encoding of equal (token, doc) pairs yields tf.  ~3x faster
-    # than scipy's COO->CSC at tens of millions of tokens; equivalence with
-    # the scipy path is pinned in tests/test_scoring.py.  int32 keys keep
-    # numpy's stable integer sort on the radix path at half the key width.
+    # Direct CSC construction (postings ascend by doc id inside each token
+    # column; tf by run-length).  Fast path: the native C++ counting-sort
+    # builder (one histogram + scatter + RLE pass, threaded on multi-core
+    # hosts — bm25_tpu/native/src/csc_build.cpp); fallback: numpy stable
+    # radix argsort + fancy-gather + RLE.  Both produce identical arrays
+    # (pinned in tests/test_scoring.py); the scoring transform below is
+    # shared, so scorer semantics stay single-sourced.
     if flat_tokens.dtype != np.int32:
         flat_tokens = flat_tokens.astype(np.int32)
-    order = np.argsort(flat_tokens, kind="stable")
-    st = flat_tokens[order]
-    sd = flat_docs[order]
+    built = None
     if total:
-        new_run = np.empty(total, dtype=bool)
-        new_run[0] = True
-        np.logical_or(st[1:] != st[:-1], sd[1:] != sd[:-1], out=new_run[1:])
-        run_starts = np.flatnonzero(new_run)
-        run_ends = np.empty(len(run_starts), dtype=np.int64)
-        run_ends[:-1] = run_starts[1:]
-        run_ends[-1] = total
-        # tf counts are small integers: exact in float32 (< 2^24)
-        tf_vals = (run_ends - run_starts).astype(dtype)
-        col_tok = st[run_starts]
-        row_doc = sd[run_starts]
-    else:
-        tf_vals = np.zeros(0, dtype=dtype)
-        col_tok = np.zeros(0, dtype=np.int32)
-        row_doc = np.zeros(0, dtype=np.int32)
-    indptr = np.zeros(vocab_size + 1, dtype=np.int64)
-    np.cumsum(np.bincount(col_tok, minlength=vocab_size), out=indptr[1:])
-    tf_csc = sp.csc_matrix(
-        (tf_vals, row_doc, indptr), shape=(num_docs, vocab_size)
-    )
+        from bm25_tpu.native import loader as _native_loader
 
-    df = np.diff(tf_csc.indptr)
+        nat = _native_loader.get()
+        if nat is not None and getattr(nat, "_has_csc", False):
+            built = nat.build_tf_csc(flat_tokens, doc_lengths, vocab_size)
+    if built is not None:
+        indptr, row_doc, tf_vals = built
+        tf_vals = tf_vals.astype(dtype, copy=False)
+    else:
+        flat_docs = np.repeat(np.arange(num_docs, dtype=np.int32), doc_lengths)
+        order = np.argsort(flat_tokens, kind="stable")
+        st = flat_tokens[order]
+        sd = flat_docs[order]
+        if total:
+            new_run = np.empty(total, dtype=bool)
+            new_run[0] = True
+            np.logical_or(st[1:] != st[:-1], sd[1:] != sd[:-1], out=new_run[1:])
+            run_starts = np.flatnonzero(new_run)
+            run_ends = np.empty(len(run_starts), dtype=np.int64)
+            run_ends[:-1] = run_starts[1:]
+            run_ends[-1] = total
+            # tf counts are small integers: exact in float32 (< 2^24)
+            tf_vals = (run_ends - run_starts).astype(dtype)
+            col_tok = st[run_starts]
+            row_doc = sd[run_starts]
+        else:
+            tf_vals = np.zeros(0, dtype=dtype)
+            col_tok = np.zeros(0, dtype=np.int32)
+            row_doc = np.zeros(0, dtype=np.int32)
+        indptr = np.zeros(vocab_size + 1, dtype=np.int64)
+        np.cumsum(np.bincount(col_tok, minlength=vocab_size), out=indptr[1:])
+
+    df = np.diff(indptr)
     avgdl = float(doc_lengths.mean()) if num_docs else 0.0
 
     idf_vec = idf(params.effective_idf_method, num_docs, df)
@@ -251,16 +257,16 @@ def build_scored_index_flat(
         dl_norm_per_doc = np.full(num_docs, 1.0 - params.b)
 
     # Per-nnz transform: data[i] = idf[col(i)] * sat(tf[i], dl_norm[row(i)]).
-    nnz = tf_csc.nnz
+    nnz = len(tf_vals)
     col_of = np.repeat(np.arange(vocab_size, dtype=np.int32), df)
-    row_of = tf_csc.indices
+    row_of = row_doc
     # bm25s computes the score arrays in the target dtype (float32): idf and
     # the length norm are rounded to `dtype` BEFORE the saturation/product, so
     # we do the same to stay bit-exact with the reference artifacts
     # (verified in tests/test_scoring.py against animal_index_bm25).
     sat = tf_saturation(
         params.method,
-        tf_csc.data.astype(dtype, copy=False),
+        tf_vals,
         dl_norm_per_doc.astype(dtype)[row_of],
         dtype(params.k1),
         dtype(params.delta),
@@ -275,8 +281,8 @@ def build_scored_index_flat(
 
     assert len(scores) == nnz
     return ScoredIndex(
-        indptr=tf_csc.indptr.astype(np.int32) if nnz < 2**31 else tf_csc.indptr,
-        indices=tf_csc.indices.astype(np.int32, copy=False),
+        indptr=indptr.astype(np.int32) if nnz < 2**31 else indptr,
+        indices=row_doc.astype(np.int32, copy=False),
         data=scores,
         num_docs=num_docs,
         doc_lengths=doc_lengths,

@@ -112,3 +112,46 @@ def test_tokenizer_all_non_ascii_corpus(native):
     assert t_on.vocab == t_off.vocab
     for a, b in zip(t_on.ids, t_off.ids):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_csc_build_matches_numpy(native):
+    """C++ counting-sort CSC builder is byte-identical to the numpy path."""
+    import bm25_tpu.native.loader as loader
+    from bm25_tpu.scoring import BM25Params, build_scored_index_flat
+
+    rng = random.Random(7)
+    nprng = np.random.default_rng(7)
+    for trial in range(4):
+        num_docs = rng.randint(1, 300)
+        vocab = rng.randint(1, 80)
+        lengths = np.maximum(
+            0, nprng.poisson(rng.randint(1, 30), num_docs)
+        ).astype(np.int32)
+        flat = nprng.integers(0, vocab, int(lengths.sum()), dtype=np.int32)
+        method = ["lucene", "robertson", "bm25+"][trial % 3]
+        kw = dict(vocab_size=vocab, params=BM25Params(method=method))
+        idx_native = build_scored_index_flat(flat, lengths, **kw)
+        saved_cached, saved_checked = loader._cached, loader._checked
+        loader._cached, loader._checked = None, True  # force numpy fallback
+        try:
+            idx_numpy = build_scored_index_flat(flat, lengths, **kw)
+        finally:
+            loader._cached, loader._checked = saved_cached, saved_checked
+        np.testing.assert_array_equal(idx_native.indptr, idx_numpy.indptr)
+        np.testing.assert_array_equal(idx_native.indices, idx_numpy.indices)
+        np.testing.assert_array_equal(idx_native.data, idx_numpy.data)
+        np.testing.assert_array_equal(
+            idx_native.token_offsets, idx_numpy.token_offsets
+        )
+
+
+def test_native_csc_build_empty_and_unit_cases(native):
+    from bm25_tpu.native.text_native import NativeTextPipeline  # noqa: F401
+
+    out = native.build_tf_csc(
+        np.array([2, 2, 0], np.int32), np.array([3], np.int32), vocab_size=4
+    )
+    indptr, docs, tf = out
+    np.testing.assert_array_equal(indptr, [0, 1, 1, 2, 2])
+    np.testing.assert_array_equal(docs, [0, 0])
+    np.testing.assert_array_equal(tf, [1.0, 2.0])
