@@ -26,11 +26,16 @@ struct CscHandle {
   std::vector<float> tf;         // nnz term frequencies
 };
 
-inline int pick_threads(int64_t n) {
+inline int pick_threads(int64_t n, int64_t v) {
   unsigned hw = std::thread::hardware_concurrency();
   if (hw <= 1 || n < (1 << 20)) return 1;
   int t = static_cast<int>(std::min<unsigned>(hw, 16));
-  return static_cast<int>(std::min<int64_t>(t, n / (1 << 19)));
+  t = static_cast<int>(std::min<int64_t>(t, n / (1 << 19)));
+  // per-thread histograms cost v * 8 bytes each: cap total at ~512 MB so
+  // multi-million-term vocabularies don't blow host memory
+  int64_t hist_cap = std::max<int64_t>((512ll << 20) / (v * 8 + 1), 1);
+  return static_cast<int>(std::max<int64_t>(
+      1, std::min<int64_t>(t, hist_cap)));
 }
 
 template <typename F>
@@ -61,7 +66,7 @@ void* bm25_build_csc(const int32_t* flat, int64_t n, const int32_t* lengths,
   std::vector<int64_t> doc_end(static_cast<size_t>(d) + 1, 0);
   for (int64_t i = 0; i < d; ++i) doc_end[i + 1] = doc_end[i] + lengths[i];
 
-  const int threads = pick_threads(n);
+  const int threads = pick_threads(n, v);
   const int64_t chunk = threads ? (n + threads - 1) / threads : 0;
 
   // phase 1: per-thread token histograms

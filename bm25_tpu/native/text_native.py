@@ -67,6 +67,16 @@ class NativeTextPipeline:
             return None
         flat = np.ascontiguousarray(flat_tokens, dtype=np.int32)
         lens = np.ascontiguousarray(doc_lengths, dtype=np.int32)
+        if len(flat):
+            # the native scatter trusts its inputs; an out-of-range id
+            # would corrupt memory instead of raising like numpy
+            lo, hi = int(flat.min()), int(flat.max())
+            if lo < 0 or hi >= vocab_size:
+                raise ValueError(
+                    f"token ids must be in [0, {vocab_size}); got [{lo}, {hi}]"
+                )
+        if int(lens.sum()) != len(flat):
+            raise ValueError("doc_lengths must sum to len(flat_tokens)")
         h = self._lib.bm25_build_csc(
             flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(flat),
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(lens),

@@ -155,3 +155,16 @@ def test_native_csc_build_empty_and_unit_cases(native):
     np.testing.assert_array_equal(indptr, [0, 1, 1, 2, 2])
     np.testing.assert_array_equal(docs, [0, 0])
     np.testing.assert_array_equal(tf, [1.0, 2.0])
+
+
+def test_native_csc_build_rejects_out_of_range_ids(native):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="token ids"):
+        native.build_tf_csc(
+            np.array([0, 5], np.int32), np.array([2], np.int32), vocab_size=3
+        )
+    with _pytest.raises(ValueError, match="sum"):
+        native.build_tf_csc(
+            np.array([0, 1], np.int32), np.array([3], np.int32), vocab_size=3
+        )
