@@ -187,11 +187,12 @@ def estimate_step_vpu_ops(engine, q: int, t: int) -> int | None:
     return q * slots * (2 * t + 2)
 
 
-def _measure_k(cfg, index, engine, queries, k: int, log) -> dict:
+def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
     """One k-point: baseline, latency percentiles, sustained qps, recall."""
-    from bm25_tpu.reference import ReferenceEngine
+    if ref is None:
+        from bm25_tpu.reference import ReferenceEngine
 
-    ref = ReferenceEngine.from_scored_index(index)
+        ref = ReferenceEngine.from_scored_index(index)
     nb = min(cfg.baseline_queries, len(queries))
     t0 = time.perf_counter()
     ref_docs, ref_scores = ref.search(queries[:nb], top_k=k)
@@ -272,12 +273,17 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
     log(f"[bench] engine={type(engine).__name__} upload+init {upload_s:.1f}s")
 
     # headline = cfg.top_k (the BASELINE.md k=1000 row); cfg.top_k2 secondary
+    from bm25_tpu.reference import ReferenceEngine
+
+    ref = ReferenceEngine.from_scored_index(index)
     ks = []
     for k in (cfg.top_k, cfg.top_k2):
         k = min(k, cfg.num_docs)
         if k not in ks:
             ks.append(k)
-    rows = {k: _measure_k(cfg, index, engine, queries, k, log) for k in ks}
+    rows = {
+        k: _measure_k(cfg, index, engine, queries, k, log, ref=ref) for k in ks
+    }
     head = rows[ks[0]]
 
     from bm25_tpu.eval import index_memory_stats

@@ -192,9 +192,9 @@ def load_device_checkpoint(
                 session=session,
                 vocab=vocab,
             )
-        from bm25_tpu.models.sparse import SparseEngine
+        from bm25_tpu.models.sparse import SparseEngine, fit_score_buffer_budget
 
-        return SparseEngine(
+        engine = SparseEngine(
             buckets=state["buckets"],
             offsets=state["offsets"],
             hot_table=state["hot_table"],
@@ -211,6 +211,10 @@ def load_device_checkpoint(
             tail_cap=meta.get("tail_cap", 0),
             score_dtype=meta.get("score_dtype", "float32"),
         )
+        # re-apply the HBM-headroom budget shrink (the warm-restart path
+        # must not reintroduce the worker-killing transient-buffer OOM)
+        fit_score_buffer_budget(engine)
+        return engine
 
     if name in _SHARDED_SPECS:
         if mesh is None:

@@ -47,6 +47,7 @@ class StreamingIndexBuilder:
     _tokenize_s: float = 0.0
     _buffered_bytes: int = 0
     _spilled_tokens: int = 0
+    _spill_started: bool = False
 
     def add(self, texts: Sequence[str]) -> int:
         """Tokenize and buffer one chunk of documents; returns docs so far."""
@@ -82,7 +83,12 @@ class StreamingIndexBuilder:
 
     def _spill(self) -> None:
         os.makedirs(self.spill_dir, exist_ok=True)
-        with open(self._spill_path, "ab") as f:
+        # truncate on this builder's FIRST spill: a stale tokens.bin from a
+        # previous run would otherwise be silently prepended to this
+        # corpus's stream and corrupt the built index
+        mode = "ab" if self._spill_started else "wb"
+        self._spill_started = True
+        with open(self._spill_path, mode) as f:
             for chunk in self._chunks:
                 f.write(np.ascontiguousarray(chunk, dtype=np.int32).tobytes())
                 self._spilled_tokens += len(chunk)

@@ -14,9 +14,13 @@ from bm25_tpu.scoring import ScoredIndex
 DEFAULT_DENSE_BUDGET = 8 << 30
 
 
-def _build(cls, index, kwargs):
-    # keep only the kwargs the chosen engine understands, so options like
-    # score_dtype (sparse-only) compose with mode="auto"
+def _build(cls, index, kwargs, filter_kwargs: bool):
+    if not filter_kwargs:
+        # explicit modes keep strict kwargs: a typo or an option the
+        # chosen engine doesn't support must raise, not silently no-op
+        return cls.from_scored_index(index, **kwargs)
+    # mode="auto": keep only the kwargs the chosen engine understands, so
+    # engine-specific options (e.g. sparse-only score_dtype) compose
     params = inspect.signature(cls.from_scored_index).parameters
     return cls.from_scored_index(
         index, **{k: v for k, v in kwargs.items() if k in params}
@@ -32,25 +36,27 @@ def create_engine(
     """Build the best device engine for this index.
 
     mode: "auto" / "dense" / "sparse" / "sharded" / "sharded_sparse".
-    Extra kwargs pass through to the chosen engine's ``from_scored_index``
-    (unknown ones are dropped, so sparse-only options compose with "auto").
+    Extra kwargs pass through to the chosen engine's ``from_scored_index``.
+    Under mode="auto" kwargs the selected engine doesn't understand are
+    dropped (engine-specific options must compose with either choice);
+    explicit modes keep strict kwargs and raise on unknown options.
     """
     if mode == "sharded":
         from bm25_tpu.parallel.sharded_engine import ShardedEngine
 
-        return _build(ShardedEngine, index, kwargs)
+        return _build(ShardedEngine, index, kwargs, filter_kwargs=False)
     if mode == "sharded_sparse":
         from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
 
-        return _build(ShardedSparseEngine, index, kwargs)
+        return _build(ShardedSparseEngine, index, kwargs, filter_kwargs=False)
     if mode == "dense":
         from bm25_tpu.models.dense import DenseEngine
 
-        return _build(DenseEngine, index, kwargs)
+        return _build(DenseEngine, index, kwargs, filter_kwargs=False)
     if mode == "sparse":
         from bm25_tpu.models.sparse import SparseEngine
 
-        return _build(SparseEngine, index, kwargs)
+        return _build(SparseEngine, index, kwargs, filter_kwargs=False)
     if mode != "auto":
         raise ValueError(f"unknown engine mode {mode!r}")
 
@@ -59,7 +65,7 @@ def create_engine(
     if v * d * 4 <= dense_budget_bytes:
         from bm25_tpu.models.dense import DenseEngine
 
-        return _build(DenseEngine, index, kwargs)
+        return _build(DenseEngine, index, kwargs, filter_kwargs=True)
     from bm25_tpu.models.sparse import SparseEngine
 
-    return _build(SparseEngine, index, kwargs)
+    return _build(SparseEngine, index, kwargs, filter_kwargs=True)

@@ -51,7 +51,8 @@ def make_query_step(num_docs: int, k: int, scoring: str = "gather"):
     T << V; matmul wins for very wide queries.
     """
 
-    def step(st: jax.Array, offsets: jax.Array, ids: jax.Array):
+    def step(st: jax.Array, offsets: jax.Array, ids: jax.Array,
+             st_pair=None):
         from bm25_tpu.ops.gather_rows import gather_add_rows
 
         q, t = ids.shape
@@ -60,11 +61,10 @@ def make_query_step(num_docs: int, k: int, scoring: str = "gather"):
         valid = ids >= 0
         safe = jnp.where(valid, ids, zero_row)
         if scoring == "matmul":
+            hi, lo = st_pair
             counts = jax.nn.one_hot(
                 jnp.where(valid, ids, -1), st.shape[0], dtype=jnp.bfloat16
             ).sum(axis=1)  # (Q, V_pad); one_hot(-1) is all-zero
-            hi = st.astype(jnp.bfloat16)
-            lo = (st - hi.astype(st.dtype)).astype(jnp.bfloat16)
             scores = jnp.dot(
                 counts, hi, preferred_element_type=jnp.float32
             ) + jnp.dot(counts, lo, preferred_element_type=jnp.float32)
@@ -100,6 +100,9 @@ class DenseEngine:
     session: Session
     vocab: dict[str, int] | None = None
     scoring: str = "gather"  # or "matmul" (full-vocab SpGEMM variant)
+    # lazily-built bf16 (high, residual) split of st for scoring="matmul";
+    # computed once instead of two full passes over st per batch
+    _st_pair: tuple | None = None
 
     # -- construction --------------------------------------------------------
 
@@ -196,7 +199,16 @@ class DenseEngine:
              self.scoring),
             lambda: jax.jit(make_query_step(self.num_docs, k, self.scoring)),
         )
-        return step(self.st, self.offsets, self.session.put(padded))
+        st_pair = None
+        if self.scoring == "matmul":
+            if self._st_pair is None:
+                hi = jax.jit(lambda s: s.astype(jnp.bfloat16))(self.st)
+                lo = jax.jit(
+                    lambda s, h: (s - h.astype(s.dtype)).astype(jnp.bfloat16)
+                )(self.st, hi)
+                self._st_pair = (hi, lo)
+            st_pair = self._st_pair
+        return step(self.st, self.offsets, self.session.put(padded), st_pair)
 
     def get_scores(self, query_ids) -> np.ndarray:
         """Dense (D,) scores for a single query (reference bm25.py:124)."""

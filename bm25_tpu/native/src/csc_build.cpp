@@ -152,14 +152,9 @@ void* bm25_build_csc(const int32_t* flat, int64_t n, const int32_t* lengths,
         i = j;
       }
     }
-    if (chi == v) h->indptr[v] = w;
   });
-  // fix indptr for columns owned by later threads (their first token wrote
-  // run_base, intermediate boundaries are already correct within threads)
-  for (int t = 1; t < col_threads; ++t) {
-    const int64_t clo = t * col_chunk;
-    if (clo < v) h->indptr[clo] = run_base[t];
-  }
+  // every thread wrote indptr for its own columns (first column = its
+  // run_base); only the terminal entry remains
   h->indptr[v] = nnz;
   return h;
 }

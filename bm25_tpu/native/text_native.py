@@ -75,6 +75,10 @@ class NativeTextPipeline:
                 raise ValueError(
                     f"token ids must be in [0, {vocab_size}); got [{lo}, {hi}]"
                 )
+        if len(lens) and int(lens.min()) < 0:
+            # a negative length would make doc_end non-monotonic and send
+            # the native scatter out of bounds
+            raise ValueError("doc_lengths must be non-negative")
         if int(lens.sum()) != len(flat):
             raise ValueError("doc_lengths must sum to len(flat_tokens)")
         h = self._lib.bm25_build_csc(

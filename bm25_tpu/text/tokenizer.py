@@ -163,7 +163,7 @@ class Tokenizer:
                 ids[i] = tc.ids[pos]
             for i in non_ascii:
                 ids[i] = self._encode_doc(texts[i], vocab)
-            return TokenizedCorpus(ids=ids, vocab=vocab)
+            return _remap_first_occurrence(ids, vocab)
 
         if vocab is None:
             vocab = {}
@@ -221,6 +221,28 @@ class Tokenizer:
         for i, row in enumerate(rows):
             out[i, : len(row)] = row
         return out
+
+
+def _remap_first_occurrence(
+    ids: list[np.ndarray], vocab: dict[str, int]
+) -> TokenizedCorpus:
+    """Renumber vocab ids to first-occurrence order over the corpus.
+
+    The hybrid native/Python path assigns all ASCII docs' terms before any
+    non-ASCII doc's; this restores the documented contract (ids in
+    first-occurrence order) so saved vocab artifacts stay reproducible
+    regardless of which docs took the native path.
+    """
+    flat = np.concatenate(ids) if ids else np.zeros(0, np.int32)
+    if not len(flat):
+        return TokenizedCorpus(ids=ids, vocab=vocab)
+    uniq, first = np.unique(flat, return_index=True)
+    order = uniq[np.argsort(first, kind="stable")]
+    old_to_new = np.empty(len(vocab), dtype=np.int32)
+    old_to_new[order] = np.arange(len(order), dtype=np.int32)
+    new_ids = [old_to_new[doc] if len(doc) else doc for doc in ids]
+    new_vocab = {term: int(old_to_new[tid]) for term, tid in vocab.items()}
+    return TokenizedCorpus(ids=new_ids, vocab=new_vocab)
 
 
 def pad_token_lists(rows: Iterable[Sequence[int]], pad_to: int | None = None) -> np.ndarray:

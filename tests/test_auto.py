@@ -67,3 +67,22 @@ def test_synthetic_index_deterministic_and_env_override(monkeypatch):
     monkeypatch.setenv("BM25_BENCH_ENGINE", "sparse")
     env_cfg = BenchConfig.from_env()
     assert env_cfg.num_docs == 99 and env_cfg.engine == "sparse"
+
+
+def test_explicit_mode_rejects_unknown_kwargs():
+    """Explicit modes must raise on unsupported options (auto may filter)."""
+    import pytest as _pytest
+
+    from bm25_tpu.models.auto import create_engine
+    from bm25_tpu.scoring import build_scored_index
+
+    rng = np.random.default_rng(0)
+    ids = [rng.integers(0, 16, size=5).astype(np.int32) for _ in range(10)]
+    idx = build_scored_index(ids, vocab_size=16)
+    with _pytest.raises(TypeError):
+        create_engine(idx, mode="dense", score_dtype="bfloat16")
+    # auto filters: a sparse-only option with a dense auto-pick is dropped
+    eng = create_engine(idx, mode="auto", score_dtype="bfloat16")
+    assert type(eng).__name__ == "DenseEngine"
+    with _pytest.raises(ValueError, match="score_dtype"):
+        create_engine(idx, mode="sparse", score_dtype="float16")

@@ -89,13 +89,11 @@ def test_tokenizer_unicode_parity_with_native_enabled(native):
     ]
     t_on = Tokenizer(use_native=True).tokenize_corpus(docs)
     t_off = Tokenizer(use_native=False).tokenize_corpus(docs)
-    # vocab id ORDER may differ (native assigns ASCII-doc terms first); the
-    # invariant is the per-doc term sequence.
-    inv_on = {v: k for k, v in t_on.vocab.items()}
-    inv_off = {v: k for k, v in t_off.vocab.items()}
-    assert set(t_on.vocab) == set(t_off.vocab)
+    # the hybrid path renumbers ids to first-occurrence order, so the
+    # result is IDENTICAL to the pure-Python path (vocab ids included)
+    assert t_on.vocab == t_off.vocab
     for a, b in zip(t_on.ids, t_off.ids):
-        assert [inv_on[i] for i in a.tolist()] == [inv_off[i] for i in b.tolist()]
+        np.testing.assert_array_equal(a, b)
     # query-time tokens must hit the corpus vocab (the round-1 failure mode
     # was 'über'/'café' OOV because the corpus kept 'Über'/'cafÉ')
     tok = Tokenizer(use_native=True)

@@ -53,3 +53,29 @@ def test_streaming_spill_to_disk_matches_in_ram(tmp_path, zipf_corpus_small):
     np.testing.assert_allclose(ram.data, spilled.data)
     assert ram.vocab == spilled.vocab
     np.testing.assert_array_equal(ram.doc_lengths, spilled.doc_lengths)
+
+
+def test_streaming_spill_truncates_stale_file(tmp_path, zipf_corpus_small):
+    """A tokens.bin left by a previous run must not leak into a new build."""
+    from bm25_tpu.index.streaming import StreamingIndexBuilder
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    d = tmp_path / "spill"
+    d.mkdir()
+    (d / "tokens.bin").write_bytes(b"\xff" * 4096)  # stale garbage
+
+    b = StreamingIndexBuilder(
+        tokenizer=Tokenizer(stopwords=None, stemmer=None),
+        spill_dir=str(d), spill_threshold_bytes=256,
+    )
+    b.add(zipf_corpus_small[:60])
+    b.add(zipf_corpus_small[60:120])
+    idx = b.finalize()[0]
+
+    b2 = StreamingIndexBuilder(tokenizer=Tokenizer(stopwords=None, stemmer=None))
+    b2.add(zipf_corpus_small[:60])
+    b2.add(zipf_corpus_small[60:120])
+    ref = b2.finalize()[0]
+    np.testing.assert_array_equal(idx.indptr, ref.indptr)
+    np.testing.assert_array_equal(idx.indices, ref.indices)
+    np.testing.assert_allclose(idx.data, ref.data)
