@@ -32,6 +32,13 @@ class BenchConfig:
     baseline_queries: int = 32
     seed: int = 0
     engine: str = "auto"
+    # ELL bucket count trades padding (more buckets = tighter widths =
+    # less VPU scan work) against per-bucket selection cost (one top-k
+    # tree per bucket).  Measured on v5e at this bench's shape with the
+    # fused epilogue kernel: 2 buckets win the k=1000 headline (110.6 vs
+    # 136.6 ms/step) and cost ~10% at k=100 (74.1 vs 66.8); the engine
+    # default stays 4 (safer for skewed real-corpus length distributions)
+    max_buckets: int = 2
 
     @classmethod
     def from_env(cls) -> "BenchConfig":
@@ -41,6 +48,9 @@ class BenchConfig:
             if v is not None:
                 kw[f] = v if f == "engine" else int(v)
         return cls(**kw)
+
+    def engine_kwargs(self) -> dict:
+        return {"max_buckets": self.max_buckets}
 
 
 def _zipf_probs(vocab: int) -> np.ndarray:
@@ -140,15 +150,17 @@ def estimate_step_hbm_bytes(engine, q: int) -> int | None:
     """Minimum HBM traffic model for one SparseEngine batch.
 
     Per batch: the ELL postings stream once per query tile (TQ=128), the
-    hot matrices stream once through the MXU, and each bucket's dense
-    (Q, rows) base tile is written once and read ~twice (mask + top-k
-    tree's geometric series).
+    hot matrices stream once per query tile through the MXU (fused into
+    the scoring kernel), and each bucket's dense (Q, rows) base writes
+    once; the selection tree reads only the kernel-emitted (Q, rows/8)
+    group maxima plus the k selected groups (epilogue fusion — the base
+    no longer round-trips for hot-add, mask, or the first max level).
     """
     from bm25_tpu.models.sparse import SparseEngine
 
     if not isinstance(engine, SparseEngine):
         return None
-    from bm25_tpu.ops.ell_score import BLOCK_Q
+    from bm25_tpu.ops.ell_score import BLOCK_Q, GROUP
 
     def nbytes(a):
         return int(np.prod(a.shape)) * a.dtype.itemsize
@@ -161,8 +173,9 @@ def estimate_step_hbm_bytes(engine, q: int) -> int | None:
             total += (nbytes(b["tokT"]) + nbytes(b["valT"])) * q_tiles
         for key in ("hotT", "hotLo"):
             if key in b:
-                total += nbytes(b[key])
-        total += q * rows * 4 * 3  # base write + mask read + top-k read
+                total += nbytes(b[key]) * q_tiles
+        # base write + gmax write/read (selection reads candidates only)
+        total += q * rows * 4 + 2 * q * (rows // GROUP) * 4
     return total
 
 
@@ -268,7 +281,7 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
     from bm25_tpu.models.auto import create_engine
 
     t0 = time.perf_counter()
-    engine = create_engine(index, mode=cfg.engine)
+    engine = create_engine(index, mode=cfg.engine, **cfg.engine_kwargs())
     upload_s = time.perf_counter() - t0
     log(f"[bench] engine={type(engine).__name__} upload+init {upload_s:.1f}s")
 

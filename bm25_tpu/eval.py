@@ -87,9 +87,10 @@ def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
     elif name == "ShardedEngine":
         dev = _nbytes(engine.st)
     elif name == "ShardedSparseEngine":
-        for key in ("tokT", "valT", "hotT", "hotLo", "doc_ids", "offsets",
-                    "hot_table"):
-            dev += _nbytes(getattr(engine, key))
+        for b in engine.buckets:
+            dev += sum(_nbytes(b[key]) for key in b)
+        for extra in ("offsets", "hot_table"):
+            dev += _nbytes(getattr(engine, extra))
     return MemoryStats(
         csc_bytes=csc, device_bytes=dev,
         overhead_ratio=dev / csc if csc else float("inf"),

@@ -21,24 +21,21 @@ import os
 import jax
 import numpy as np
 
-CHECKPOINT_VERSION = 2
+CHECKPOINT_VERSION = 3
 
-# engine field -> PartitionSpec factory for sharded restore targets
-_SHARDED_SPECS = {
-    "ShardedEngine": {
-        "st": ("none", "docs"),
-        "offsets": (),
-    },
-    "ShardedSparseEngine": {
-        "tokT": ("none", "docs"),
-        "valT": ("none", "docs"),
-        "hotT": ("none", "docs"),
-        "hotLo": ("none", "docs"),
-        "doc_ids": ("docs",),
-        "offsets": (),
-        "hot_table": (),
-    },
+# per-field PartitionSpec factories for sharded restore targets; bucket
+# dict leaves resolve by key name (see _mesh_shardings)
+_SHARDED_FIELD_SPECS = {
+    "st": ("none", "docs"),
+    "tokT": ("none", "docs"),
+    "valT": ("none", "docs"),
+    "hotT": ("none", "docs"),
+    "hotLo": ("none", "docs"),
+    "doc_ids": ("docs",),
+    "offsets": (),
+    "hot_table": (),
 }
+_SHARDED_ENGINES = ("ShardedEngine", "ShardedSparseEngine")
 
 
 def _engine_state(engine) -> dict:
@@ -48,11 +45,7 @@ def _engine_state(engine) -> dict:
         return {"st": engine.st, "offsets": engine.offsets}
     if name == "ShardedSparseEngine":
         return {
-            "tokT": engine.tokT,
-            "valT": engine.valT,
-            "hotT": engine.hotT,
-            "hotLo": engine.hotLo,
-            "doc_ids": engine.doc_ids,
+            "buckets": engine.buckets,
             "offsets": engine.offsets,
             "hot_table": engine.hot_table,
         }
@@ -141,8 +134,6 @@ def _mesh_shardings(meta: dict, mesh) -> dict:
 
     from bm25_tpu.parallel.mesh import DOC_AXIS
 
-    specs = _SHARDED_SPECS[meta["engine"]]
-
     def to_sharding(field_spec):
         parts = tuple(
             None if p == "none" else DOC_AXIS if p == "docs" else p
@@ -150,7 +141,22 @@ def _mesh_shardings(meta: dict, mesh) -> dict:
         )
         return NamedSharding(mesh, P(*parts))
 
-    return {key: to_sharding(spec) for key, spec in specs.items()}
+    def is_leaf(x):
+        # meta leaves are [shape_list, dtype_str] pairs
+        return (isinstance(x, list) and len(x) == 2 and isinstance(x[1], str)
+                and isinstance(x[0], list))
+
+    def map_node(node, key=None):
+        if is_leaf(node):
+            return to_sharding(_SHARDED_FIELD_SPECS[key])
+        if isinstance(node, dict):
+            # dict leaves resolve by key name (handles the bucket-list tree)
+            return {k: map_node(v, k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(map_node(v, key) for v in node)
+        raise TypeError(f"unexpected checkpoint tree node {type(node)}")
+
+    return map_node(meta["tree"])
 
 
 def load_device_checkpoint(
@@ -216,7 +222,7 @@ def load_device_checkpoint(
         fit_score_buffer_budget(engine)
         return engine
 
-    if name in _SHARDED_SPECS:
+    if name in _SHARDED_ENGINES:
         if mesh is None:
             from bm25_tpu.parallel.mesh import make_mesh
 
@@ -236,14 +242,21 @@ def load_device_checkpoint(
             )
         from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
 
+        if "buckets" in state:
+            buckets = state["buckets"]
+        else:
+            # version-2 checkpoints saved one flat bucket's fields
+            buckets = [{
+                key: state[key]
+                for key in ("tokT", "valT", "doc_ids")
+            }]
+            if meta["hot_h"] > 0:
+                buckets[0]["hotT"] = state["hotT"]
+                buckets[0]["hotLo"] = state["hotLo"]
         return ShardedSparseEngine(
-            tokT=state["tokT"],
-            valT=state["valT"],
-            hotT=state["hotT"],
-            hotLo=state["hotLo"],
+            buckets=buckets,
             hot_table=state["hot_table"],
             hot_h=meta["hot_h"],
-            doc_ids=state["doc_ids"],
             offsets=state["offsets"],
             num_docs=meta["num_docs"],
             vocab_size=meta["vocab_size"],

@@ -32,33 +32,40 @@ BLOCK_ROWS = 512
 BLOCK_Q = 128
 
 
-def _kernel_body(t_count: int, l_count: int):
-    import jax.experimental.pallas as pl  # noqa: F401
-
+def _ell_accumulate(ids, tokT_ref, valT_ref, t_count: int, l_count: int,
+                    shape):
+    """The membership-count scan: returns the (TQ, BR) f32 accumulator."""
     # process 2 postings slots per loop iteration: measured 1.19x on v5e
     # (19.75 -> 16.57 ms per 48x131072 bucket call) — enough ILP to cover
     # the loop-carried accumulator dependency without the register
     # pressure of a full unroll (which measured SLOWER in round 1)
     unroll = 2 if l_count % 2 == 0 else 1
 
+    def per_iter(l0, acc):
+        for dl in range(unroll):
+            l = l0 * unroll + dl
+            tok_row = tokT_ref[l, :][None, :]  # (1, BR)
+            val_row = valT_ref[l, :][None, :]  # (1, BR)
+            # count matches across T first (int adds), multiply once:
+            # 2T+2 VPU ops per slot instead of 3T
+            cnt = (ids[:, 0][:, None] == tok_row).astype(jnp.int32)
+            for t in range(1, t_count):  # T is small and static
+                cnt = cnt + (ids[:, t][:, None] == tok_row)
+            acc = acc + cnt.astype(jnp.float32) * val_row
+        return acc
+
+    acc0 = jnp.zeros(shape, jnp.float32)
+    return lax.fori_loop(0, l_count // unroll, per_iter, acc0)
+
+
+def _kernel_body(t_count: int, l_count: int):
+    import jax.experimental.pallas as pl  # noqa: F401
+
     def kernel(ids_ref, tokT_ref, valT_ref, out_ref):
         ids = ids_ref[:]  # (TQ, T) int32; pads already mapped to -2
-
-        def per_iter(l0, acc):
-            for dl in range(unroll):
-                l = l0 * unroll + dl
-                tok_row = tokT_ref[l, :][None, :]  # (1, BR)
-                val_row = valT_ref[l, :][None, :]  # (1, BR)
-                # count matches across T first (int adds), multiply once:
-                # 2T+2 VPU ops per slot instead of 3T
-                cnt = (ids[:, 0][:, None] == tok_row).astype(jnp.int32)
-                for t in range(1, t_count):  # T is small and static
-                    cnt = cnt + (ids[:, t][:, None] == tok_row)
-                acc = acc + cnt.astype(jnp.float32) * val_row
-            return acc
-
-        acc0 = jnp.zeros(out_ref.shape, jnp.float32)
-        out_ref[:] = lax.fori_loop(0, l_count // unroll, per_iter, acc0)
+        out_ref[:] = _ell_accumulate(
+            ids, tokT_ref, valT_ref, t_count, l_count, out_ref.shape
+        )
 
     return kernel
 
@@ -116,6 +123,152 @@ def ell_score_pallas(
         interpret=interpret,
     )(ids, tokT, valT)
     return out[:q]
+
+
+# group width of the fused epilogue's first-level maxima (must match the
+# tournament tree's branch factor, ops.topk.top_k_tree)
+GROUP = 8
+NEG_INF = float("-inf")
+
+
+def _fused_kernel_body(t_count: int, l_count: int, has_hot: bool):
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    def kernel(*refs):
+        if has_hot:
+            (ids_ref, tokT_ref, valT_ref, hotC_ref, hotT_ref, hotLo_ref,
+             did_ref, out_ref, gmax_ref) = refs
+        else:
+            ids_ref, tokT_ref, valT_ref, did_ref, out_ref, gmax_ref = refs
+        ids = ids_ref[:]
+        acc = _ell_accumulate(
+            ids, tokT_ref, valT_ref, t_count, l_count, out_ref.shape
+        )
+        if has_hot:
+            # split-precision hot matmul on the MXU: two bf16 single-pass
+            # products (high + residual) reconstruct ~f32 accuracy — the
+            # same scheme as the XLA path (models/sparse.py), now fused so
+            # the (Q, rows) base never round-trips HBM for the epilogue
+            hc = hotC_ref[:]
+            acc = acc + jnp.dot(hc, hotT_ref[:],
+                                preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(hc, hotLo_ref[:],
+                                preferred_element_type=jnp.float32)
+        # pad-row mask (doc_ids < 0 -> -inf), fused with the base write
+        acc = jnp.where(did_ref[0, :][None, :] >= 0, acc, NEG_INF)
+        out_ref[:] = acc
+        # first tournament level: per-8-group maxima, so the top-k tree
+        # skips its full read of the (Q, rows) base.  Emitted transposed —
+        # a (TQ, BR/8) block would violate the (8, 128) min-tile rule on
+        # the lane axis; (BR/8, TQ) tiles cleanly
+        tq, br = acc.shape
+        # Mosaic cannot split the lane axis ((TQ, BR) -> (TQ, BR/8, 8));
+        # transpose first so the group split lands on the sublane axis
+        acc_t = acc.T  # (BR, TQ)
+        gmax_ref[:] = jnp.max(
+            acc_t.reshape(br // GROUP, GROUP, tq), axis=1
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ell_score_fused(
+    ids: jax.Array,  # (Q, T) int32, pads/OOV < 0
+    tokT: jax.Array,  # (L_pad, rows) int32, PAD_TOK (-1) padded
+    valT: jax.Array,  # (L_pad, rows) float32 (bf16 upcast transiently)
+    doc_ids: jax.Array,  # (rows,) int32, -1 for pad rows
+    hot_counts: jax.Array | None = None,  # (Q, H) bf16 per-query hot counts
+    hotT: jax.Array | None = None,  # (H, rows) bf16 high part
+    hotLo: jax.Array | None = None,  # (H, rows) bf16 residual
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused bucket scoring: ELL scan + hot matmul + pad mask + group maxima.
+
+    Returns ``(base, gmax)``: the masked (Q, rows) score base and its
+    per-8-group maxima (Q, rows / 8).  Fusing the epilogue saves ~3 HBM
+    round trips of the base per bucket (hot-add read+write, mask, and the
+    selection tree's first max-reduce read) — measured ~8 ms of a 127 ms
+    512-query step at the 512K-doc bench scale.
+
+    The epilogue is the TPU analog of the reference's fused gather_reduce
+    epilogues (``/root/reference/operations/gather_scatter.mojo:116-281``)
+    and its stage-1 local top-k reduction (``topk.mojo:576-661``).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, t = ids.shape
+    l_pad, rows = tokT.shape
+    assert rows % BLOCK_ROWS == 0, rows
+    if valT.dtype != jnp.float32:
+        valT = valT.astype(jnp.float32)
+    has_hot = hot_counts is not None
+    q_pad = next_multiple(q, 8)
+    tq = min(BLOCK_Q, q_pad)
+    while q_pad % tq:
+        tq //= 2
+    if q_pad != q:
+        ids = jnp.pad(ids, ((0, q_pad - q), (0, 0)), constant_values=-1)
+        if has_hot:
+            hot_counts = jnp.pad(hot_counts, ((0, q_pad - q), (0, 0)))
+    ids = jnp.where(ids >= 0, ids, -2)
+    did2 = doc_ids.reshape(1, rows)
+
+    grid = (q_pad // tq, rows // BLOCK_ROWS)
+    in_specs = [
+        pl.BlockSpec((tq, t), lambda qi, ri: (qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((l_pad, BLOCK_ROWS), lambda qi, ri: (0, ri),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((l_pad, BLOCK_ROWS), lambda qi, ri: (0, ri),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [ids, tokT, valT]
+    if has_hot:
+        h = hot_counts.shape[1]
+        in_specs += [
+            pl.BlockSpec((tq, h), lambda qi, ri: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, BLOCK_ROWS), lambda qi, ri: (0, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, BLOCK_ROWS), lambda qi, ri: (0, ri),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [hot_counts, hotT, hotLo]
+    in_specs.append(
+        pl.BlockSpec((1, BLOCK_ROWS), lambda qi, ri: (0, ri),
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(did2)
+
+    hot_bytes = 0
+    if has_hot:
+        hot_bytes = hotT.nbytes + hotLo.nbytes + hot_counts.nbytes
+    base, gmax_t = pl.pallas_call(
+        _fused_kernel_body(t, l_pad, has_hot),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((tq, BLOCK_ROWS), lambda qi, ri: (qi, ri),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_ROWS // GROUP, tq), lambda qi, ri: (ri, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, rows), jnp.float32),
+            jax.ShapeDtypeStruct((rows // GROUP, q_pad), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * rows * (l_pad * t + (
+                2 * (hotT.shape[0] if has_hot else 0))),
+            bytes_accessed=(tokT.nbytes + valT.nbytes) * (q_pad // tq)
+            + hot_bytes + q_pad * rows * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return base[:q], gmax_t.T[:q]
 
 
 def ell_score(ids, tokT, valT, implementation: str = "auto") -> jax.Array:

@@ -331,6 +331,49 @@ def select_top_k(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
 register_op("select_top_k")(select_top_k)
 
 
+def top_k_tree_with_maxes(
+    x2: jax.Array, maxes: jax.Array, k: int, branch: int = 8,
+    base: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """``top_k_tree`` whose first tournament level is precomputed.
+
+    ``maxes[b, g] = max(x2[b, g*branch : (g+1)*branch])`` — typically
+    emitted by the fused scoring kernel's epilogue (ops.ell_score.
+    ell_score_fused), so the tree never streams the full (B, N) base; it
+    only reads ``maxes`` (N/branch) plus the k selected groups.  Tie
+    contract identical to ``top_k_tree`` (maxes carry no positions, the
+    group gather + stable final sort resolve ties to the smaller index).
+    """
+    b, n = x2.shape
+    if not 1 <= k <= n:
+        raise ValueError(f"k={k} out of range for axis of {n}")
+    if n % branch or maxes.shape != (b, n // branch):
+        raise ValueError(
+            f"maxes shape {maxes.shape} does not match branch-{branch} "
+            f"groups of {x2.shape}"
+        )
+    if base is None:
+        base = max(2 * k, 4096)
+    if n <= base or n // branch < k:
+        # too small for group preselection; maxes can't help
+        iota = jnp.broadcast_to(
+            lax.broadcasted_iota(jnp.int32, (1, n), 1), x2.shape
+        )
+        return _sorted_topk(x2, iota, k)
+    _, top_groups = _tree_level(maxes, k, branch, base)
+    top_groups = jnp.sort(top_groups, axis=1)  # index order for tie contract
+    groups = x2.reshape(b, n // branch, branch)
+    cand = jnp.take_along_axis(groups, top_groups[:, :, None], axis=1)
+    cand = cand.reshape(b, k * branch)
+    cand_idx = (
+        top_groups[:, :, None] * branch + jnp.arange(branch)[None, None, :]
+    ).reshape(b, k * branch)
+    return _sorted_topk(cand, cand_idx, k)
+
+
+register_op("top_k_tree_with_maxes")(top_k_tree_with_maxes)
+
+
 # ---------------------------------------------------------------------------
 # hierarchical (block-max) exact top-k for huge N
 # ---------------------------------------------------------------------------

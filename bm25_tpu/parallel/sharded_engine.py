@@ -159,55 +159,114 @@ class ShardedEngine:
         return np.asarray(docs)[:q_real], np.asarray(scores)[:q_real]
 
 
-def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int = 0):
-    """Doc-sharded ELL scoring + local blockwise top-k + all-gather merge.
+def _bucket_specs(buckets: list[dict]) -> tuple:
+    """PartitionSpec pytree matching a bucket list (arrays shard over docs)."""
+    spec_of = {
+        "tokT": P(None, DOC_AXIS),
+        "valT": P(None, DOC_AXIS),
+        "hotT": P(None, DOC_AXIS),
+        "hotLo": P(None, DOC_AXIS),
+        "doc_ids": P(DOC_AXIS),
+    }
+    return tuple({key: spec_of[key] for key in b} for b in buckets)
 
-    tokT/valT/hotT: (L_pad|H, rows) sharded P(None, 'docs'); doc_ids:
-    (rows,) sharded P('docs'); ids: (Q, T) sharded P('data', None).  Each
-    chip runs the fused Pallas scoring kernel (ops.ell_score) plus the MXU
-    hot-token matmul on its row slice, selects local candidates
-    hierarchically, and the (shards * k) candidate set merges over ICI.
+
+def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
+                          buckets: list[dict]):
+    """Doc-sharded multi-bucket ELL scoring + all-gather top-k merge.
+
+    Per bucket: tokT/valT/hotT/hotLo (rows axis) shard P(None, 'docs') and
+    doc_ids P('docs'); ids: (Q, T) sharded P('data', None).  Each chip runs
+    the same fused Pallas kernel as the single-chip SparseEngine (ELL scan +
+    split-precision hot matmul + pad mask + first-level group maxima) on its
+    row slice of every bucket, selects local candidates hierarchically,
+    merges its buckets with a two-key (score desc, doc asc) sort, and the
+    (shards * k) candidate set merges over ICI with the same two-key sort —
+    so the smaller-doc-id tie contract holds across both buckets and shards.
+    Algorithmic shape: the reference's two-stage GPU top-k
+    (``/root/reference/operations/topk.mojo:576-830``) lifted to the mesh.
     """
 
-    def local_step(tokT_l, valT_l, hotT_l, hotLo_l, hot_table, did_l, ids):
-        from bm25_tpu.ops.ell_score import ell_score
-        from bm25_tpu.ops.topk import select_top_k
+    def local_step(hot_table, ids, *bucket_arrays):
+        from bm25_tpu.ops.ell_score import ell_score_fused
+        from bm25_tpu.ops.topk import select_top_k, top_k_tree_with_maxes
 
         q = ids.shape[0]
-        scores = ell_score(ids, tokT_l, valT_l)  # (q, rows_local)
+        hot_counts = None
         if hot_h > 0:
             valid = ids >= 0
             safe = jnp.where(valid, ids, 0)
             hot_ids = jnp.where(valid, hot_table[safe], -1)
             hot_counts = jax.nn.one_hot(hot_ids, hot_h, dtype=jnp.bfloat16)
             hot_counts = hot_counts.sum(axis=1)
-            # split-precision hot matmul (see models/sparse.py for why)
-            scores = (
-                scores
-                + jnp.dot(hot_counts, hotT_l,
-                          preferred_element_type=jnp.float32)
-                + jnp.dot(hot_counts, hotLo_l,
-                          preferred_element_type=jnp.float32)
-            )
-        scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
-        k_local = min(k, scores.shape[1])
-        ls, lpos = select_top_k(scores, k_local)
-        li = did_l[lpos]
+        interpret = jax.devices()[0].platform != "tpu"
+
+        cand_s, cand_i = [], []
+        for b in bucket_arrays:
+            if cand_s:
+                # chain buckets so XLA schedules them sequentially (one
+                # (Q, rows) base live at a time; see models/sparse.py)
+                ids_in, _ = lax.optimization_barrier((ids, cand_s[-1]))
+            else:
+                ids_in = ids
+            did_l = b["doc_ids"]
+            if "tokT" in b:
+                if hot_counts is not None:
+                    scores, gmax = ell_score_fused(
+                        ids_in, b["tokT"], b["valT"], did_l,
+                        hot_counts, b["hotT"], b["hotLo"],
+                        interpret=interpret,
+                    )
+                else:
+                    scores, gmax = ell_score_fused(
+                        ids_in, b["tokT"], b["valT"], did_l,
+                        interpret=interpret,
+                    )
+            else:
+                scores = None
+                if hot_counts is not None:
+                    scores = jnp.dot(
+                        hot_counts, b["hotT"],
+                        preferred_element_type=jnp.float32,
+                    ) + jnp.dot(
+                        hot_counts, b["hotLo"],
+                        preferred_element_type=jnp.float32,
+                    )
+                if scores is None:
+                    scores = jnp.zeros((q, did_l.shape[0]), jnp.float32)
+                scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
+                gmax = None
+            k_local = min(k, scores.shape[1])
+            if (gmax is not None and scores.shape[1] > max(2 * k_local, 4096)
+                    and gmax.shape[1] >= k_local):
+                ls, lpos = top_k_tree_with_maxes(scores, gmax, k_local)
+            else:
+                ls, lpos = select_top_k(scores, k_local)
+            cand_s.append(ls)
+            cand_i.append(did_l[lpos])
+
+        # local merge across buckets: two-key (score desc, doc asc) sort —
+        # bucket rows interleave doc ids, so positional stability is not
+        # enough for the tie contract here
+        ls = jnp.concatenate(cand_s, axis=1)
+        li = jnp.concatenate(cand_i, axis=1)
+        kk = min(k, ls.shape[1])
+        nss, dd = lax.sort((-ls, li), num_keys=2, is_stable=False)
+        ls, li = -nss[:, :kk], dd[:, :kk]
 
         # merge candidates across doc shards over ICI
-        cand_s = lax.all_gather(ls, DOC_AXIS)  # (S, q, k_local)
-        cand_i = lax.all_gather(li, DOC_AXIS)
-        cand_s = jnp.transpose(cand_s, (1, 0, 2)).reshape(q, -1)
-        cand_i = jnp.transpose(cand_i, (1, 0, 2)).reshape(q, -1)
-        kk = min(k, cand_s.shape[1])
-        ms, pos = lax.top_k(cand_s, kk)
-        return ms, jnp.take_along_axis(cand_i, pos, axis=1)
+        gs = lax.all_gather(ls, DOC_AXIS)  # (S, q, kk)
+        gi = lax.all_gather(li, DOC_AXIS)
+        gs = jnp.transpose(gs, (1, 0, 2)).reshape(q, -1)
+        gi = jnp.transpose(gi, (1, 0, 2)).reshape(q, -1)
+        kk = min(k, gs.shape[1])
+        nss, dd = lax.sort((-gs, gi), num_keys=2, is_stable=False)
+        return -nss[:, :kk], dd[:, :kk]
 
     return jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(None, DOC_AXIS), P(None, DOC_AXIS), P(None, DOC_AXIS),
-                  P(None, DOC_AXIS), P(), P(DOC_AXIS), P(DATA_AXIS, None)),
+        in_specs=(P(), P(DATA_AXIS, None)) + _bucket_specs(buckets),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
     )
@@ -215,26 +274,34 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int = 0):
 
 @dataclass
 class ShardedSparseEngine:
-    """Multi-chip doc-sharded ELL BM25 engine (large corpora over a mesh)."""
+    """Multi-chip doc-sharded multi-bucket ELL BM25 engine.
 
-    tokT: jax.Array  # (L_pad, rows_pad) sharded over docs (axis 1)
-    valT: jax.Array
-    hotT: jax.Array  # (H or dummy, rows_pad) bf16 high part, sharded axis 1
-    hotLo: jax.Array  # matching bf16 residual
+    Same three pieces as the single-chip SparseEngine — length-bucketed ELL
+    postings scored by the fused Pallas kernel plus a dense hot-token
+    sub-matrix — with every bucket's row axis sharded over the mesh's doc
+    axis and the two-stage top-k merge riding ICI.
+    """
+
+    buckets: list  # dicts: doc_ids, [tokT, valT, hotT, hotLo]; rows sharded
     hot_table: jax.Array  # (V+1,) replicated; token id -> hot rank or -1
     hot_h: int
-    doc_ids: jax.Array  # (rows_pad,)
     offsets: jax.Array  # (V+1,) replicated
     num_docs: int
     vocab_size: int
     mesh: Mesh
     vocab: dict[str, int] | None = None
     _cache: dict = None  # type: ignore[assignment]
+    # transient (Q, rows_local) score tiles per chip are bounded by chunking
+    # queries, mirroring the single-chip engine's budget (device OOMs kill
+    # the TPU worker rather than raising)
+    score_buffer_budget: int = 4 << 30
+    chunk_queries: int = 512
 
     @classmethod
     def from_scored_index(
         cls, index: ScoredIndex, mesh: Mesh | None = None, dtype=jnp.float32,
         hot_tokens: int = 512, hot_budget_bytes: int | None = None,
+        max_buckets: int = 4,
     ) -> "ShardedSparseEngine":
         from bm25_tpu.models.sparse import (
             PAD_TOK, build_ell_buckets_from_csr, split_hot_cold)
@@ -253,48 +320,67 @@ class ShardedSparseEngine:
         else:
             hot_ids, hot_dense = np.zeros(0, np.int32), None
             source_csr = index.to_csc().tocsr()
-        # single bucket keeps one uniform array to shard evenly; rows align
-        # to the kernel tile on every shard
-        buckets = build_ell_buckets_from_csr(
-            source_csr, index.num_docs, max_buckets=1,
+        # every bucket's rows align to (kernel tile x doc shards) so each
+        # shard's slice stays kernel-tile aligned
+        host_buckets = build_ell_buckets_from_csr(
+            source_csr, index.num_docs, max_buckets=max_buckets,
             row_align=BLOCK_ROWS * n_doc,
         )
-        (b,) = buckets
-        l_pad = _nm(b.tok.shape[1], 8)
-        tok_t = np.full((l_pad, b.tok.shape[0]), PAD_TOK, dtype=np.int32)
-        tok_t[: b.tok.shape[1]] = b.tok.T
-        val_t = np.zeros((l_pad, b.val.shape[0]), dtype=np.float32)
-        val_t[: b.val.shape[1]] = b.val.T
-        tokT = jax.device_put(tok_t, NamedSharding(mesh, P(None, DOC_AXIS)))
-        valT = jax.device_put(
-            val_t.astype(dtype), NamedSharding(mesh, P(None, DOC_AXIS))
-        )
-        doc_ids = jax.device_put(b.doc_ids, NamedSharding(mesh, P(DOC_AXIS)))
         v = index.vocab_size
         hot_table = np.full((v + 1,), -1, dtype=np.int32)
         if h > 0:
             hot_table[hot_ids] = np.arange(h, dtype=np.int32)
-            hot_b = np.zeros((h, len(b.doc_ids)), dtype=np.float32)
-            real = b.doc_ids >= 0
-            hot_b[:, real] = hot_dense[b.doc_ids[real]].T
-        else:
-            # keep a 8-row dummy so sharding/pytree shapes stay uniform
-            hot_b = np.zeros((8, len(b.doc_ids)), dtype=np.float32)
-        hot_hi = hot_b.astype(jnp.bfloat16)
-        hot_lo = (hot_b - hot_hi.astype(np.float32)).astype(jnp.bfloat16)
-        hotT = jax.device_put(hot_hi, NamedSharding(mesh, P(None, DOC_AXIS)))
-        hotLo = jax.device_put(hot_lo, NamedSharding(mesh, P(None, DOC_AXIS)))
+
+        row_sh = NamedSharding(mesh, P(None, DOC_AXIS))
+        dev_buckets = []
+        for b in host_buckets:
+            entry = {
+                "doc_ids": jax.device_put(
+                    b.doc_ids, NamedSharding(mesh, P(DOC_AXIS))
+                )
+            }
+            if b.tok is not None and b.tok.size:
+                l_pad = _nm(b.tok.shape[1], 8)
+                tok_t = np.full((l_pad, b.tok.shape[0]), PAD_TOK,
+                                dtype=np.int32)
+                tok_t[: b.tok.shape[1]] = b.tok.T
+                val_t = np.zeros((l_pad, b.val.shape[0]), dtype=np.float32)
+                val_t[: b.val.shape[1]] = b.val.T
+                entry["tokT"] = jax.device_put(tok_t, row_sh)
+                entry["valT"] = jax.device_put(val_t.astype(dtype), row_sh)
+            if h > 0:
+                hot_b = np.zeros((h, len(b.doc_ids)), dtype=np.float32)
+                real = b.doc_ids >= 0
+                hot_b[:, real] = hot_dense[b.doc_ids[real]].T
+                hot_hi = hot_b.astype(jnp.bfloat16)
+                hot_lo = (hot_b - hot_hi.astype(np.float32)).astype(
+                    jnp.bfloat16
+                )
+                entry["hotT"] = jax.device_put(hot_hi, row_sh)
+                entry["hotLo"] = jax.device_put(hot_lo, row_sh)
+            dev_buckets.append(entry)
+
         off_host = np.zeros((v + 1,), dtype=np.float32)
         if index.token_offsets is not None:
             off_host[:v] = index.token_offsets
         offsets = jax.device_put(off_host, NamedSharding(mesh, P()))
         return cls(
-            tokT=tokT, valT=valT, hotT=hotT, hotLo=hotLo,
+            buckets=dev_buckets,
             hot_table=jax.device_put(hot_table, NamedSharding(mesh, P())),
-            hot_h=h, doc_ids=doc_ids, offsets=offsets,
+            hot_h=h, offsets=offsets,
             num_docs=index.num_docs, vocab_size=v, mesh=mesh,
             vocab=index.vocab, _cache={},
         )
+
+    def _max_chunk(self) -> int:
+        # bound transient (Q, rows_local) tiles per chip like the
+        # single-chip engine; rows shard over the doc axis
+        n_doc = self.mesh.shape[DOC_AXIS]
+        max_rows = max(
+            b["doc_ids"].shape[0] // n_doc for b in self.buckets
+        )
+        max_q = max(8, (self.score_buffer_budget // (4 * max_rows)) // 8 * 8)
+        return min(max_q, self.chunk_queries)
 
     def search(
         self, queries: np.ndarray, top_k: int = 100
@@ -312,26 +398,44 @@ class ShardedSparseEngine:
         k = min(top_k, self.num_docs)
         n_data = self.mesh.shape[DATA_AXIS]
         q_real, t_real = queries.shape
-        q_pad = next_multiple(q_real, 8 * n_data)
-        t_pad = next_pow2_at_least(max(t_real, 8))
-        padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
-        padded[:q_real, :t_real] = queries.astype(np.int32)
-        key = (k, self.hot_h, q_pad, t_pad, self.tokT.shape)
-        fn = self._cache.get(key)
-        if fn is None:
-            fn = jax.jit(make_sharded_ell_step(self.mesh, k, self.hot_h))
-            self._cache[key] = fn
-        ids = jax.device_put(padded, NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        scores, docs = fn(self.tokT, self.valT, self.hotT, self.hotLo,
-                          self.hot_table, self.doc_ids, ids)
-        # token offsets are doc-independent; add on host
-        valid = padded >= 0
-        off = np.asarray(self.offsets)
-        qoff = np.where(valid, off[np.where(valid, padded, 0)], 0.0).sum(1)
-        return (
-            np.asarray(docs)[:q_real],
-            (np.asarray(scores) + qoff[:, None])[:q_real].astype(np.float32),
-        )
+        step = next_multiple(self._max_chunk(), 8 * n_data)
+        out_docs, out_scores, futures = [], [], []
+        for i in range(0, q_real, step):
+            chunk = queries[i : i + step].astype(np.int32)
+            cq = len(chunk)
+            q_pad = next_multiple(cq, 8 * n_data)
+            t_pad = next_pow2_at_least(max(t_real, 8))
+            padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
+            padded[:cq, :t_real] = chunk
+            shapes = tuple(
+                tuple((key, tuple(b[key].shape), str(b[key].dtype))
+                      for key in sorted(b))
+                for b in self.buckets
+            )
+            key = (k, self.hot_h, q_pad, t_pad, shapes)
+            fn = self._cache.get(key)
+            if fn is None:
+                fn = jax.jit(make_sharded_ell_step(
+                    self.mesh, k, self.hot_h, self.buckets
+                ))
+                self._cache[key] = fn
+            ids = jax.device_put(
+                padded, NamedSharding(self.mesh, P(DATA_AXIS, None))
+            )
+            scores, docs = fn(self.hot_table, ids, *self.buckets)
+            # token offsets are doc-independent; add on host
+            valid = padded[:cq] >= 0
+            off = np.asarray(self.offsets)
+            qoff = np.where(
+                valid, off[np.where(valid, padded[:cq], 0)], 0.0
+            ).sum(1)
+            futures.append((cq, qoff, scores, docs))
+        for cq, qoff, scores, docs in futures:
+            out_docs.append(np.asarray(docs)[:cq])
+            out_scores.append(
+                (np.asarray(scores)[:cq] + qoff[:, None]).astype(np.float32)
+            )
+        return np.concatenate(out_docs), np.concatenate(out_scores)
 
 
 def dryrun_sharded_step(n_devices: int) -> None:

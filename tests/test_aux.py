@@ -113,7 +113,9 @@ def test_device_checkpoint_round_trip(tmp_path, zipf_corpus_small):
     # fresh engine (same mesh), arrays replaced by restored shards
     eng2 = ShardedSparseEngine.from_scored_index(idx, mesh=mesh)
     import jax.numpy as jnp
-    eng2.valT = jnp.zeros_like(eng2.valT)  # corrupt to prove restore works
+    for b in eng2.buckets:  # corrupt to prove restore works
+        if "valT" in b:
+            b["valT"] = jnp.zeros_like(b["valT"])
     restore_device_checkpoint(path, eng2)
     d1, s1 = eng2.search(q, top_k=5)
     np.testing.assert_array_equal(d0, d1)
@@ -245,8 +247,9 @@ def test_device_checkpoint_covers_sharded_hot_state(tmp_path, zipf_corpus_small)
     save_device_checkpoint(path, eng)
 
     eng2 = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, hot_tokens=8)
-    eng2.hotT = jnp.zeros_like(eng2.hotT)  # corrupt the hot state
-    eng2.hotLo = jnp.zeros_like(eng2.hotLo)
+    for b in eng2.buckets:  # corrupt the hot state
+        b["hotT"] = jnp.zeros_like(b["hotT"])
+        b["hotLo"] = jnp.zeros_like(b["hotLo"])
     restore_device_checkpoint(path, eng2)
     d1, s1 = eng2.search(q, top_k=5)
     np.testing.assert_array_equal(d0, d1)

@@ -92,3 +92,63 @@ def test_gather_add_rows_column_blocked():
     ids = jnp.asarray(np.array([[2]], dtype=np.int32))
     out = np.asarray(gather_add_rows(table, ids, "pallas"))
     np.testing.assert_allclose(out[0], np.asarray(table)[2], rtol=1e-6)
+
+
+def test_ell_score_fused_matches_unfused_epilogue():
+    """ell_score_fused == ell_score + hot matmul + mask + group maxima."""
+    import jax
+
+    from bm25_tpu.ops.ell_score import GROUP, ell_score_fused
+
+    rng = np.random.default_rng(3)
+    rows, h, q, t = 2 * BLOCK_ROWS, 16, 12, 5
+    tokT, valT = _random_ell(rng, l_pad=8, rows=rows, vocab=60, fill_max=6)
+    ids = rng.integers(-1, 60, (q, t)).astype(np.int32)
+    did = np.arange(rows, dtype=np.int32)
+    did[-7:] = -1  # pad rows
+    hotT = rng.standard_normal((h, rows)).astype(np.float32)
+    hot_hi = hotT.astype(jnp.bfloat16)
+    hot_lo = (hotT - np.asarray(hot_hi, np.float32)).astype(jnp.bfloat16)
+    hc = rng.integers(0, 3, (q, h)).astype(np.float32).astype(jnp.bfloat16)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    base, gmax = ell_score_fused(
+        jnp.asarray(ids), jnp.asarray(tokT), jnp.asarray(valT),
+        jnp.asarray(did), jnp.asarray(hc), jnp.asarray(hot_hi),
+        jnp.asarray(hot_lo), interpret=interpret,
+    )
+    ref = np.asarray(
+        ell_score(jnp.asarray(ids), jnp.asarray(tokT), jnp.asarray(valT),
+                  "lax")
+    )
+    hot = (np.asarray(hc, np.float32) @ np.asarray(hot_hi, np.float32)
+           + np.asarray(hc, np.float32) @ np.asarray(hot_lo, np.float32))
+    exp = np.where(did[None, :] >= 0, ref + hot, -np.inf)
+    np.testing.assert_allclose(np.asarray(base), exp, rtol=1e-5, atol=1e-5)
+    exp_gmax = exp.reshape(q, rows // GROUP, GROUP).max(-1)
+    np.testing.assert_allclose(np.asarray(gmax), exp_gmax, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_ell_score_fused_no_hot():
+    import jax
+
+    from bm25_tpu.ops.ell_score import GROUP, ell_score_fused
+
+    rng = np.random.default_rng(4)
+    rows = BLOCK_ROWS
+    tokT, valT = _random_ell(rng, l_pad=6, rows=rows, vocab=30, fill_max=5)
+    ids = rng.integers(-1, 30, (9, 4)).astype(np.int32)
+    did = np.arange(rows, dtype=np.int32)
+    interpret = jax.devices()[0].platform != "tpu"
+    base, gmax = ell_score_fused(
+        jnp.asarray(ids), jnp.asarray(tokT), jnp.asarray(valT),
+        jnp.asarray(did), interpret=interpret,
+    )
+    ref = np.asarray(ell_score(jnp.asarray(ids), jnp.asarray(tokT),
+                               jnp.asarray(valT), "lax"))
+    np.testing.assert_allclose(np.asarray(base), ref, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gmax), ref.reshape(9, rows // GROUP, GROUP).max(-1),
+        rtol=1e-6,
+    )

@@ -330,3 +330,26 @@ def test_int_dtype_extremes_with_ties():
         ev, ei = np_topk(x, 4, largest=largest)
         np.testing.assert_array_equal(np.asarray(v), ev.astype(np.int64))
         np.testing.assert_array_equal(np.asarray(i), ei)
+
+
+def test_top_k_tree_with_maxes_matches_tree():
+    """Precomputed-maxes tree == plain tree (values, indices, tie order)."""
+    from bm25_tpu.ops.topk import top_k_tree, top_k_tree_with_maxes
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((7, 16384)).astype(np.float32).round(1)  # ties
+    x[:, :64] = 2.5  # heavy tie block
+    maxes = x.reshape(7, -1, 8).max(-1)
+    for k in (3, 100, 1000):
+        v0, i0 = top_k_tree(jnp.asarray(x), k)
+        v1, i1 = top_k_tree_with_maxes(jnp.asarray(x), jnp.asarray(maxes), k)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_top_k_tree_with_maxes_validates_shape():
+    from bm25_tpu.ops.topk import top_k_tree_with_maxes
+
+    x = jnp.zeros((2, 64))
+    with pytest.raises(ValueError):
+        top_k_tree_with_maxes(x, jnp.zeros((2, 7)), 3)

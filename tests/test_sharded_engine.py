@@ -119,3 +119,43 @@ def test_sharded_engines_tie_contract_smallest_doc_id():
         dd, ds = eng.search(q, top_k=9)
         assert len(set(np.asarray(ds[0]).tolist())) == 1, cls
         np.testing.assert_array_equal(dd[0], np.arange(9))
+
+
+def test_sharded_sparse_multibucket_chunked_matches_oracle():
+    """Multi-bucket layout + query chunking: exact parity incl. doc-id ties.
+
+    Forces several real ELL buckets (row_align=8 would need a big corpus;
+    instead drop the clamp by building enough docs) and a chunk size
+    smaller than the batch so the chunked search path is exercised.
+    """
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+    from bm25_tpu.reference import ReferenceEngine
+    from bm25_tpu.scoring import build_scored_index
+
+    rng = np.random.default_rng(42)
+    vocab = 64
+    # skewed lengths so length-bucketing actually separates docs; include
+    # duplicated docs (exact score ties across bucket boundaries).  Bucket
+    # row alignment is 512 x doc shards, so >= 3 x 1024 docs on a 2-shard
+    # mesh keeps three real buckets through the small-corpus clamp.
+    ids = []
+    for i in range(3600):
+        n = int(rng.integers(2, 5)) if i % 3 else int(rng.integers(20, 40))
+        ids.append(rng.integers(0, vocab, size=n).astype(np.int32))
+    for i in range(0, 40, 2):
+        ids[i + 1] = ids[i].copy()  # duplicates -> ties
+    idx = build_scored_index(ids, vocab_size=vocab)
+    mesh = make_mesh(2)
+    eng = ShardedSparseEngine.from_scored_index(
+        idx, mesh=mesh, max_buckets=3, hot_tokens=8,
+    )
+    # force multiple buckets at this corpus size (row_align clamp keeps
+    # max_buckets when docs are plentiful) and a sub-batch chunk size
+    assert len(eng.buckets) >= 2
+    eng.chunk_queries = 8
+    oracle = ReferenceEngine.from_scored_index(idx)
+    queries = rng.integers(-1, vocab, size=(17, 5), dtype=np.int32)
+    dd, ds = eng.search(queries, top_k=9)
+    od, os_ = oracle.search(queries, top_k=9)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(dd, od)  # exact tie contract
