@@ -33,8 +33,13 @@ BLOCK_Q = 128
 
 
 def _ell_accumulate(ids, tokT_ref, valT_ref, t_count: int, l_count: int,
-                    shape):
-    """The membership-count scan: returns the (TQ, BR) f32 accumulator."""
+                    shape, w=None):
+    """The membership-count scan: returns the (TQ, BR) f32 accumulator.
+
+    ``w`` (TQ, T) f32, when given, weights each query token's matches
+    (3T+2 VPU ops per slot instead of 2T+2) — the mechanism behind both
+    weighted queries and long-query dedup (unique tokens x counts).
+    """
     # process 2 postings slots per loop iteration: measured 1.19x on v5e
     # (19.75 -> 16.57 ms per 48x131072 bucket call) — enough ILP to cover
     # the loop-carried accumulator dependency without the register
@@ -46,12 +51,22 @@ def _ell_accumulate(ids, tokT_ref, valT_ref, t_count: int, l_count: int,
             l = l0 * unroll + dl
             tok_row = tokT_ref[l, :][None, :]  # (1, BR)
             val_row = valT_ref[l, :][None, :]  # (1, BR)
-            # count matches across T first (int adds), multiply once:
-            # 2T+2 VPU ops per slot instead of 3T
-            cnt = (ids[:, 0][:, None] == tok_row).astype(jnp.int32)
-            for t in range(1, t_count):  # T is small and static
-                cnt = cnt + (ids[:, t][:, None] == tok_row)
-            acc = acc + cnt.astype(jnp.float32) * val_row
+            if w is None:
+                # count matches across T first (int adds), multiply once:
+                # 2T+2 VPU ops per slot instead of 3T
+                cnt = (ids[:, 0][:, None] == tok_row).astype(jnp.int32)
+                for t in range(1, t_count):  # T is small and static
+                    cnt = cnt + (ids[:, t][:, None] == tok_row)
+                acc = acc + cnt.astype(jnp.float32) * val_row
+            else:
+                wsum = jnp.where(
+                    ids[:, 0][:, None] == tok_row, w[:, 0][:, None], 0.0
+                )
+                for t in range(1, t_count):
+                    wsum = wsum + jnp.where(
+                        ids[:, t][:, None] == tok_row, w[:, t][:, None], 0.0
+                    )
+                acc = acc + wsum * val_row
         return acc
 
     acc0 = jnp.zeros(shape, jnp.float32)
@@ -131,29 +146,40 @@ GROUP = 8
 NEG_INF = float("-inf")
 
 
-def _fused_kernel_body(t_count: int, l_count: int, has_hot: bool):
+def _fused_kernel_body(t_count: int, l_count: int, has_hot: bool,
+                       weighted: bool, split_counts: bool):
     import jax.experimental.pallas as pl  # noqa: F401
 
     def kernel(*refs):
+        refs = list(refs)
+        ids_ref, tokT_ref, valT_ref = refs[:3]
+        refs = refs[3:]
+        w_ref = refs.pop(0) if weighted else None
         if has_hot:
-            (ids_ref, tokT_ref, valT_ref, hotC_ref, hotT_ref, hotLo_ref,
-             did_ref, out_ref, gmax_ref) = refs
-        else:
-            ids_ref, tokT_ref, valT_ref, did_ref, out_ref, gmax_ref = refs
+            hotC_ref, hotT_ref, hotLo_ref = refs[:3]
+            refs = refs[3:]
+            hotCLo_ref = refs.pop(0) if split_counts else None
+        did_ref, out_ref, gmax_ref = refs
         ids = ids_ref[:]
         acc = _ell_accumulate(
-            ids, tokT_ref, valT_ref, t_count, l_count, out_ref.shape
+            ids, tokT_ref, valT_ref, t_count, l_count, out_ref.shape,
+            w=None if w_ref is None else w_ref[:],
         )
         if has_hot:
-            # split-precision hot matmul on the MXU: two bf16 single-pass
-            # products (high + residual) reconstruct ~f32 accuracy — the
-            # same scheme as the XLA path (models/sparse.py), now fused so
-            # the (Q, rows) base never round-trips HBM for the epilogue
+            # split-precision hot matmul on the MXU: bf16 single-pass
+            # products over high + residual parts reconstruct ~f32 accuracy
+            # — the same scheme as the XLA path (models/sparse.py), now
+            # fused so the (Q, rows) base never round-trips HBM.  With
+            # non-integer counts (arbitrary query weights) the counts also
+            # carry a residual part: three products instead of two.
             hc = hotC_ref[:]
-            acc = acc + jnp.dot(hc, hotT_ref[:],
-                                preferred_element_type=jnp.float32)
+            hi = hotT_ref[:]
+            acc = acc + jnp.dot(hc, hi, preferred_element_type=jnp.float32)
             acc = acc + jnp.dot(hc, hotLo_ref[:],
                                 preferred_element_type=jnp.float32)
+            if split_counts:
+                acc = acc + jnp.dot(hotCLo_ref[:], hi,
+                                    preferred_element_type=jnp.float32)
         # pad-row mask (doc_ids < 0 -> -inf), fused with the base write
         acc = jnp.where(did_ref[0, :][None, :] >= 0, acc, NEG_INF)
         out_ref[:] = acc
@@ -181,6 +207,8 @@ def ell_score_fused(
     hot_counts: jax.Array | None = None,  # (Q, H) bf16 per-query hot counts
     hotT: jax.Array | None = None,  # (H, rows) bf16 high part
     hotLo: jax.Array | None = None,  # (H, rows) bf16 residual
+    weights: jax.Array | None = None,  # (Q, T) f32 per-token query weights
+    hot_counts_lo: jax.Array | None = None,  # (Q, H) bf16 count residuals
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused bucket scoring: ELL scan + hot matmul + pad mask + group maxima.
@@ -204,38 +232,47 @@ def ell_score_fused(
     if valT.dtype != jnp.float32:
         valT = valT.astype(jnp.float32)
     has_hot = hot_counts is not None
+    weighted = weights is not None
+    split_counts = hot_counts_lo is not None
+    assert has_hot or not split_counts, "hot_counts_lo requires hot_counts"
     q_pad = next_multiple(q, 8)
     tq = min(BLOCK_Q, q_pad)
     while q_pad % tq:
         tq //= 2
     if q_pad != q:
         ids = jnp.pad(ids, ((0, q_pad - q), (0, 0)), constant_values=-1)
+        if weighted:
+            weights = jnp.pad(weights, ((0, q_pad - q), (0, 0)))
         if has_hot:
             hot_counts = jnp.pad(hot_counts, ((0, q_pad - q), (0, 0)))
+            if split_counts:
+                hot_counts_lo = jnp.pad(
+                    hot_counts_lo, ((0, q_pad - q), (0, 0))
+                )
     ids = jnp.where(ids >= 0, ids, -2)
     did2 = doc_ids.reshape(1, rows)
 
     grid = (q_pad // tq, rows // BLOCK_ROWS)
-    in_specs = [
-        pl.BlockSpec((tq, t), lambda qi, ri: (qi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((l_pad, BLOCK_ROWS), lambda qi, ri: (0, ri),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((l_pad, BLOCK_ROWS), lambda qi, ri: (0, ri),
-                     memory_space=pltpu.VMEM),
-    ]
+    q_spec = pl.BlockSpec((tq, t), lambda qi, ri: (qi, 0),
+                          memory_space=pltpu.VMEM)
+    slot_spec = pl.BlockSpec((l_pad, BLOCK_ROWS), lambda qi, ri: (0, ri),
+                             memory_space=pltpu.VMEM)
+    in_specs = [q_spec, slot_spec, slot_spec]
     args = [ids, tokT, valT]
+    if weighted:
+        in_specs.append(q_spec)
+        args.append(weights.astype(jnp.float32))
     if has_hot:
         h = hot_counts.shape[1]
-        in_specs += [
-            pl.BlockSpec((tq, h), lambda qi, ri: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, BLOCK_ROWS), lambda qi, ri: (0, ri),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, BLOCK_ROWS), lambda qi, ri: (0, ri),
-                         memory_space=pltpu.VMEM),
-        ]
+        hc_spec = pl.BlockSpec((tq, h), lambda qi, ri: (qi, 0),
+                               memory_space=pltpu.VMEM)
+        hrow_spec = pl.BlockSpec((h, BLOCK_ROWS), lambda qi, ri: (0, ri),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [hc_spec, hrow_spec, hrow_spec]
         args += [hot_counts, hotT, hotLo]
+        if split_counts:
+            in_specs.append(hc_spec)
+            args.append(hot_counts_lo)
     in_specs.append(
         pl.BlockSpec((1, BLOCK_ROWS), lambda qi, ri: (0, ri),
                      memory_space=pltpu.VMEM)
@@ -246,7 +283,7 @@ def ell_score_fused(
     if has_hot:
         hot_bytes = hotT.nbytes + hotLo.nbytes + hot_counts.nbytes
     base, gmax_t = pl.pallas_call(
-        _fused_kernel_body(t, l_pad, has_hot),
+        _fused_kernel_body(t, l_pad, has_hot, weighted, split_counts),
         grid=grid,
         in_specs=in_specs,
         out_specs=(

@@ -91,13 +91,16 @@ class ReferenceEngine:
         return float(np.mean(self.doc_lengths)) if self.num_docs else 0.0
 
     def search(
-        self, queries: np.ndarray, top_k: int = 100
+        self, queries: np.ndarray, top_k: int = 100,
+        weights: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k search over padded query-token-id rows.
 
         Args:
             queries: (Q, T) int32; negative entries are padding/OOV.
             top_k: number of results per query.
+            weights: optional (Q, T) float per-token weights (pad entries
+                ignored); scores become weighted column sums.
 
         Returns:
             (top_docs (Q, k) int32, top_scores (Q, k) float32), each row sorted
@@ -113,6 +116,13 @@ class ReferenceEngine:
                 f"max token id {int(queries.max())} out of range for vocab of "
                 f"{self.doc_toks.shape[1]} tokens"
             )
+        if weights is not None:
+            weights = np.asarray(weights, dtype=np.float64)
+            if weights.shape != queries.shape:
+                raise ValueError(
+                    f"weights shape {weights.shape} != queries shape "
+                    f"{queries.shape}"
+                )
         if len(queries) == 0:
             return (np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32))
 
@@ -121,11 +131,20 @@ class ReferenceEngine:
         top_scores = np.zeros((queries.shape[0], k), dtype=np.float32)
         for i in range(len(queries)):
             q = queries[i]
-            q = q[q >= 0]
-            scores = np.asarray(self.doc_toks[:, q].sum(axis=1)).ravel()
-            if self.token_offsets is not None and len(q):
-                scores = scores + float(self.token_offsets[q].sum())
-            top_docs[i], top_scores[i] = topk_descending(scores, k)
+            keep = q >= 0
+            q = q[keep]
+            if weights is None:
+                scores = np.asarray(self.doc_toks[:, q].sum(axis=1)).ravel()
+                if self.token_offsets is not None and len(q):
+                    scores = scores + float(self.token_offsets[q].sum())
+            else:
+                w = weights[i][keep]
+                scores = np.asarray(self.doc_toks[:, q] @ w).ravel()
+                if self.token_offsets is not None and len(q):
+                    scores = scores + float(self.token_offsets[q] @ w)
+            top_docs[i], top_scores[i] = topk_descending(
+                scores.astype(np.float32), k
+            )
         return top_docs, top_scores
 
     def get_scores(self, query_ids: np.ndarray) -> np.ndarray:

@@ -336,3 +336,90 @@ def test_score_buffer_budget_scales_with_resident_index(setup, monkeypatch):
     assert eng.score_buffer_budget <= 4 << 30
     # a tiny index keeps the full default
     assert eng.score_buffer_budget > 1 << 30
+
+
+def test_weighted_search_matches_oracle(setup):
+    """Float per-token weights through all tiers vs the weighted oracle."""
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=8)
+    rng = np.random.default_rng(21)
+    queries = rng.integers(-1, idx.vocab_size, size=(9, 6), dtype=np.int32)
+    weights = rng.uniform(0.1, 3.0, size=queries.shape).astype(np.float32)
+    dd, ds = eng.search(queries, top_k=7, weights=weights)
+    od, os_ = oracle.search(queries, top_k=7, weights=weights)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
+    strict = strict_positions(os_)
+    for i in np.flatnonzero(strict.all(axis=1)):
+        assert set(dd[i].tolist()) == set(od[i].tolist())
+
+
+def test_weighted_search_integer_weights_tie_exact(setup):
+    """Integer weights == repeating the token that many times (per-occurrence
+    semantics), with exact doc-id tie order."""
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=8)
+    q = np.array([[0, 3, 7, -1]], dtype=np.int32)
+    w = np.array([[2.0, 1.0, 3.0, 0.0]], dtype=np.float32)
+    # expand to the equivalent repeated-token query
+    q_rep = np.array([[0, 0, 3, 7, 7, 7, -1, -1]], dtype=np.int32)
+    dd, ds = eng.search(q, top_k=9, weights=w)
+    dr, sr = eng.search(q_rep, top_k=9)
+    np.testing.assert_allclose(ds, sr, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(dd, dr)
+    od, os_ = oracle.search(q_rep, top_k=9)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(dd, od)
+
+
+def test_weighted_search_with_tail_tier(setup):
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=8, tail_cap=3)
+    assert eng.tail_docs is not None
+    rng = np.random.default_rng(22)
+    queries = rng.integers(-1, idx.vocab_size, size=(6, 5), dtype=np.int32)
+    weights = rng.uniform(0.0, 2.0, size=queries.shape).astype(np.float32)
+    dd, ds = eng.search(queries, top_k=6, weights=weights)
+    od, os_ = oracle.search(queries, top_k=6, weights=weights)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError, match="negative query weights"):
+        eng.search(queries, top_k=3, weights=-weights)
+
+
+def test_dedup_query_rows():
+    from bm25_tpu.models.sparse import dedup_query_rows
+
+    q = np.array(
+        [[5, 3, 5, 5, -1, 3], [7, -1, -1, -1, -1, -1], [-1] * 6],
+        dtype=np.int32,
+    )
+    ids_u, counts = dedup_query_rows(q)
+    # row 0: {3: 2, 5: 3}; order within the row is not part of the contract
+    got0 = {int(i): float(c) for i, c in zip(ids_u[0], counts[0]) if i >= 0}
+    assert got0 == {3: 2.0, 5: 3.0}
+    got1 = {int(i): float(c) for i, c in zip(ids_u[1], counts[1]) if i >= 0}
+    assert got1 == {7: 1.0}
+    assert (ids_u[2] == -1).all() and counts[2][ids_u[2] >= 0].size == 0
+
+
+def test_long_query_dedup_matches_undeduped(setup):
+    """dedup_queries='auto' engages for wide queries and is exact."""
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=8)
+    rng = np.random.default_rng(23)
+    # long queries with heavy repetition (few distinct tokens)
+    base = rng.integers(0, idx.vocab_size, size=(7, 6))
+    pick = rng.integers(0, 6, size=(7, 48))
+    queries = np.take_along_axis(
+        np.broadcast_to(base, (7, 6)).astype(np.int32), pick, axis=1
+    )
+    queries[:, -3:] = -1  # pads
+    assert queries.shape[1] >= eng.dedup_min_width
+    dd, ds = eng.search(queries, top_k=8)
+    eng_no = SparseEngine.from_scored_index(idx, hot_tokens=8)
+    eng_no.dedup_queries = False
+    dn, sn = eng_no.search(queries, top_k=8)
+    np.testing.assert_allclose(ds, sn, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(dd, dn)
+    od, os_ = oracle.search(queries, top_k=8)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(dd, od)
