@@ -52,7 +52,7 @@ def make_query_step(num_docs: int, k: int, scoring: str = "gather"):
     """
 
     def step(st: jax.Array, offsets: jax.Array, ids: jax.Array,
-             st_pair=None):
+             st_pair=None, w=None):
         from bm25_tpu.ops.gather_rows import gather_add_rows
 
         q, t = ids.shape
@@ -60,23 +60,47 @@ def make_query_step(num_docs: int, k: int, scoring: str = "gather"):
         zero_row = st.shape[0] - 1  # last row is all-zero (pad/OOV target)
         valid = ids >= 0
         safe = jnp.where(valid, ids, zero_row)
+        if w is not None:
+            w = jnp.where(valid, w.astype(jnp.float32), 0.0)
         if scoring == "matmul":
             hi, lo = st_pair
-            counts = jax.nn.one_hot(
-                jnp.where(valid, ids, -1), st.shape[0], dtype=jnp.bfloat16
-            ).sum(axis=1)  # (Q, V_pad); one_hot(-1) is all-zero
-            scores = jnp.dot(
-                counts, hi, preferred_element_type=jnp.float32
-            ) + jnp.dot(counts, lo, preferred_element_type=jnp.float32)
+            from bm25_tpu.utils.counts import (
+                split_bf16, sum_split_products, weighted_counts)
+
+            if w is None:
+                counts = jax.nn.one_hot(
+                    jnp.where(valid, ids, -1), st.shape[0], dtype=jnp.bfloat16
+                ).sum(axis=1)  # small ints, exact in bf16; one_hot(-1)=0
+                scores = sum_split_products(
+                    jnp.dot(counts, hi, preferred_element_type=jnp.float32),
+                    jnp.dot(counts, lo, preferred_element_type=jnp.float32),
+                )
+            else:
+                # arbitrary float weights: exact scatter-add counts (the
+                # one_hot product compiles to a bf16-pass matmul and
+                # corrupts them — utils/counts.py) + bf16 high/residual
+                # split so three single-pass MXU products keep ~f32
+                cf = weighted_counts(jnp.where(valid, ids, -1), w, st.shape[0])
+                c_hi, c_lo = split_bf16(cf)
+                scores = sum_split_products(
+                    jnp.dot(c_hi, hi, preferred_element_type=jnp.float32),
+                    jnp.dot(c_hi, lo, preferred_element_type=jnp.float32),
+                    jnp.dot(c_lo, hi, preferred_element_type=jnp.float32),
+                )
         elif scoring == "gather":
-            scores = gather_add_rows(st, safe)  # pallas on TPU, scan elsewhere
+            # pallas on TPU, scan elsewhere; weights scale gathered rows
+            scores = gather_add_rows(st, safe, weights=w)
         else:
             raise ValueError(f"unknown scoring {scoring!r}")
 
         # doc-independent per-token offsets (bm25l/bm25+ nonoccurrence term)
-        qoff = jnp.sum(
-            jnp.where(valid, offsets[safe], jnp.zeros((), offsets.dtype)), axis=1
-        )
+        if w is not None:
+            qoff = jnp.sum(offsets[safe] * w, axis=1)
+        else:
+            qoff = jnp.sum(
+                jnp.where(valid, offsets[safe], jnp.zeros((), offsets.dtype)),
+                axis=1,
+            )
 
         doc_ids = lax.broadcasted_iota(jnp.int32, (1, d_pad), 1)
         masked = jnp.where(doc_ids < num_docs, scores, NEG_INF)
@@ -153,13 +177,25 @@ class DenseEngine:
         return queries.astype(np.int32)
 
     def search(
-        self, queries: np.ndarray, top_k: int = 100
+        self, queries: np.ndarray, top_k: int = 100,
+        weights: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Batched top-k: (Q, T) int32 (-1 = pad) -> (docs (Q,k), scores (Q,k))."""
+        """Batched top-k: (Q, T) int32 (-1 = pad) -> (docs (Q,k), scores (Q,k)).
+
+        ``weights`` (same shape, float) scales each token's contribution
+        (pad entries ignored).
+        """
         queries = self._prepare(queries)
+        if weights is not None:
+            weights = np.asarray(weights, dtype=np.float32)
+            if weights.shape != queries.shape:
+                raise ValueError(
+                    f"weights shape {weights.shape} != queries shape "
+                    f"{queries.shape}"
+                )
         if len(queries) == 0:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
-        top_scores, top_docs = self._dispatch(queries, top_k)
+        top_scores, top_docs = self._dispatch(queries, top_k, weights)
         q_real = len(queries)
         return np.asarray(top_docs)[:q_real], np.asarray(top_scores)[:q_real]
 
@@ -186,7 +222,8 @@ class DenseEngine:
         )
         return docs, scores
 
-    def _dispatch(self, queries: np.ndarray, top_k: int):
+    def _dispatch(self, queries: np.ndarray, top_k: int,
+                  weights: np.ndarray | None = None):
         """Enqueue one padded sub-batch; returns unfetched device arrays."""
         k = min(top_k, self.num_docs)
         q_real, t_real = queries.shape
@@ -194,9 +231,10 @@ class DenseEngine:
         t_pad = next_pow2_at_least(max(t_real, 8))
         padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
         padded[:q_real, :t_real] = queries
+        weighted = weights is not None
         step = self.session.compile(
             ("dense_query", self.num_docs, k, q_pad, t_pad, self.st.shape,
-             self.scoring),
+             self.scoring, weighted),
             lambda: jax.jit(make_query_step(self.num_docs, k, self.scoring)),
         )
         st_pair = None
@@ -208,7 +246,13 @@ class DenseEngine:
                 )(self.st, hi)
                 self._st_pair = (hi, lo)
             st_pair = self._st_pair
-        return step(self.st, self.offsets, self.session.put(padded), st_pair)
+        wpadded = None
+        if weighted:
+            wp = np.zeros((q_pad, t_pad), dtype=np.float32)
+            wp[:q_real, :t_real] = weights
+            wpadded = self.session.put(wp)
+        return step(self.st, self.offsets, self.session.put(padded), st_pair,
+                    wpadded)
 
     def get_scores(self, query_ids) -> np.ndarray:
         """Dense (D,) scores for a single query (reference bm25.py:124)."""

@@ -28,8 +28,10 @@ from bm25_tpu.utils.padding import cdiv, next_multiple
 _MAX_CB = 256
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _gather_add_rows_pallas(table: jax.Array, ids: jax.Array, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "weighted"))
+def _gather_add_rows_pallas(table: jax.Array, ids: jax.Array, interpret: bool,
+                            weights: jax.Array | None = None,
+                            weighted: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -48,61 +50,113 @@ def _gather_add_rows_pallas(table: jax.Array, ids: jax.Array, interpret: bool):
         table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
     t4 = table.reshape(v, 8, c_pad, 128)
 
-    def kernel(ids_ref, st_ref, out_ref):
-        tt = pl.program_id(2)
+    if weighted:
+        # per-(query, token) scalar weight rides as a second scalar-prefetch
+        # operand (SMEM), read by grid position; weighting costs one VPU
+        # multiply on the accumulate
+        def kernel(ids_ref, w_ref, st_ref, out_ref):
+            qi, tt = pl.program_id(0), pl.program_id(2)
+            w = w_ref[qi * t + tt]
 
-        @pl.when(tt == 0)
-        def _():
-            out_ref[:] = st_ref[:]
+            @pl.when(tt == 0)
+            def _():
+                out_ref[:] = w * st_ref[:]
 
-        @pl.when(tt > 0)
-        def _():
-            out_ref[:] += st_ref[:]
+            @pl.when(tt > 0)
+            def _():
+                out_ref[:] += w * st_ref[:]
+
+        num_prefetch = 2
+        in_specs = [
+            pl.BlockSpec(
+                (1, 8, cb, 128),
+                lambda qi, ci, ti, ids_ref, w_ref: (
+                    ids_ref[qi * t + ti], 0, ci, 0
+                ),
+            ),
+        ]
+        args = (ids.reshape(-1), weights.reshape(-1).astype(table.dtype), t4)
+        out_spec = pl.BlockSpec(
+            (1, 8, cb, 128), lambda qi, ci, ti, ids_ref, w_ref: (qi, 0, ci, 0)
+        )
+    else:
+        def kernel(ids_ref, st_ref, out_ref):
+            tt = pl.program_id(2)
+
+            @pl.when(tt == 0)
+            def _():
+                out_ref[:] = st_ref[:]
+
+            @pl.when(tt > 0)
+            def _():
+                out_ref[:] += st_ref[:]
+
+        num_prefetch = 1
+        in_specs = [
+            pl.BlockSpec(
+                (1, 8, cb, 128),
+                lambda qi, ci, ti, ids_ref: (ids_ref[qi * t + ti], 0, ci, 0),
+            ),
+        ]
+        args = (ids.reshape(-1), t4)
+        out_spec = pl.BlockSpec(
+            (1, 8, cb, 128), lambda qi, ci, ti, ids_ref: (qi, 0, ci, 0)
+        )
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=num_prefetch,
             grid=(q, nc, t),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 8, cb, 128),
-                    lambda qi, ci, ti, ids_ref: (ids_ref[qi * t + ti], 0, ci, 0),
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 8, cb, 128), lambda qi, ci, ti, ids_ref: (qi, 0, ci, 0)
-            ),
+            in_specs=in_specs,
+            out_specs=out_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((q, 8, c_pad, 128), table.dtype),
         interpret=interpret,
-    )(ids.reshape(-1), t4)
+    )(*args)
     out = out.reshape(q, d_pad)
     return out[:, :d] if d_pad != d else out
 
 
 def gather_add_rows(
-    table: jax.Array, ids: jax.Array, implementation: str = "auto"
+    table: jax.Array, ids: jax.Array, implementation: str = "auto",
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """Sum of gathered rows: (V, D) table, (Q, T) non-negative ids -> (Q, D).
 
+    ``weights`` (Q, T), when given, scales each gathered row (weighted
+    queries / dedup counts): out[q] = sum_t weights[q, t] * table[ids[q, t]].
+
     Padding contract: callers map pad/OOV ids to an all-zero row of the
-    table (adding zero) — ids here must be in-range.
+    table (adding zero; with weights, zero the pad weights too) — ids here
+    must be in-range.
     """
     if implementation == "auto":
         implementation = (
             "pallas" if jax.devices()[0].platform == "tpu" else "lax"
         )
     if implementation == "lax":
-        def body(acc, ids_t):
-            return acc + table[ids_t], None
+        if weights is None:
+            def body(acc, ids_t):
+                return acc + table[ids_t], None
 
-        acc0 = jnp.zeros((ids.shape[0], table.shape[1]), table.dtype)
-        acc, _ = jax.lax.scan(body, acc0, jnp.transpose(ids))
+            acc0 = jnp.zeros((ids.shape[0], table.shape[1]), table.dtype)
+            acc, _ = jax.lax.scan(body, acc0, jnp.transpose(ids))
+        else:
+            def body(acc, xs):
+                ids_t, w_t = xs
+                return acc + w_t[:, None].astype(table.dtype) * table[ids_t], None
+
+            acc0 = jnp.zeros((ids.shape[0], table.shape[1]), table.dtype)
+            acc, _ = jax.lax.scan(
+                body, acc0, (jnp.transpose(ids), jnp.transpose(weights))
+            )
         return acc
     if implementation == "pallas":
         interpret = jax.devices()[0].platform != "tpu"
-        return _gather_add_rows_pallas(table, ids, interpret)
+        return _gather_add_rows_pallas(
+            table, ids, interpret, weights=weights, weighted=weights is not None
+        )
     raise ValueError(f"unknown implementation {implementation!r}")
 
 

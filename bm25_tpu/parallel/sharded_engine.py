@@ -27,32 +27,41 @@ from bm25_tpu.utils.padding import next_multiple, next_pow2_at_least
 NEG_INF = float("-inf")
 
 
-def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int):
+def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int,
+                            weighted: bool = False):
     """Build the pjit-able sharded (st, offsets, ids) -> (scores, docs) step.
 
     st: (V_pad, D_pad) sharded P(None, 'docs');  ids: (Q, T) sharded
-    P('data', None); outputs sharded P('data', None).
+    P('data', None); outputs sharded P('data', None).  ``weighted=True``
+    appends a (Q, T) f32 per-token weight operand (sharded like ids).
     """
     n_doc_shards = mesh.shape[DOC_AXIS]
 
-    def local_step(st_l, offsets, ids):
+    def local_step(st_l, offsets, ids, *rest):
         from bm25_tpu.ops.gather_rows import gather_add_rows
 
+        w = rest[0] if weighted else None
         # st_l: (V_pad, D_pad / n_doc_shards) — this shard's doc slice
         q, t = ids.shape
         d_local = st_l.shape[1]
         zero_row = st_l.shape[0] - 1
         valid = ids >= 0
         safe = jnp.where(valid, ids, zero_row)
+        if w is not None:
+            w = jnp.where(valid, w.astype(jnp.float32), 0.0)
 
         # same fused scalar-prefetch gather kernel as the single-chip
         # DenseEngine (3.1x the scan-gather; docs/design.md) — kernel parity
         # between sharded and single-chip dense paths
-        scores = gather_add_rows(st_l, safe)
+        scores = gather_add_rows(st_l, safe, weights=w)
 
-        qoff = jnp.sum(
-            jnp.where(valid, offsets[safe], jnp.zeros((), offsets.dtype)), axis=1
-        )
+        if w is not None:
+            qoff = jnp.sum(offsets[safe] * w, axis=1)
+        else:
+            qoff = jnp.sum(
+                jnp.where(valid, offsets[safe], jnp.zeros((), offsets.dtype)),
+                axis=1,
+            )
 
         shard = lax.axis_index(DOC_AXIS)
         doc_base = shard * d_local
@@ -76,10 +85,13 @@ def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int):
         merged_i = jnp.take_along_axis(cand_i, merged_pos, axis=1)
         return merged_s + qoff[:, None], merged_i
 
+    in_specs = (P(None, DOC_AXIS), P(), P(DATA_AXIS, None))
+    if weighted:
+        in_specs += (P(DATA_AXIS, None),)
     return jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(None, DOC_AXIS), P(), P(DATA_AXIS, None)),
+        in_specs=in_specs,
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
     )
@@ -129,7 +141,8 @@ class ShardedEngine:
         )
 
     def search(
-        self, queries: np.ndarray, top_k: int = 100
+        self, queries: np.ndarray, top_k: int = 100,
+        weights: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         queries = np.asarray(queries)
         if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
@@ -139,6 +152,13 @@ class ShardedEngine:
                 f"max token id {int(queries.max())} out of range for vocab of "
                 f"{self.vocab_size} tokens"
             )
+        if weights is not None:
+            weights = np.asarray(weights, dtype=np.float32)
+            if weights.shape != queries.shape:
+                raise ValueError(
+                    f"weights shape {weights.shape} != queries shape "
+                    f"{queries.shape}"
+                )
         if len(queries) == 0:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         k = min(top_k, self.num_docs)
@@ -149,13 +169,21 @@ class ShardedEngine:
         padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
         padded[:q_real, :t_real] = queries.astype(np.int32)
 
-        key = (self.num_docs, k, q_pad, t_pad, self.st.shape)
+        weighted = weights is not None
+        key = (self.num_docs, k, q_pad, t_pad, self.st.shape, weighted)
         fn = self._cache.get(key)
         if fn is None:
-            fn = jax.jit(make_sharded_query_step(self.mesh, self.num_docs, k))
+            fn = jax.jit(make_sharded_query_step(
+                self.mesh, self.num_docs, k, weighted=weighted
+            ))
             self._cache[key] = fn
-        ids = jax.device_put(padded, NamedSharding(self.mesh, P(DATA_AXIS, None)))
-        scores, docs = fn(self.st, self.offsets, ids)
+        qsh = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        args = [self.st, self.offsets, jax.device_put(padded, qsh)]
+        if weighted:
+            wp = np.zeros((q_pad, t_pad), dtype=np.float32)
+            wp[:q_real, :t_real] = weights
+            args.append(jax.device_put(wp, qsh))
+        scores, docs = fn(*args)
         return np.asarray(docs)[:q_real], np.asarray(scores)[:q_real]
 
 
@@ -172,7 +200,7 @@ def _bucket_specs(buckets: list[dict]) -> tuple:
 
 
 def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
-                          buckets: list[dict]):
+                          buckets: list[dict], weighted: bool = False):
     """Doc-sharded multi-bucket ELL scoring + all-gather top-k merge.
 
     Per bucket: tokT/valT/hotT/hotLo (rows axis) shard P(None, 'docs') and
@@ -187,18 +215,33 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
     (``/root/reference/operations/topk.mojo:576-830``) lifted to the mesh.
     """
 
-    def local_step(hot_table, ids, *bucket_arrays):
+    def local_step(hot_table, ids, *rest):
         from bm25_tpu.ops.ell_score import ell_score_fused
         from bm25_tpu.ops.topk import select_top_k, top_k_tree_with_maxes
 
+        if weighted:
+            w, bucket_arrays = rest[0], rest[1:]
+        else:
+            w, bucket_arrays = None, rest
         q = ids.shape[0]
-        hot_counts = None
+        valid = ids >= 0
+        if w is not None:
+            w = jnp.where(valid, w.astype(jnp.float32), 0.0)
+        hot_counts = hot_counts_lo = None
         if hot_h > 0:
-            valid = ids >= 0
             safe = jnp.where(valid, ids, 0)
             hot_ids = jnp.where(valid, hot_table[safe], -1)
-            hot_counts = jax.nn.one_hot(hot_ids, hot_h, dtype=jnp.bfloat16)
-            hot_counts = hot_counts.sum(axis=1)
+            if w is None:
+                hot_counts = jax.nn.one_hot(hot_ids, hot_h, dtype=jnp.bfloat16)
+                hot_counts = hot_counts.sum(axis=1)
+            else:
+                # float weights: exact scatter-add counts + bf16 high/
+                # residual split (same as models/sparse.py; the one_hot
+                # product would compile to a bf16-pass matmul)
+                from bm25_tpu.utils.counts import split_bf16, weighted_counts
+
+                cf = weighted_counts(hot_ids, w, hot_h)
+                hot_counts, hot_counts_lo = split_bf16(cf)
         interpret = jax.devices()[0].platform != "tpu"
 
         cand_s, cand_i = [], []
@@ -215,23 +258,31 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
                     scores, gmax = ell_score_fused(
                         ids_in, b["tokT"], b["valT"], did_l,
                         hot_counts, b["hotT"], b["hotLo"],
+                        weights=w, hot_counts_lo=hot_counts_lo,
                         interpret=interpret,
                     )
                 else:
                     scores, gmax = ell_score_fused(
-                        ids_in, b["tokT"], b["valT"], did_l,
+                        ids_in, b["tokT"], b["valT"], did_l, weights=w,
                         interpret=interpret,
                     )
             else:
                 scores = None
                 if hot_counts is not None:
-                    scores = jnp.dot(
-                        hot_counts, b["hotT"],
-                        preferred_element_type=jnp.float32,
-                    ) + jnp.dot(
-                        hot_counts, b["hotLo"],
-                        preferred_element_type=jnp.float32,
-                    )
+                    from bm25_tpu.utils.counts import sum_split_products
+
+                    parts = [
+                        jnp.dot(hot_counts, b["hotT"],
+                                preferred_element_type=jnp.float32),
+                        jnp.dot(hot_counts, b["hotLo"],
+                                preferred_element_type=jnp.float32),
+                    ]
+                    if hot_counts_lo is not None:
+                        parts.append(jnp.dot(
+                            hot_counts_lo, b["hotT"],
+                            preferred_element_type=jnp.float32,
+                        ))
+                    scores = sum_split_products(*parts)
                 if scores is None:
                     scores = jnp.zeros((q, did_l.shape[0]), jnp.float32)
                 scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
@@ -263,10 +314,13 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
         nss, dd = lax.sort((-gs, gi), num_keys=2, is_stable=False)
         return -nss[:, :kk], dd[:, :kk]
 
+    in_specs = (P(), P(DATA_AXIS, None))
+    if weighted:
+        in_specs += (P(DATA_AXIS, None),)
     return jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS, None)) + _bucket_specs(buckets),
+        in_specs=in_specs + _bucket_specs(buckets),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
         check_vma=False,
     )
@@ -383,7 +437,8 @@ class ShardedSparseEngine:
         return min(max_q, self.chunk_queries)
 
     def search(
-        self, queries: np.ndarray, top_k: int = 100
+        self, queries: np.ndarray, top_k: int = 100,
+        weights: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         queries = np.asarray(queries)
         if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
@@ -393,11 +448,19 @@ class ShardedSparseEngine:
                 f"max token id {int(queries.max())} out of range for vocab of "
                 f"{self.vocab_size} tokens"
             )
+        if weights is not None:
+            weights = np.asarray(weights, dtype=np.float32)
+            if weights.shape != queries.shape:
+                raise ValueError(
+                    f"weights shape {weights.shape} != queries shape "
+                    f"{queries.shape}"
+                )
         if len(queries) == 0:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         k = min(top_k, self.num_docs)
         n_data = self.mesh.shape[DATA_AXIS]
         q_real, t_real = queries.shape
+        weighted = weights is not None
         step = next_multiple(self._max_chunk(), 8 * n_data)
         out_docs, out_scores, futures = [], [], []
         for i in range(0, q_real, step):
@@ -412,23 +475,28 @@ class ShardedSparseEngine:
                       for key in sorted(b))
                 for b in self.buckets
             )
-            key = (k, self.hot_h, q_pad, t_pad, shapes)
+            key = (k, self.hot_h, q_pad, t_pad, shapes, weighted)
             fn = self._cache.get(key)
             if fn is None:
                 fn = jax.jit(make_sharded_ell_step(
-                    self.mesh, k, self.hot_h, self.buckets
+                    self.mesh, k, self.hot_h, self.buckets, weighted=weighted
                 ))
                 self._cache[key] = fn
-            ids = jax.device_put(
-                padded, NamedSharding(self.mesh, P(DATA_AXIS, None))
-            )
-            scores, docs = fn(self.hot_table, ids, *self.buckets)
-            # token offsets are doc-independent; add on host
-            valid = padded[:cq] >= 0
+            qsh = NamedSharding(self.mesh, P(DATA_AXIS, None))
+            args = [self.hot_table, jax.device_put(padded, qsh)]
+            if weighted:
+                wp = np.zeros((q_pad, t_pad), dtype=np.float32)
+                wp[:cq, :t_real] = weights[i : i + step]
+                args.append(jax.device_put(wp, qsh))
+            scores, docs = fn(*args, *self.buckets)
+            # token offsets are doc-independent; add on host (use the
+            # un-padded chunk — weights only cover real token columns)
+            valid = chunk >= 0
             off = np.asarray(self.offsets)
-            qoff = np.where(
-                valid, off[np.where(valid, padded[:cq], 0)], 0.0
-            ).sum(1)
+            wv = weights[i : i + step] if weighted else 1.0
+            qoff = (np.where(
+                valid, off[np.where(valid, chunk, 0)], 0.0
+            ) * wv).sum(1)
             futures.append((cq, qoff, scores, docs))
         for cq, qoff, scores, docs in futures:
             out_docs.append(np.asarray(docs)[:cq])

@@ -163,3 +163,24 @@ def test_matmul_scoring_variant_matches_gather(request):
     from conftest import strict_positions
     strict = strict_positions(sg)
     np.testing.assert_array_equal(dm[strict], dg[strict])
+
+
+def test_dense_weighted_search_matches_oracle(small_setup):
+    """Float per-token weights through gather and matmul scoring paths."""
+    idx, dense, oracle = small_setup
+    rng = np.random.default_rng(31)
+    queries = rng.integers(-1, idx.vocab_size, size=(9, 6), dtype=np.int32)
+    weights = rng.uniform(0.1, 3.0, size=queries.shape).astype(np.float32)
+    od, os_ = oracle.search(queries, top_k=7, weights=weights)
+    dd, ds = dense.search(queries, top_k=7, weights=weights)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+    with pytest.raises(ValueError, match="weights shape"):
+        dense.search(queries, top_k=3, weights=weights[:, :2])
+
+    mm = DenseEngine.from_scored_index(idx)
+    mm.scoring = "matmul"
+    md, ms = mm.search(queries, top_k=7, weights=weights)
+    np.testing.assert_allclose(ms, os_, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(md[strict], od[strict])

@@ -159,3 +159,33 @@ def test_sharded_sparse_multibucket_chunked_matches_oracle():
     od, os_ = oracle.search(queries, top_k=9)
     np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(dd, od)  # exact tie contract
+
+
+def test_sharded_weighted_search_matches_oracle(setup):
+    idx, oracle = setup
+    mesh = make_mesh(8, data=2)
+    eng = ShardedEngine.from_scored_index(idx, mesh=mesh)
+    rng = np.random.default_rng(33)
+    queries = rng.integers(-1, idx.vocab_size, size=(8, 5), dtype=np.int32)
+    weights = rng.uniform(0.1, 2.5, size=queries.shape).astype(np.float32)
+    dd, ds = eng.search(queries, top_k=9, weights=weights)
+    od, os_ = oracle.search(queries, top_k=9, weights=weights)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+def test_sharded_sparse_weighted_search_matches_oracle(setup):
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    idx, oracle = setup
+    mesh = make_mesh(8, data=2)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, hot_tokens=8)
+    rng = np.random.default_rng(34)
+    queries = rng.integers(-1, idx.vocab_size, size=(8, 5), dtype=np.int32)
+    weights = rng.uniform(0.1, 2.5, size=queries.shape).astype(np.float32)
+    dd, ds = eng.search(queries, top_k=9, weights=weights)
+    od, os_ = oracle.search(queries, top_k=9, weights=weights)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
