@@ -72,11 +72,23 @@ class Retriever:
     # -- retrieval -----------------------------------------------------------
 
     def retrieve(
-        self, queries: Sequence[str], k: int = 10, return_text: bool = False
+        self, queries: Sequence, k: int = 10, return_text: bool = False
     ):
-        """Batched text retrieval -> (docs (Q,k), scores (Q,k) [, texts])."""
-        ids = self.tokenizer.tokenize_queries(list(queries), self.index.vocab)
-        docs, scores = self.engine.search(ids, top_k=k)
+        """Batched text retrieval -> (docs (Q,k), scores (Q,k) [, texts]).
+
+        Each query is a plain string, or a ``{term: weight}`` mapping for
+        weighted retrieval (query expansion etc.) — weighted terms scale
+        their tokens' score contributions on device.
+        """
+        queries = list(queries)
+        if any(isinstance(q, dict) for q in queries):
+            ids, wts = self.tokenizer.tokenize_weighted_queries(
+                queries, self.index.vocab
+            )
+            docs, scores = self.engine.search(ids, top_k=k, weights=wts)
+        else:
+            ids = self.tokenizer.tokenize_queries(queries, self.index.vocab)
+            docs, scores = self.engine.search(ids, top_k=k)
         if not return_text:
             return docs, scores
         texts = [[self.text(int(d)) for d in row] for row in docs]

@@ -6,6 +6,8 @@ Stdlib-only JSON-over-HTTP:
 
     POST /search   {"queries": ["text", ...], "top_k": 10}
                 -> {"results": [[{"doc": id, "score": s, "text": ...}]]}
+                   a query may also be a {"term": weight, ...} object —
+                   weighted retrieval (query expansion), scored on device
     GET  /healthz  -> {"status": "ok", "num_docs": N, ...}
 
 Batched: each request's queries run as one device batch.  With
@@ -102,9 +104,11 @@ class MicroBatcher:
         )
         self._thread.start()
 
-    def search(self, ids: np.ndarray, top_k: int):
+    def search(self, ids: np.ndarray, top_k: int,
+               weights: np.ndarray | None = None):
         """Submit one request's (n, T) query matrix; blocks until scored."""
-        item = {"ids": ids, "k": int(top_k), "ev": threading.Event(), "out": None}
+        item = {"ids": ids, "w": weights, "k": int(top_k),
+                "ev": threading.Event(), "out": None}
         self._q.put(item)
         # poll the collector's liveness so a dead thread can't strand waiters
         while not item["ev"].wait(timeout=1.0):
@@ -159,7 +163,23 @@ class MicroBatcher:
                     for it in items
                 ]
                 ids = np.concatenate(mats, axis=0)
-                docs, scores = self.engine.search(ids, top_k=k)
+                if any(it.get("w") is not None for it in items):
+                    # mixed batch: plain queries ride the weighted path
+                    # with unit weights (identical scores)
+                    wmats = []
+                    for it in items:
+                        w = it.get("w")
+                        if w is None:
+                            w = (it["ids"] >= 0).astype(np.float32)
+                        wmats.append(np.pad(
+                            w, ((0, 0), (0, t_max - w.shape[1]))
+                        ))
+                    weights = np.concatenate(wmats, axis=0)
+                    docs, scores = self.engine.search(
+                        ids, top_k=k, weights=weights
+                    )
+                else:
+                    docs, scores = self.engine.search(ids, top_k=k)
                 self.batches_run += 1
                 self.rows_run += len(ids)
                 off = 0
@@ -226,21 +246,45 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             req = json.loads(self.rfile.read(length) or b"{}")
             queries = req.get("queries")
             if not isinstance(queries, list) or not queries:
-                raise ValueError("'queries' must be a non-empty list of strings")
+                raise ValueError(
+                    "'queries' must be a non-empty list of strings or "
+                    "{term: weight} objects"
+                )
+            for q in queries:
+                if not isinstance(q, (str, dict)):
+                    raise ValueError(
+                        "each query must be a string or a {term: weight} "
+                        "object"
+                    )
+                if isinstance(q, dict):
+                    for wt in q.values():
+                        float(wt)  # raises ValueError on junk
             top_k = int(req.get("top_k", 10))
             if top_k < 1:
                 raise ValueError("'top_k' must be >= 1")
-        except (ValueError, json.JSONDecodeError) as e:
+        except (TypeError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
             return
 
         t0 = time.monotonic()
         try:
-            ids = self.tokenizer.tokenize_queries(queries, self.vocab)
-            if self.batcher is not None:
-                docs, scores = self.batcher.search(ids, top_k=top_k)
+            weighted = any(isinstance(q, dict) for q in queries)
+            if weighted:
+                ids, wts = self.tokenizer.tokenize_weighted_queries(
+                    queries, self.vocab
+                )
             else:
-                docs, scores = self.engine.search(ids, top_k=top_k)
+                ids = self.tokenizer.tokenize_queries(queries, self.vocab)
+                wts = None
+            if self.batcher is not None:
+                docs, scores = self.batcher.search(ids, top_k=top_k,
+                                                   weights=wts)
+            else:
+                if wts is None:
+                    docs, scores = self.engine.search(ids, top_k=top_k)
+                else:
+                    docs, scores = self.engine.search(ids, top_k=top_k,
+                                                      weights=wts)
         except Exception as e:
             if self.metrics is not None:
                 self.metrics.record_error()

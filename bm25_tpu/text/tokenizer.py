@@ -222,6 +222,50 @@ class Tokenizer:
             out[i, : len(row)] = row
         return out
 
+    def tokenize_weighted_queries(
+        self,
+        queries: Sequence,
+        vocab: dict[str, int],
+        pad_to: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Tokenize mixed plain/weighted queries -> (ids, weights) matrices.
+
+        Each query is either a plain string (every token weight 1.0, one
+        entry per occurrence — identical to ``tokenize_queries`` semantics)
+        or a ``{term: weight}`` mapping; terms run through the same
+        normalize/stem pipeline, multi-word terms contribute each of their
+        tokens at the term's weight.  Pad slots carry weight 0.
+        """
+        rows: list[list[tuple[int, float]]] = []
+        for q in queries:
+            if isinstance(q, dict):
+                row = []
+                for term, wt in q.items():
+                    wt = float(wt)
+                    row.extend(
+                        (vocab[w], wt)
+                        for w in self.words(str(term))
+                        if w in vocab
+                    )
+            else:
+                row = [(vocab[w], 1.0) for w in self.words(q) if w in vocab]
+            rows.append(row)
+        width = max((len(r) for r in rows), default=0)
+        if pad_to is not None:
+            if width > pad_to:
+                raise ValueError(
+                    f"query has {width} tokens, more than pad_to={pad_to}"
+                )
+            width = pad_to
+        width = max(width, 1)
+        ids = np.full((len(rows), width), PAD_ID, dtype=np.int32)
+        wts = np.zeros((len(rows), width), dtype=np.float32)
+        for i, row in enumerate(rows):
+            for j, (tid, wt) in enumerate(row):
+                ids[i, j] = tid
+                wts[i, j] = wt
+        return ids, wts
+
 
 def _remap_first_occurrence(
     ids: list[np.ndarray], vocab: dict[str, int]

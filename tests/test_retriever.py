@@ -28,3 +28,25 @@ def test_retrieve_loads_reference_index(reference_index_dir):
         ["does the fish purr like a cat?"], k=2, return_text=True
     )
     assert docs[0, 0] == 0 and "feline" in texts[0][0]
+
+
+def test_retrieve_weighted_terms(tmp_path):
+    from bm25_tpu.retriever import Retriever
+
+    corpus = [
+        "a cat is a feline and likes to purr",
+        "a fish is a creature that lives in water and swims",
+        "a bird is a beautiful animal that can fly",
+        "a dog is the human's best friend and loves to play",
+    ]
+    r = Retriever.fit(corpus)
+    docs, scores = r.retrieve(["fish purr cat"], k=4)
+    assert docs[0, 0] == 0
+    docs_w, scores_w = r.retrieve([{"fish": 50.0, "purr": 1, "cat": 1}], k=4)
+    assert docs_w[0, 0] == 1
+    # unit weights == plain text query
+    docs_1, scores_1 = r.retrieve([{"fish": 1, "purr": 1, "cat": 1}], k=4)
+    import numpy as np
+
+    np.testing.assert_array_equal(docs_1, docs)
+    np.testing.assert_allclose(scores_1, scores, rtol=1e-4, atol=1e-4)

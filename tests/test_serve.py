@@ -306,3 +306,27 @@ def test_healthz_reports_request_metrics(tmp_path_factory, request):
         assert m["batch_occupancy"] >= 2.0  # each request carries 2 queries
     finally:
         srv.shutdown()
+
+
+def test_search_weighted_terms(server):
+    """{term: weight} queries score on device; up-weighting flips ranking."""
+    # unweighted: "fish purr cat" ranks the cat doc first
+    base = _post(server, {"queries": ["fish purr cat"], "top_k": 4})
+    assert base["results"][0][0]["doc"] == 0
+    # crank the fish weight: the fish doc must overtake
+    out = _post(server, {"queries": [{"fish": 50.0, "purr": 1, "cat": 1}],
+                         "top_k": 4})
+    row = out["results"][0]
+    assert "fish" in row[0]["text"]
+    # weight 1.0 everywhere == plain query scores
+    w1 = _post(server, {"queries": [{"fish": 1, "purr": 1, "cat": 1}],
+                        "top_k": 4})
+    for a, b in zip(w1["results"][0], base["results"][0]):
+        assert a["doc"] == b["doc"]
+        assert abs(a["score"] - b["score"]) < 1e-3
+
+
+def test_search_weighted_bad_weight(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"queries": [{"fish": "heavy"}], "top_k": 2})
+    assert e.value.code == 400

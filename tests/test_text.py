@@ -60,3 +60,24 @@ def test_tokenize_queries_pad_to(animal_corpus):
     with _pytest.raises(ValueError, match="more than pad_to"):
         tok.tokenize_queries(["cat feline purr fish bird"], corpus.vocab,
                              pad_to=2)
+
+
+def test_tokenize_weighted_queries_mixed():
+    import numpy as np
+
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    vocab = {"cat": 0, "dog": 1, "fish": 2}
+    ids, wts = tok.tokenize_weighted_queries(
+        ["cat dog cat", {"fish": 2.5, "unknown": 9.0}, "zzz"], vocab
+    )
+    assert ids.shape == wts.shape
+    # row 0: plain string, per-occurrence unit weights
+    assert ids[0].tolist()[:3] == [0, 1, 0]
+    assert wts[0].tolist()[:3] == [1.0, 1.0, 1.0]
+    # row 1: weighted term; OOV term dropped
+    assert ids[1, 0] == 2 and wts[1, 0] == 2.5
+    assert (ids[1, 1:] == -1).all()
+    # row 2: fully OOV -> all pads, zero weights
+    assert (ids[2] == -1).all() and (wts[2] == 0).all()
