@@ -354,20 +354,32 @@ class ShardedSparseEngine:
     @classmethod
     def from_scored_index(
         cls, index: ScoredIndex, mesh: Mesh | None = None, dtype=jnp.float32,
-        hot_tokens: int = 512, hot_budget_bytes: int | None = None,
+        hot_tokens: int | str = "auto", hot_budget_bytes: int | None = None,
         max_buckets: int = 4,
     ) -> "ShardedSparseEngine":
         from bm25_tpu.models.sparse import (
-            PAD_TOK, build_ell_buckets_from_csr, split_hot_cold)
+            PAD_TOK, build_ell_buckets_from_csr, choose_hot_tokens,
+            split_hot_cold)
         from bm25_tpu.ops.ell_score import BLOCK_ROWS
         from bm25_tpu.utils.padding import next_multiple as _nm
 
         mesh = mesh or make_mesh()
         n_doc = mesh.shape[DOC_AXIS]
-        if hot_budget_bytes is None:
-            hot_budget_bytes = index.data.nbytes + index.indices.nbytes + index.indptr.nbytes
-        max_h = hot_budget_bytes // max(index.num_docs * 4, 1)
-        h = int(min(hot_tokens, max_h, index.vocab_size))
+        if hot_tokens == "auto":
+            # same cost model as the single-chip engine; each shard scores
+            # rows/n_doc of every bucket so the per-chip trade is unchanged
+            h = choose_hot_tokens(
+                index, max_buckets=max_buckets,
+                budget_bytes=hot_budget_bytes,
+                row_align=BLOCK_ROWS * n_doc,
+            )
+        else:
+            budget = hot_budget_bytes
+            if budget is None:
+                budget = (index.data.nbytes + index.indices.nbytes
+                          + index.indptr.nbytes)
+            max_h = budget // max(index.num_docs * 4, 1)
+            h = int(min(hot_tokens, max_h, index.vocab_size))
         if h > 0:
             hot_ids, source_csr, hot_dense = split_hot_cold(index, h)
             h = len(hot_ids)

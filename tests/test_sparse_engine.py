@@ -423,3 +423,31 @@ def test_long_query_dedup_matches_undeduped(setup):
     od, os_ = oracle.search(queries, top_k=8)
     np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(dd, od)
+
+
+def test_choose_hot_tokens_cost_model(setup):
+    from bm25_tpu.models.sparse import choose_hot_tokens
+
+    idx, _ = setup
+    # zero budget -> no hot tier
+    assert choose_hot_tokens(idx, budget_bytes=0) == 0
+    # unconstrained: returns a candidate within vocab, deterministic
+    h1 = choose_hot_tokens(idx)
+    h2 = choose_hot_tokens(idx)
+    assert h1 == h2 and 0 <= h1 <= idx.vocab_size
+    # a budget that fits exactly h=64 rows caps the choice
+    h3 = choose_hot_tokens(idx, budget_bytes=64 * idx.num_docs * 4)
+    assert h3 <= 64
+
+
+def test_auto_hot_tokens_engine_matches_oracle(setup):
+    """hot_tokens='auto' (the default) builds a correct engine."""
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens="auto")
+    rng = np.random.default_rng(41)
+    queries = rng.integers(-1, idx.vocab_size, size=(8, 5), dtype=np.int32)
+    dd, ds = eng.search(queries, top_k=9)
+    od, os_ = oracle.search(queries, top_k=9)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
