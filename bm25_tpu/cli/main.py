@@ -82,9 +82,15 @@ def cmd_query(args) -> int:
 def _run_queries(engine, tok, index, corpus, queries, top_k):
     import numpy as np
 
-    ids = tok.tokenize_queries(queries, index.vocab)
+    # Lucene-style term boosts: "fish^2.5 cat" scores fish at 2.5x
+    parsed = [tok.parse_boosted(q) or q for q in queries]
     t0 = time.perf_counter()
-    docs, scores = engine.search(ids, top_k=top_k)
+    if any(isinstance(p, dict) for p in parsed):
+        ids, wts = tok.tokenize_weighted_queries(parsed, index.vocab)
+        docs, scores = engine.search(ids, top_k=top_k, weights=wts)
+    else:
+        ids = tok.tokenize_queries(queries, index.vocab)
+        docs, scores = engine.search(ids, top_k=top_k)
     dt = time.perf_counter() - t0
     for qi, q in enumerate(queries):
         print(f"query: {q!r}  ({dt * 1e3:.1f} ms batch)")
@@ -200,7 +206,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--method", default="lucene")
     pi.set_defaults(fn=cmd_index)
 
-    pq = sub.add_parser("query", help="query a saved index")
+    pq = sub.add_parser(
+        "query",
+        help="query a saved index (supports Lucene-style term^weight boosts)",
+    )
     pq.add_argument("index")
     pq.add_argument("query", nargs="*")
     pq.add_argument("-k", "--top-k", type=int, default=5)

@@ -350,6 +350,9 @@ class ShardedSparseEngine:
     # the TPU worker rather than raising)
     score_buffer_budget: int = 4 << 30
     chunk_queries: int = 512
+    # long-query dedup: same policy as the single-chip SparseEngine
+    dedup_queries: bool | str = "auto"
+    dedup_min_width: int = 16
 
     @classmethod
     def from_scored_index(
@@ -470,6 +473,16 @@ class ShardedSparseEngine:
         if len(queries) == 0:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         k = min(top_k, self.num_docs)
+        dedup = self.dedup_queries
+        if weights is None and (
+            dedup is True
+            or (dedup == "auto" and queries.shape[1] >= self.dedup_min_width)
+        ):
+            from bm25_tpu.models.sparse import dedup_query_rows
+
+            ids_u, counts = dedup_query_rows(queries)
+            if ids_u.shape[1] < queries.shape[1]:
+                queries, weights = ids_u, counts
         n_data = self.mesh.shape[DATA_AXIS]
         q_real, t_real = queries.shape
         weighted = weights is not None

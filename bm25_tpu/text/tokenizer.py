@@ -222,6 +222,25 @@ class Tokenizer:
             out[i, : len(row)] = row
         return out
 
+    @staticmethod
+    def parse_boosted(text: str):
+        """Parse ``term^weight`` boost syntax: ``"fish^2.5 cat"`` ->
+        ``{"fish": 2.5, "cat": 1.0}``; returns None when the query has no
+        boosts (callers keep the plain fast path).  Repeated terms
+        accumulate their weights (per-occurrence semantics)."""
+        import re
+
+        parts = text.split()
+        if not any("^" in p for p in parts):
+            return None
+        boost = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+        out: dict[str, float] = {}
+        for p in parts:
+            m = boost.match(p)
+            term, wt = (m.group(1), float(m.group(2))) if m else (p, 1.0)
+            out[term] = out.get(term, 0.0) + wt
+        return out
+
     def tokenize_weighted_queries(
         self,
         queries: Sequence,

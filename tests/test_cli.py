@@ -48,3 +48,15 @@ def test_query_no_queries_error(tmp_path, animal_corpus, capsys):
     out = tmp_path / "idx"
     main(["index", str(corpus_file), "-o", str(out)])
     assert main(["query", str(out)]) == 2
+
+
+def test_query_term_boosts(tmp_path, animal_corpus, capsys):
+    corpus_file = tmp_path / "docs.txt"
+    corpus_file.write_text("\n".join(animal_corpus))
+    out = tmp_path / "idx"
+    assert main(["index", str(corpus_file), "-o", str(out)]) == 0
+    capsys.readouterr()
+    # plain: the cat doc wins; boosting fish flips the top hit
+    assert main(["query", str(out), "fish^50 purr cat", "-k", "1"]) == 0
+    boosted = capsys.readouterr().out
+    assert "fish" in boosted.splitlines()[-1]

@@ -189,3 +189,23 @@ def test_sharded_sparse_weighted_search_matches_oracle(setup):
     np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
     strict = strict_positions(os_)
     np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+def test_sharded_sparse_long_query_dedup_matches_oracle(setup):
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    idx, oracle = setup
+    mesh = make_mesh(8, data=2)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, hot_tokens=8)
+    rng = np.random.default_rng(35)
+    base = rng.integers(0, idx.vocab_size, size=(8, 5))
+    pick = rng.integers(0, 5, size=(8, 24))
+    queries = np.take_along_axis(
+        np.broadcast_to(base, (8, 5)).astype(np.int32), pick, axis=1
+    )
+    assert queries.shape[1] >= eng.dedup_min_width
+    dd, ds = eng.search(queries, top_k=9)
+    od, os_ = oracle.search(queries, top_k=9)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])

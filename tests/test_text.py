@@ -81,3 +81,14 @@ def test_tokenize_weighted_queries_mixed():
     assert (ids[1, 1:] == -1).all()
     # row 2: fully OOV -> all pads, zero weights
     assert (ids[2] == -1).all() and (wts[2] == 0).all()
+
+
+def test_parse_boosted():
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    assert Tokenizer.parse_boosted("fish cat") is None
+    assert Tokenizer.parse_boosted("fish^2.5 cat") == {"fish": 2.5, "cat": 1.0}
+    # repeated terms accumulate; integer boosts parse
+    assert Tokenizer.parse_boosted("a^2 a b^3") == {"a": 3.0, "b": 3.0}
+    # '^' without a numeric weight stays a literal token
+    assert Tokenizer.parse_boosted("x^y z^1") == {"x^y": 1.0, "z": 1.0}
