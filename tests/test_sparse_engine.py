@@ -451,3 +451,19 @@ def test_auto_hot_tokens_engine_matches_oracle(setup):
     np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
     strict = strict_positions(os_)
     np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+def test_search_ids_rankings_only(setup):
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=8)
+    rng = np.random.default_rng(51)
+    queries = rng.integers(-1, idx.vocab_size, size=(9, 6), dtype=np.int32)
+    docs = eng.search_ids(queries, top_k=7)
+    assert docs.dtype == np.int32 and docs.shape == (9, 7)
+    full_docs, _ = eng.search(queries, top_k=7)
+    np.testing.assert_array_equal(docs, full_docs)
+    # weighted variant too
+    w = rng.uniform(0.5, 2.0, size=queries.shape).astype(np.float32)
+    dw = eng.search_ids(queries, top_k=7, weights=w)
+    fw, _ = eng.search(queries, top_k=7, weights=w)
+    np.testing.assert_array_equal(dw, fw)
