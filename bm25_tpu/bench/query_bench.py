@@ -234,6 +234,17 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
         else:
             engine.search(queries, top_k=k)
         qps = max(qps, len(queries) / (time.perf_counter() - t_all))
+    # rankings-only mode (no score transfer) — the realistic serving path
+    # for IR eval loops; halves result bytes, which matters through any
+    # transfer-limited link
+    qps_ids = None
+    search_ids = getattr(engine, "search_ids", None)
+    if search_ids is not None:
+        qps_ids = 0.0
+        for _ in range(2):
+            t_all = time.perf_counter()
+            search_ids(queries, top_k=k)
+            qps_ids = max(qps_ids, len(queries) / (time.perf_counter() - t_all))
     recall = recall_at_k(docs0[:nb], ref_docs)
 
     row = {
@@ -245,6 +256,8 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
         "p99_batch_ms": round(p99 * 1e3, 2),
         "recall_vs_reference": round(recall, 4),
     }
+    if qps_ids is not None:
+        row["qps_rankings_only"] = round(qps_ids, 1)
     step_ms = measure_device_step_ms(engine, batches[0], k)
     if step_ms is not None:
         row["device_step_ms"] = round(step_ms, 2)

@@ -235,10 +235,16 @@ def ell_score_fused(
     weighted = weights is not None
     split_counts = hot_counts_lo is not None
     assert has_hot or not split_counts, "hot_counts_lo requires hot_counts"
+    # legal query tilings here: tq == q_pad (single tile) or q_pad a
+    # multiple of BLOCK_Q — anything else makes the TRANSPOSED gmax output
+    # block (BR/GROUP, tq) violate Mosaic's last-dim rule (must be
+    # 128-divisible or the full array dim).  Ragged chunks (e.g. q_pad=232
+    # from a memory-budget cut) pad up to the next legal size; surfaced by
+    # the 8.84M-doc run, invisible at the 512-query bench shape.
     q_pad = next_multiple(q, 8)
+    if q_pad > BLOCK_Q and q_pad % BLOCK_Q:
+        q_pad = next_multiple(q_pad, BLOCK_Q)
     tq = min(BLOCK_Q, q_pad)
-    while q_pad % tq:
-        tq //= 2
     if q_pad != q:
         ids = jnp.pad(ids, ((0, q_pad - q), (0, 0)), constant_values=-1)
         if weighted:

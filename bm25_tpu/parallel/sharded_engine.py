@@ -443,12 +443,20 @@ class ShardedSparseEngine:
 
     def _max_chunk(self) -> int:
         # bound transient (Q, rows_local) tiles per chip like the
-        # single-chip engine; rows shard over the doc axis
+        # single-chip engine; rows shard over the doc axis.  The per-chip
+        # query slice must land on a legal kernel tiling (<= BLOCK_Q or a
+        # multiple of it), so chunks above one tile round down to a
+        # tile-multiple per data shard.
+        from bm25_tpu.ops.ell_score import BLOCK_Q
+
         n_doc = self.mesh.shape[DOC_AXIS]
+        n_data = self.mesh.shape[DATA_AXIS]
         max_rows = max(
             b["doc_ids"].shape[0] // n_doc for b in self.buckets
         )
         max_q = max(8, (self.score_buffer_budget // (4 * max_rows)) // 8 * 8)
+        if max_q > BLOCK_Q * n_data:
+            max_q = max_q // (BLOCK_Q * n_data) * (BLOCK_Q * n_data)
         return min(max_q, self.chunk_queries)
 
     def search(

@@ -152,3 +152,63 @@ def test_ell_score_fused_no_hot():
         np.asarray(gmax), ref.reshape(9, rows // GROUP, GROUP).max(-1),
         rtol=1e-6,
     )
+
+
+def test_ell_score_fused_ragged_query_count():
+    """Ragged q (not a tile multiple, > BLOCK_Q) pads to a legal tiling.
+
+    Reproduces the 8.84M-doc failure: a memory-budget chunk of 232
+    queries produced an illegal transposed-gmax Mosaic block (the TPU
+    lowering rejects it); the kernel now pads q up to the next legal
+    size and slices the outputs back.
+    """
+    import jax.numpy as jnp
+
+    from bm25_tpu.ops.ell_score import BLOCK_ROWS, GROUP, ell_score_fused
+
+    rng = np.random.default_rng(5)
+    q, t, rows, l = 232, 8, BLOCK_ROWS, 6
+    ids = rng.integers(-1, 50, size=(q, t)).astype(np.int32)
+    tok = np.full((8, rows), -1, dtype=np.int32)
+    tok[:l] = rng.integers(0, 50, size=(l, rows)).astype(np.int32)
+    val = np.zeros((8, rows), dtype=np.float32)
+    val[:l] = rng.random((l, rows), dtype=np.float32)
+    doc_ids = np.arange(rows, dtype=np.int32)
+    base, gmax = ell_score_fused(
+        jnp.array(ids), jnp.array(tok), jnp.array(val), jnp.array(doc_ids),
+        interpret=True,
+    )
+    assert base.shape == (q, rows)
+    assert gmax.shape == (q, rows // GROUP)
+    # oracle: membership-count scan
+    want = np.zeros((q, rows), np.float32)
+    for s in range(8):
+        cnt = (ids[:, :, None] == tok[s][None, None, :]).sum(1)
+        want += cnt.astype(np.float32) * val[s][None, :]
+    np.testing.assert_allclose(np.asarray(base), want, rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_chunk_sizes_stay_legal():
+    """Budget-cut chunks round to kernel-legal sizes (<= BLOCK_Q or a
+    multiple), so the fused kernel's internal padding can't exceed the
+    score-buffer budget."""
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.ops.ell_score import BLOCK_Q
+    from bm25_tpu.scoring import build_scored_index
+
+    rng = np.random.default_rng(6)
+    ids = [rng.integers(0, 64, size=rng.integers(3, 12)).astype(np.int32)
+           for _ in range(600)]
+    idx = build_scored_index(ids, vocab_size=64)
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=0)
+    max_rows = max(b["doc_ids"].shape[0] for b in eng.buckets)
+    # force a budget that would allow a ragged 232-ish chunk
+    eng.score_buffer_budget = 4 * max_rows * 232
+    queries = rng.integers(-1, 64, size=(300, 5), dtype=np.int32)
+    dd, ds = eng.search(queries, top_k=7)
+    assert dd.shape == (300, 7)
+    # reconstruct the chunk size the engine would pick
+    max_q = max(8, (eng.score_buffer_budget // (4 * max_rows)) // 8 * 8)
+    if max_q > BLOCK_Q:
+        max_q = max_q // BLOCK_Q * BLOCK_Q
+    assert max_q <= BLOCK_Q or max_q % BLOCK_Q == 0
