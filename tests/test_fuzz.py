@@ -63,3 +63,45 @@ def test_engine_matches_oracle_fuzz(engine_name, seed, method, k):
     # strict positions exclude only float-accumulation near-ties
     strict = strict_positions(os_)
     np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+@pytest.mark.parametrize("engine_name", list(ENGINES))
+@pytest.mark.parametrize("seed,method", [(3, "lucene"), (4, "bm25+")])
+def test_weighted_engine_matches_oracle_fuzz(engine_name, seed, method):
+    """Float weights through every engine vs the weighted oracle."""
+    idx = build(seed, method)
+    oracle = ReferenceEngine.from_scored_index(idx)
+    engine = ENGINES[engine_name](idx)
+    rng = np.random.default_rng(seed + 200)
+    queries = rng.integers(-1, idx.vocab_size, size=(9, 5), dtype=np.int32)
+    queries[0] = -1
+    weights = rng.uniform(0.0, 3.0, size=queries.shape).astype(np.float32)
+    dd, ds = engine.search(queries, top_k=6, weights=weights)
+    od, os_ = oracle.search(queries, top_k=6, weights=weights)
+    np.testing.assert_allclose(ds, os_, rtol=5e-5, atol=5e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+@pytest.mark.parametrize("engine_name", ["sparse", "sparse_3tier",
+                                         "sharded_sparse"])
+def test_dedup_and_ids_only_fuzz(engine_name):
+    """Wide repetitive queries (auto dedup) and rankings-only parity."""
+    idx = build(5, "lucene")
+    oracle = ReferenceEngine.from_scored_index(idx)
+    engine = ENGINES[engine_name](idx)
+    rng = np.random.default_rng(50)
+    base = rng.integers(0, idx.vocab_size, size=(7, 4))
+    pick = rng.integers(0, 4, size=(7, 20))
+    queries = np.take_along_axis(
+        np.broadcast_to(base, (7, 4)).astype(np.int32), pick, axis=1
+    )
+    queries[0] = -1
+    dd, ds = engine.search(queries, top_k=6)
+    od, os_ = oracle.search(queries, top_k=6)
+    np.testing.assert_allclose(ds, os_, rtol=5e-5, atol=5e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+    ids_only = getattr(engine, "search_ids", None)
+    if ids_only is not None:
+        np.testing.assert_array_equal(ids_only(queries, top_k=6), dd)
