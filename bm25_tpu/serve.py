@@ -7,7 +7,9 @@ Stdlib-only JSON-over-HTTP:
     POST /search   {"queries": ["text", ...], "top_k": 10}
                 -> {"results": [[{"doc": id, "score": s, "text": ...}]]}
                    a query may also be a {"term": weight, ...} object —
-                   weighted retrieval (query expansion), scored on device
+                   weighted retrieval (query expansion), scored on device;
+                   "include_scores": false returns rankings only (skips
+                   the device->host score transfer where supported)
     GET  /healthz  -> {"status": "ok", "num_docs": N, ...}
 
 Batched: each request's queries run as one device batch.  With
@@ -262,6 +264,7 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             top_k = int(req.get("top_k", 10))
             if top_k < 1:
                 raise ValueError("'top_k' must be >= 1")
+            include_scores = bool(req.get("include_scores", True))
         except (TypeError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
             return
@@ -276,15 +279,18 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             else:
                 ids = self.tokenizer.tokenize_queries(queries, self.vocab)
                 wts = None
+            search_ids = getattr(self.engine, "search_ids", None)
             if self.batcher is not None:
                 docs, scores = self.batcher.search(ids, top_k=top_k,
                                                    weights=wts)
+            elif not include_scores and search_ids is not None:
+                # rankings-only: skip the score transfer entirely
+                docs, scores = search_ids(ids, top_k=top_k, weights=wts), None
+            elif wts is None:
+                docs, scores = self.engine.search(ids, top_k=top_k)
             else:
-                if wts is None:
-                    docs, scores = self.engine.search(ids, top_k=top_k)
-                else:
-                    docs, scores = self.engine.search(ids, top_k=top_k,
-                                                      weights=wts)
+                docs, scores = self.engine.search(ids, top_k=top_k,
+                                                  weights=wts)
         except Exception as e:
             if self.metrics is not None:
                 self.metrics.record_error()
@@ -295,8 +301,10 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         results = []
         for qi in range(len(queries)):
             row = []
-            for d, s in zip(docs[qi], scores[qi]):
-                item = {"doc": int(d), "score": float(s)}
+            for ri, d in enumerate(docs[qi]):
+                item = {"doc": int(d)}
+                if scores is not None and include_scores:
+                    item["score"] = float(scores[qi][ri])
                 if self.corpus is not None:
                     item["text"] = self.corpus[int(d)].get("text", "")
                 row.append(item)

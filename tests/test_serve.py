@@ -330,3 +330,23 @@ def test_search_weighted_bad_weight(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, {"queries": [{"fish": "heavy"}], "top_k": 2})
     assert e.value.code == 400
+
+
+def test_search_include_scores_false(tmp_path_factory, request):
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_ro")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0, engine_mode="sparse")
+    srv.start_background()
+    try:
+        out = _post(srv, {"queries": ["does the fish purr like a cat?"],
+                          "top_k": 2, "include_scores": False})
+        row = out["results"][0]
+        assert row[0]["doc"] == 0 and "score" not in row[0]
+        assert "text" in row[0]
+        # same ranking as the scored response
+        full = _post(srv, {"queries": ["does the fish purr like a cat?"],
+                           "top_k": 2})
+        assert [r["doc"] for r in row] == [r["doc"] for r in full["results"][0]]
+    finally:
+        srv.shutdown()
