@@ -86,50 +86,42 @@ def recall_at_k(got_docs: np.ndarray, want_docs: np.ndarray) -> float:
     return hits / want_docs.size
 
 
-def measure_device_step_ms(engine, queries: np.ndarray, k: int,
-                           iters: int = 5) -> float | None:
-    """Relay-proof on-device step time: N dependency-chained steps, 1 fetch.
-
-    Through the axon relay every host fetch pays a ~30 ms round trip and
-    d2h runs at ~25-37 MB/s, so wall-clock e2e numbers are dominated by
-    transfers; this measures the pure device step as
-    (t(iters) - t(1)) / (iters - 1).  SparseEngine only (the bench engine).
-    """
+def _time_step_chunk(engine, step, ids, cold, iters: int) -> float:
+    """Dependency-chained fori_loop timing of one compiled chunk config."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    from bm25_tpu.models.sparse import SparseEngine, make_sparse_query_step
-    from bm25_tpu.utils.padding import next_multiple, next_pow2_at_least
-
-    if not isinstance(engine, SparseEngine):
-        return None
-    q_real, t_real = queries.shape
-    q_pad = next_multiple(q_real, 8)
-    t_pad = next_pow2_at_least(max(t_real, 8))
-    padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
-    padded[:q_real, :t_real] = queries.astype(np.int32)
-    ids = engine.session.put(padded)
-    step = make_sparse_query_step(min(k, engine.num_docs), engine.hot_h,
-                                  pack=True)
     tail = engine._tail
 
     def looped(n):
         # arrays enter as jit ARGUMENTS — closing over them would bake
         # them into the HLO as giant literal constants (the remote-compile
         # relay rejects the oversized program with HTTP 413)
-        @jax.jit
-        def f(ids, buckets, offsets, hot_table, tail_arrs):
-            def body(i, acc):
-                out = step(ids + (acc * 0).astype(jnp.int32),
-                           buckets, offsets, hot_table, tail_arrs)
-                return out[0, 0]
+        if cold is None:
+            @jax.jit
+            def f(ids, buckets, offsets, hot_table, tail_arrs):
+                def body(i, acc):
+                    out = step(ids + (acc * 0).astype(jnp.int32),
+                               buckets, offsets, hot_table, tail_arrs)
+                    return out[0, 0]
 
-            return lax.fori_loop(0, n, body, jnp.float32(0))
+                return lax.fori_loop(0, n, body, jnp.float32(0))
+        else:
+            @jax.jit
+            def f(ids, cold, buckets, offsets, hot_table, tail_arrs):
+                def body(i, acc):
+                    out = step(ids + (acc * 0).astype(jnp.int32), cold,
+                               buckets, offsets, hot_table, tail_arrs)
+                    return out[0, 0]
+
+                return lax.fori_loop(0, n, body, jnp.float32(0))
 
         return f
 
-    args = (ids, engine.buckets, engine.offsets, engine.hot_table, tail)
+    args = [ids] + ([cold] if cold is not None else []) + [
+        engine.buckets, engine.offsets, engine.hot_table, tail,
+    ]
 
     def timed(fn):
         best = float("inf")
@@ -144,6 +136,44 @@ def measure_device_step_ms(engine, queries: np.ndarray, k: int,
     float(fn_(*args))
     t1, tn = timed(f1), timed(fn_)
     return max((tn - t1) / (iters - 1), 0.0) * 1e3
+
+
+def measure_device_step_ms(engine, queries: np.ndarray, k: int,
+                           iters: int = 5) -> float | None:
+    """Relay-proof on-device step time: N dependency-chained steps, 1 fetch.
+
+    Through the axon relay every host fetch pays a ~30 ms round trip and
+    d2h runs at ~25-37 MB/s, so wall-clock e2e numbers are dominated by
+    transfers; this measures the pure device step as
+    (t(iters) - t(1)) / (iters - 1).  SparseEngine only (the bench engine).
+
+    Dispatches are planned by ``engine.plan_chunks`` — the same cold-width
+    routing the production ``search`` uses — and the reported figure is
+    the mean step time over the batch's chunks (distinct cold widths
+    compile distinct steps; each is timed once).
+    """
+    from bm25_tpu.models.sparse import SparseEngine, make_sparse_query_step
+
+    if not isinstance(engine, SparseEngine):
+        return None
+    _, chunks = engine.plan_chunks(queries.astype(np.int32))
+    per_config: dict[tuple, float] = {}
+    times = []
+    for cq, padded, _w, cold_padded, _wc in chunks:
+        key = (padded.shape, None if cold_padded is None else cold_padded.shape)
+        if key not in per_config:
+            step = make_sparse_query_step(
+                min(k, engine.num_docs), engine.hot_h, pack=True,
+                split_cold=cold_padded is not None,
+            )
+            ids_dev = engine.session.put(padded)
+            cold_dev = (None if cold_padded is None
+                        else engine.session.put(cold_padded))
+            per_config[key] = _time_step_chunk(
+                engine, step, ids_dev, cold_dev, iters
+            )
+        times.append(per_config[key])
+    return float(np.mean(times)) if times else None
 
 
 def estimate_step_hbm_bytes(engine, q: int) -> int | None:
@@ -186,7 +216,7 @@ V5E_HBM_GBPS = 819.0
 V5E_VPU_OPS = 3.85e12
 
 
-def estimate_step_vpu_ops(engine, q: int, t: int) -> int | None:
+def estimate_step_vpu_ops(engine, q: int, t: float) -> int | None:
     """VPU op model for one SparseEngine batch: per (query, slot) the ELL
     kernel runs T compares + T adds + ~2 accumulate ops."""
     from bm25_tpu.models.sparse import SparseEngine
@@ -197,7 +227,7 @@ def estimate_step_vpu_ops(engine, q: int, t: int) -> int | None:
     for b in engine.buckets:
         if "tokT" in b:
             slots += int(np.prod(b["tokT"].shape))
-    return q * slots * (2 * t + 2)
+    return int(q * slots * (2 * t + 2))
 
 
 def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
@@ -258,7 +288,9 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
     }
     if qps_ids is not None:
         row["qps_rankings_only"] = round(qps_ids, 1)
-    step_ms = measure_device_step_ms(engine, batches[0], k)
+    # full query set: the plan sorts by cold width, so the mean chunk step
+    # reflects the routed production dispatch mix
+    step_ms = measure_device_step_ms(engine, queries, k)
     if step_ms is not None:
         row["device_step_ms"] = round(step_ms, 2)
         model_bytes = estimate_step_hbm_bytes(engine, len(batches[0]))
@@ -266,8 +298,14 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
             gbps = model_bytes / (step_ms / 1e3) / 1e9
             row["achieved_hbm_gbps"] = round(gbps, 1)
             row["hbm_utilization"] = round(gbps / V5E_HBM_GBPS, 3)
-        vpu_ops = estimate_step_vpu_ops(engine, len(batches[0]),
-                                        max(cfg.query_len, 8))
+        # effective kernel width: with cold-width routing the scan runs at
+        # each chunk's cold T_c, not the full padded query width
+        _, plan = engine.plan_chunks(queries.astype(np.int32))
+        t_eff = float(np.mean([
+            (c[3].shape[1] if c[3] is not None else c[1].shape[1])
+            for c in plan
+        ])) if plan else float(max(cfg.query_len, 8))
+        vpu_ops = estimate_step_vpu_ops(engine, len(batches[0]), t_eff)
         if vpu_ops and step_ms > 0:
             rate = vpu_ops / (step_ms / 1e3)
             row["achieved_vpu_tops"] = round(rate / 1e12, 2)

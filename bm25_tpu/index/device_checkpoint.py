@@ -200,10 +200,15 @@ def load_device_checkpoint(
             )
         from bm25_tpu.models.sparse import SparseEngine, fit_score_buffer_budget
 
+        import numpy as np
+
         engine = SparseEngine(
             buckets=state["buckets"],
             offsets=state["offsets"],
             hot_table=state["hot_table"],
+            # host copy re-derived from the checkpointed table so the
+            # cold-width query routing works after a warm restart too
+            hot_table_host=np.asarray(state["hot_table"]),
             hot_h=meta["hot_h"],
             num_docs=meta["num_docs"],
             vocab_size=meta["vocab_size"],

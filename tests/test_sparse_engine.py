@@ -467,3 +467,25 @@ def test_search_ids_rankings_only(setup):
     dw = eng.search_ids(queries, top_k=7, weights=w)
     fw, _ = eng.search(queries, top_k=7, weights=w)
     np.testing.assert_array_equal(dw, fw)
+
+
+def test_cold_width_routing_matches_oracle(setup):
+    """route_cold=True (forced) reorders + strips hot tokens exactly."""
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=32)
+    eng.route_cold = True
+    rng = np.random.default_rng(61)
+    queries = rng.integers(-1, idx.vocab_size, size=(40, 8), dtype=np.int32)
+    queries[0] = -1  # all-pad row
+    dd, ds = eng.search(queries, top_k=9)
+    od, os_ = oracle.search(queries, top_k=9)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+    # weighted through the routed path too
+    w = rng.uniform(0.2, 2.0, size=queries.shape).astype(np.float32)
+    dw, sw = eng.search(queries, top_k=9, weights=w)
+    ow, osw = oracle.search(queries, top_k=9, weights=w)
+    np.testing.assert_allclose(sw, osw, rtol=5e-5, atol=5e-5)
+    strict = strict_positions(osw)
+    np.testing.assert_array_equal(dw[strict], ow[strict])
