@@ -200,7 +200,8 @@ def _bucket_specs(buckets: list[dict]) -> tuple:
 
 
 def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
-                          buckets: list[dict], weighted: bool = False):
+                          buckets: list[dict], weighted: bool = False,
+                          split_cold: bool = False):
     """Doc-sharded multi-bucket ELL scoring + all-gather top-k merge.
 
     Per bucket: tokT/valT/hotT/hotLo (rows axis) shard P(None, 'docs') and
@@ -219,10 +220,14 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
         from bm25_tpu.ops.ell_score import ell_score_fused
         from bm25_tpu.ops.topk import select_top_k, top_k_tree_with_maxes
 
+        rest = list(rest)
+        cold = rest.pop(0) if split_cold else None
         if weighted:
-            w, bucket_arrays = rest[0], rest[1:]
+            w = rest.pop(0)
+            w_cold = rest.pop(0) if split_cold else None
         else:
-            w, bucket_arrays = None, rest
+            w = w_cold = None
+        bucket_arrays = rest
         q = ids.shape[0]
         valid = ids >= 0
         if w is not None:
@@ -242,6 +247,13 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
 
                 cf = weighted_counts(hot_ids, w, hot_h)
                 hot_counts, hot_counts_lo = split_bf16(cf)
+        if split_cold:
+            # cold-width routing (see models/sparse.py): the scan reads
+            # only the narrow cold ids; hot counts above used the full ids
+            ids, w = cold, w_cold
+            valid = ids >= 0
+            if w is not None:
+                w = jnp.where(valid, w.astype(jnp.float32), 0.0)
         interpret = jax.devices()[0].platform != "tpu"
 
         cand_s, cand_i = [], []
@@ -315,8 +327,12 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
         return -nss[:, :kk], dd[:, :kk]
 
     in_specs = (P(), P(DATA_AXIS, None))
+    if split_cold:
+        in_specs += (P(DATA_AXIS, None),)
     if weighted:
         in_specs += (P(DATA_AXIS, None),)
+        if split_cold:
+            in_specs += (P(DATA_AXIS, None),)
     return jax.shard_map(
         local_step,
         mesh=mesh,
@@ -353,6 +369,11 @@ class ShardedSparseEngine:
     # long-query dedup: same policy as the single-chip SparseEngine
     dedup_queries: bool | str = "auto"
     dedup_min_width: int = 16
+    # cold-width query routing (see models/sparse.py): same policy and
+    # gating as the single-chip engine
+    route_cold: bool | str = "auto"
+    route_min_queries: int = 32
+    hot_table_host: np.ndarray | None = None
 
     @classmethod
     def from_scored_index(
@@ -436,6 +457,7 @@ class ShardedSparseEngine:
         return cls(
             buckets=dev_buckets,
             hot_table=jax.device_put(hot_table, NamedSharding(mesh, P())),
+            hot_table_host=hot_table,
             hot_h=h, offsets=offsets,
             num_docs=index.num_docs, vocab_size=v, mesh=mesh,
             vocab=index.vocab, _cache={},
@@ -491,6 +513,30 @@ class ShardedSparseEngine:
             ids_u, counts = dedup_query_rows(queries)
             if ids_u.shape[1] < queries.shape[1]:
                 queries, weights = ids_u, counts
+        # cold-width routing (see models/sparse.py): sort by cold count so
+        # chunks compile at the narrowest covering scan width
+        route = self.route_cold
+        has_scan = any("tokT" in b for b in self.buckets)
+        split = (
+            self.hot_h > 0 and has_scan
+            and self.hot_table_host is not None
+            and (route is True or (
+                route == "auto"
+                and queries.shape[1] > 1
+                and len(queries) >= self.route_min_queries
+            ))
+        )
+        perm = cold_mask = None
+        queries = queries.astype(np.int32)
+        if split:
+            vmask = queries >= 0
+            hr = self.hot_table_host[np.where(vmask, queries, 0)]
+            cold_mask = vmask & (hr < 0)
+            perm = np.argsort(cold_mask.sum(axis=1), kind="stable")
+            queries = queries[perm]
+            cold_mask = cold_mask[perm]
+            if weights is not None:
+                weights = weights[perm]
         n_data = self.mesh.shape[DATA_AXIS]
         q_real, t_real = queries.shape
         weighted = weights is not None
@@ -503,24 +549,45 @@ class ShardedSparseEngine:
             t_pad = next_pow2_at_least(max(t_real, 8))
             padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
             padded[:cq, :t_real] = chunk
+            cold_padded = wc_padded = None
+            if split:
+                from bm25_tpu.models.sparse import compact_rows
+
+                cold_ids, wc = compact_rows(
+                    chunk, cold_mask[i : i + step],
+                    None if weights is None else weights[i : i + step],
+                )
+                t_pad_c = next_pow2_at_least(max(cold_ids.shape[1], 2))
+                cold_padded = np.full((q_pad, t_pad_c), -1, dtype=np.int32)
+                cold_padded[:cq, : cold_ids.shape[1]] = cold_ids
+                if wc is not None:
+                    wc_padded = np.zeros((q_pad, t_pad_c), dtype=np.float32)
+                    wc_padded[:cq, : wc.shape[1]] = wc
             shapes = tuple(
                 tuple((key, tuple(b[key].shape), str(b[key].dtype))
                       for key in sorted(b))
                 for b in self.buckets
             )
-            key = (k, self.hot_h, q_pad, t_pad, shapes, weighted)
+            t_pad_c = None if cold_padded is None else cold_padded.shape[1]
+            key = (k, self.hot_h, q_pad, t_pad, shapes, weighted, split,
+                   t_pad_c)
             fn = self._cache.get(key)
             if fn is None:
                 fn = jax.jit(make_sharded_ell_step(
-                    self.mesh, k, self.hot_h, self.buckets, weighted=weighted
+                    self.mesh, k, self.hot_h, self.buckets,
+                    weighted=weighted, split_cold=split,
                 ))
                 self._cache[key] = fn
             qsh = NamedSharding(self.mesh, P(DATA_AXIS, None))
             args = [self.hot_table, jax.device_put(padded, qsh)]
+            if split:
+                args.append(jax.device_put(cold_padded, qsh))
             if weighted:
                 wp = np.zeros((q_pad, t_pad), dtype=np.float32)
                 wp[:cq, :t_real] = weights[i : i + step]
                 args.append(jax.device_put(wp, qsh))
+                if split:
+                    args.append(jax.device_put(wc_padded, qsh))
             scores, docs = fn(*args, *self.buckets)
             # token offsets are doc-independent; add on host (use the
             # un-padded chunk — weights only cover real token columns)
@@ -536,7 +603,12 @@ class ShardedSparseEngine:
             out_scores.append(
                 (np.asarray(scores)[:cq] + qoff[:, None]).astype(np.float32)
             )
-        return np.concatenate(out_docs), np.concatenate(out_scores)
+        all_docs = np.concatenate(out_docs)
+        all_scores = np.concatenate(out_scores)
+        if perm is not None:
+            inv = np.argsort(perm, kind="stable")
+            all_docs, all_scores = all_docs[inv], all_scores[inv]
+        return all_docs, all_scores
 
 
 def dryrun_sharded_step(n_devices: int) -> None:

@@ -209,3 +209,27 @@ def test_sharded_sparse_long_query_dedup_matches_oracle(setup):
     np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
     strict = strict_positions(os_)
     np.testing.assert_array_equal(dd[strict], od[strict])
+
+
+def test_sharded_sparse_cold_routing_matches_oracle(setup):
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    idx, oracle = setup
+    mesh = make_mesh(8, data=2)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, hot_tokens=32)
+    eng.route_cold = True
+    rng = np.random.default_rng(71)
+    queries = rng.integers(-1, idx.vocab_size, size=(24, 8), dtype=np.int32)
+    queries[0] = -1
+    dd, ds = eng.search(queries, top_k=9)
+    od, os_ = oracle.search(queries, top_k=9)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+    # weighted through the routed sharded path
+    w = rng.uniform(0.2, 2.0, size=queries.shape).astype(np.float32)
+    dw, sw = eng.search(queries, top_k=9, weights=w)
+    ow, osw = oracle.search(queries, top_k=9, weights=w)
+    np.testing.assert_allclose(sw, osw, rtol=5e-5, atol=5e-5)
+    strict = strict_positions(osw)
+    np.testing.assert_array_equal(dw[strict], ow[strict])
