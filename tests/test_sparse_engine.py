@@ -489,3 +489,24 @@ def test_cold_width_routing_matches_oracle(setup):
     np.testing.assert_allclose(sw, osw, rtol=5e-5, atol=5e-5)
     strict = strict_positions(osw)
     np.testing.assert_array_equal(dw[strict], ow[strict])
+
+
+def test_dedup_plus_cold_routing_matches_oracle(setup):
+    """Auto dedup (wide repetitive queries) composed with forced routing."""
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=32)
+    eng.route_cold = True
+    rng = np.random.default_rng(81)
+    base = rng.integers(0, idx.vocab_size, size=(36, 5))
+    pick = rng.integers(0, 5, size=(36, 24))
+    queries = np.take_along_axis(
+        np.broadcast_to(base, (36, 5)).astype(np.int32), pick, axis=1
+    )
+    queries[0] = -1
+    assert queries.shape[1] >= eng.dedup_min_width
+    dd, ds = eng.search(queries, top_k=9)
+    od, os_ = oracle.search(queries, top_k=9)
+    np.testing.assert_allclose(ds, os_, rtol=5e-5, atol=5e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+    np.testing.assert_array_equal(eng.search_ids(queries, top_k=9), dd)
