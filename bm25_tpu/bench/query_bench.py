@@ -139,7 +139,7 @@ def _time_step_chunk(engine, step, ids, cold, iters: int) -> float:
 
 
 def measure_device_step_ms(engine, queries: np.ndarray, k: int,
-                           iters: int = 5) -> float | None:
+                           iters: int = 5, plan=None) -> float | None:
     """Relay-proof on-device step time: N dependency-chained steps, 1 fetch.
 
     Through the axon relay every host fetch pays a ~30 ms round trip and
@@ -156,7 +156,9 @@ def measure_device_step_ms(engine, queries: np.ndarray, k: int,
 
     if not isinstance(engine, SparseEngine):
         return None
-    _, chunks = engine.plan_chunks(queries.astype(np.int32))
+    if plan is None:
+        plan = engine.plan_chunks(queries.astype(np.int32))
+    _, chunks = plan
     per_config: dict[tuple, float] = {}
     times = []
     for cq, padded, _w, cold_padded, _wc in chunks:
@@ -289,8 +291,12 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
     if qps_ids is not None:
         row["qps_rankings_only"] = round(qps_ids, 1)
     # full query set: the plan sorts by cold width, so the mean chunk step
-    # reflects the routed production dispatch mix
-    step_ms = measure_device_step_ms(engine, queries, k)
+    # reflects the routed production dispatch mix (one plan serves both
+    # the timing and the t_eff model below)
+    plan = None
+    if hasattr(engine, "plan_chunks"):
+        plan = engine.plan_chunks(queries.astype(np.int32))
+    step_ms = measure_device_step_ms(engine, queries, k, plan=plan)
     if step_ms is not None:
         row["device_step_ms"] = round(step_ms, 2)
         model_bytes = estimate_step_hbm_bytes(engine, len(batches[0]))
@@ -300,11 +306,11 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
             row["hbm_utilization"] = round(gbps / V5E_HBM_GBPS, 3)
         # effective kernel width: with cold-width routing the scan runs at
         # each chunk's cold T_c, not the full padded query width
-        _, plan = engine.plan_chunks(queries.astype(np.int32))
+        chunks = plan[1] if plan is not None else []
         t_eff = float(np.mean([
             (c[3].shape[1] if c[3] is not None else c[1].shape[1])
-            for c in plan
-        ])) if plan else float(max(cfg.query_len, 8))
+            for c in chunks
+        ])) if chunks else float(max(cfg.query_len, 8))
         vpu_ops = estimate_step_vpu_ops(engine, len(batches[0]), t_eff)
         if vpu_ops and step_ms > 0:
             rate = vpu_ops / (step_ms / 1e3)

@@ -503,71 +503,36 @@ class ShardedSparseEngine:
         if len(queries) == 0:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         k = min(top_k, self.num_docs)
-        dedup = self.dedup_queries
-        if weights is None and (
-            dedup is True
-            or (dedup == "auto" and queries.shape[1] >= self.dedup_min_width)
-        ):
-            from bm25_tpu.models.sparse import dedup_query_rows
+        from bm25_tpu.models.sparse import maybe_dedup
 
-            ids_u, counts = dedup_query_rows(queries)
-            if ids_u.shape[1] < queries.shape[1]:
-                queries, weights = ids_u, counts
-        # cold-width routing (see models/sparse.py): sort by cold count so
-        # chunks compile at the narrowest covering scan width
-        route = self.route_cold
-        has_scan = any("tokT" in b for b in self.buckets)
-        split = (
-            self.hot_h > 0 and has_scan
-            and self.hot_table_host is not None
-            and (route is True or (
-                route == "auto"
-                and queries.shape[1] > 1
-                and len(queries) >= self.route_min_queries
-            ))
+        queries, weights = maybe_dedup(
+            queries, weights, self.dedup_queries, self.dedup_min_width
         )
-        perm = cold_mask = None
-        queries = queries.astype(np.int32)
-        if split:
-            vmask = queries >= 0
-            hr = self.hot_table_host[np.where(vmask, queries, 0)]
-            cold_mask = vmask & (hr < 0)
-            perm = np.argsort(cold_mask.sum(axis=1), kind="stable")
-            queries = queries[perm]
-            cold_mask = cold_mask[perm]
-            if weights is not None:
-                weights = weights[perm]
-        n_data = self.mesh.shape[DATA_AXIS]
-        q_real, t_real = queries.shape
-        weighted = weights is not None
-        step = next_multiple(self._max_chunk(), 8 * n_data)
-        out_docs, out_scores, futures = [], [], []
-        for i in range(0, q_real, step):
-            chunk = queries[i : i + step].astype(np.int32)
-            cq = len(chunk)
-            q_pad = next_multiple(cq, 8 * n_data)
-            t_pad = next_pow2_at_least(max(t_real, 8))
-            padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
-            padded[:cq, :t_real] = chunk
-            cold_padded = wc_padded = None
-            if split:
-                from bm25_tpu.models.sparse import compact_rows
+        # cold-width routing + chunking through the shared planner (see
+        # models/sparse.py::plan_query_dispatch); per-chip query slices
+        # must land on legal kernel tilings, handled by _max_chunk
+        from bm25_tpu.models.sparse import plan_query_dispatch
 
-                cold_ids, wc = compact_rows(
-                    chunk, cold_mask[i : i + step],
-                    None if weights is None else weights[i : i + step],
-                )
-                t_pad_c = next_pow2_at_least(max(cold_ids.shape[1], 2))
-                cold_padded = np.full((q_pad, t_pad_c), -1, dtype=np.int32)
-                cold_padded[:cq, : cold_ids.shape[1]] = cold_ids
-                if wc is not None:
-                    wc_padded = np.zeros((q_pad, t_pad_c), dtype=np.float32)
-                    wc_padded[:cq, : wc.shape[1]] = wc
-            shapes = tuple(
-                tuple((key, tuple(b[key].shape), str(b[key].dtype))
-                      for key in sorted(b))
-                for b in self.buckets
-            )
+        n_data = self.mesh.shape[DATA_AXIS]
+        weighted = weights is not None
+        perm, chunks = plan_query_dispatch(
+            queries, weights,
+            hot_table_host=self.hot_table_host, hot_h=self.hot_h,
+            has_scan=any("tokT" in b for b in self.buckets),
+            route=self.route_cold,
+            route_min_queries=self.route_min_queries,
+            max_q=next_multiple(self._max_chunk(), 8 * n_data),
+            q_align=8 * n_data,
+        )
+        out_docs, out_scores, futures = [], [], []
+        shapes = tuple(
+            tuple((key, tuple(b[key].shape), str(b[key].dtype))
+                  for key in sorted(b))
+            for b in self.buckets
+        )
+        for cq, padded, wpadded, cold_padded, wc_padded in chunks:
+            q_pad, t_pad = padded.shape
+            split = cold_padded is not None
             t_pad_c = None if cold_padded is None else cold_padded.shape[1]
             key = (k, self.hot_h, q_pad, t_pad, shapes, weighted, split,
                    t_pad_c)
@@ -583,19 +548,17 @@ class ShardedSparseEngine:
             if split:
                 args.append(jax.device_put(cold_padded, qsh))
             if weighted:
-                wp = np.zeros((q_pad, t_pad), dtype=np.float32)
-                wp[:cq, :t_real] = weights[i : i + step]
-                args.append(jax.device_put(wp, qsh))
+                args.append(jax.device_put(wpadded, qsh))
                 if split:
                     args.append(jax.device_put(wc_padded, qsh))
             scores, docs = fn(*args, *self.buckets)
-            # token offsets are doc-independent; add on host (use the
-            # un-padded chunk — weights only cover real token columns)
-            valid = chunk >= 0
+            # token offsets are doc-independent; add on host (padded ids'
+            # pad slots map to offset row 0 with zero weight)
+            valid = padded[:cq] >= 0
             off = np.asarray(self.offsets)
-            wv = weights[i : i + step] if weighted else 1.0
+            wv = wpadded[:cq] if weighted else 1.0
             qoff = (np.where(
-                valid, off[np.where(valid, chunk, 0)], 0.0
+                valid, off[np.where(valid, padded[:cq], 0)], 0.0
             ) * wv).sum(1)
             futures.append((cq, qoff, scores, docs))
         for cq, qoff, scores, docs in futures:

@@ -291,6 +291,12 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             else:
                 docs, scores = self.engine.search(ids, top_k=top_k,
                                                   weights=wts)
+        except ValueError as e:
+            # engine-level request validation (e.g. negative weights on a
+            # tail-tier engine, out-of-range ids): the client's fault, not
+            # a server error — don't pollute the error metrics
+            self._send(400, {"error": str(e)})
+            return
         except Exception as e:
             if self.metrics is not None:
                 self.metrics.record_error()

@@ -227,13 +227,17 @@ class Tokenizer:
         """Parse ``term^weight`` boost syntax: ``"fish^2.5 cat"`` ->
         ``{"fish": 2.5, "cat": 1.0}``; returns None when the query has no
         boosts (callers keep the plain fast path).  Repeated terms
-        accumulate their weights (per-occurrence semantics)."""
+        accumulate their weights (per-occurrence semantics).  Signed and
+        scientific weights parse (``fish^-2``, ``fish^1e2`` — negative
+        weights reach the engine, which rejects them only where unsound);
+        a ``^`` whose suffix is not numeric stays part of the literal
+        term."""
         import re
 
         parts = text.split()
         if not any("^" in p for p in parts):
             return None
-        boost = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+        boost = re.compile(r"^(.+)\^([+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)$")
         out: dict[str, float] = {}
         for p in parts:
             m = boost.match(p)
