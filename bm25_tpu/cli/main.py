@@ -36,7 +36,8 @@ def cmd_index(args) -> int:
 
     corpus = _read_corpus(args.corpus)
     params = BM25Params(k1=args.k1, b=args.b, delta=args.delta, method=args.method)
-    index, stats = build_index(corpus, params=params, save_to=args.out)
+    index, stats = build_index(corpus, params=params, save_to=args.out,
+                               workers=args.workers)
     print(
         f"indexed {stats.num_docs} docs, vocab {stats.vocab_size}, "
         f"nnz {stats.nnz}, {stats.docs_per_second:.0f} docs/s -> {args.out}"
@@ -204,6 +205,8 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--b", type=float, default=0.75)
     pi.add_argument("--delta", type=float, default=0.5)
     pi.add_argument("--method", default="lucene")
+    pi.add_argument("--workers", type=int, default=1,
+                    help="tokenize in N worker processes (multi-core hosts)")
     pi.set_defaults(fn=cmd_index)
 
     pq = sub.add_parser(

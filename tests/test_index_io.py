@@ -109,3 +109,18 @@ def test_save_index_keeps_int64_indptr_above_int32_nnz(tmp_path, monkeypatch):
     assert out.dtype == np.int32
     loaded = load_index(tmp_path / "small")
     np.testing.assert_array_equal(loaded.indptr, idx.indptr)
+
+
+def test_build_index_parallel_workers_bit_exact(animal_corpus):
+    """workers>1 (spawned shard tokenize + merge) matches the serial build."""
+    import numpy as np
+
+    from bm25_tpu.index.builder import build_index
+
+    corpus = list(animal_corpus) * 3  # 12 docs, 2 workers
+    ser, _ = build_index(corpus)
+    par, _ = build_index(corpus, workers=2)
+    assert par.vocab == ser.vocab
+    np.testing.assert_array_equal(par.indptr, ser.indptr)
+    np.testing.assert_array_equal(par.indices, ser.indices)
+    np.testing.assert_array_equal(par.data, ser.data)
