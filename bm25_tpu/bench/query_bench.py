@@ -50,6 +50,10 @@ class BenchConfig:
         return cls(**kw)
 
     def engine_kwargs(self) -> dict:
+        # max_buckets only exists on the sparse engines; explicit non-sparse
+        # modes use strict kwargs (auto filters them itself)
+        if self.engine in ("dense", "sharded"):
+            return {}
         return {"max_buckets": self.max_buckets}
 
 

@@ -279,11 +279,25 @@ def restore_device_checkpoint(path: str | os.PathLike, engine) -> None:
     variant exists for restoring into a live engine whose mesh/session
     should be kept.
     """
+    import orbax.checkpoint as ocp
+
     path = os.path.abspath(os.fspath(path))
     state = _engine_state(engine)
     shardings = jax.tree.map(lambda x: x.sharding, state)
-    with open(_meta_path(path)) as f:
-        meta = json.load(f)
-    restored = _restore_state(path, meta, shardings)
+    if os.path.exists(_meta_path(path)):
+        with open(_meta_path(path)) as f:
+            meta = json.load(f)
+        restored = _restore_state(path, meta, shardings)
+    else:
+        # pre-sidecar checkpoints (saved before the metadata file existed):
+        # derive the restore targets from the live engine's arrays, the
+        # original behavior — shapes must match what was checkpointed
+        targets = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding),
+            state,
+        )
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path, targets)
     for key, val in restored.items():
         setattr(engine, key, val)

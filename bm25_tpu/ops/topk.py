@@ -259,7 +259,8 @@ def _sorted_topk(vals: jax.Array, idx: jax.Array, k: int):
     return ~nv[:, :k], ni[:, :k]
 
 
-def _tree_level(x2: jax.Array, k: int, branch: int, base: int):
+def _tree_level(x2: jax.Array, k: int, branch: int, base: int,
+                maxes: jax.Array | None = None):
     """Recursive top-k over the last axis of (B, N) via branch-wide maxima.
 
     Same superset argument as top_k_blockwise (at most k-1 blocks can rank
@@ -267,23 +268,32 @@ def _tree_level(x2: jax.Array, k: int, branch: int, base: int):
     branch factor, so every merge works on only ``branch * k`` candidates
     instead of ``block * k``.  Stable sorts + index-ordered candidates at
     every level -> ties resolve to the smaller original index.
+
+    ``maxes``, when given, supplies the first level's group maxima
+    precomputed (e.g. by the fused scoring kernel's epilogue); N must
+    then already be a multiple of ``branch``.
     """
     b, n = x2.shape
     if n <= base or n // branch < k:
+        # too small for group preselection; precomputed maxes can't help
         iota = jnp.broadcast_to(
             lax.broadcasted_iota(jnp.int32, (1, n), 1), x2.shape
         )
         return _sorted_topk(x2, iota, k)
-    n_pad = next_multiple(n, branch)
-    if n_pad != n:
-        lowest = (
-            NEG_INF
-            if jnp.issubdtype(x2.dtype, jnp.floating)
-            else jnp.iinfo(x2.dtype).min
-        )
-        x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n)), constant_values=lowest)
-    groups = x2.reshape(b, n_pad // branch, branch)
-    maxes = jnp.max(groups, axis=-1)  # (b, n/branch)
+    if maxes is None:
+        n_pad = next_multiple(n, branch)
+        if n_pad != n:
+            lowest = (
+                NEG_INF
+                if jnp.issubdtype(x2.dtype, jnp.floating)
+                else jnp.iinfo(x2.dtype).min
+            )
+            x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n)), constant_values=lowest)
+        groups = x2.reshape(b, n_pad // branch, branch)
+        maxes = jnp.max(groups, axis=-1)  # (b, n/branch)
+    else:
+        assert n % branch == 0, (n, branch)
+        groups = x2.reshape(b, n // branch, branch)
     _, top_groups = _tree_level(maxes, k, branch, base)  # indices into groups
     top_groups = jnp.sort(top_groups, axis=1)  # index order for tie contract
     cand = jnp.take_along_axis(groups, top_groups[:, :, None], axis=1)
@@ -354,21 +364,7 @@ def top_k_tree_with_maxes(
         )
     if base is None:
         base = max(2 * k, 4096)
-    if n <= base or n // branch < k:
-        # too small for group preselection; maxes can't help
-        iota = jnp.broadcast_to(
-            lax.broadcasted_iota(jnp.int32, (1, n), 1), x2.shape
-        )
-        return _sorted_topk(x2, iota, k)
-    _, top_groups = _tree_level(maxes, k, branch, base)
-    top_groups = jnp.sort(top_groups, axis=1)  # index order for tie contract
-    groups = x2.reshape(b, n // branch, branch)
-    cand = jnp.take_along_axis(groups, top_groups[:, :, None], axis=1)
-    cand = cand.reshape(b, k * branch)
-    cand_idx = (
-        top_groups[:, :, None] * branch + jnp.arange(branch)[None, None, :]
-    ).reshape(b, k * branch)
-    return _sorted_topk(cand, cand_idx, k)
+    return _tree_level(x2, k, branch, base, maxes=maxes)
 
 
 register_op("top_k_tree_with_maxes")(top_k_tree_with_maxes)

@@ -314,3 +314,36 @@ def test_memory_stats_counts_all_device_arrays(zipf_corpus_small):
     )
     sh_stats = index_memory_stats(idx, sh)
     assert sh_stats.device_bytes > 0  # was 0 in round 1
+
+
+def test_restore_device_checkpoint_without_meta_sidecar(tmp_path,
+                                                       zipf_corpus_small):
+    """Pre-sidecar checkpoints (no .meta.json) still restore into a live
+    engine — targets derive from the engine's arrays (original behavior)."""
+    import os
+
+    from bm25_tpu.index.device_checkpoint import (
+        restore_device_checkpoint, save_device_checkpoint)
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=8)
+    q = np.array([[0, 1, 2]], dtype=np.int32)
+    d0, s0 = eng.search(q, top_k=5)
+    path = str(tmp_path / "ckpt")
+    save_device_checkpoint(path, eng)
+    os.remove(path + ".meta.json")  # simulate a pre-sidecar checkpoint
+
+    import jax.numpy as jnp
+    eng2 = SparseEngine.from_scored_index(idx, hot_tokens=8)
+    for b in eng2.buckets:
+        if "valT" in b:
+            b["valT"] = jnp.zeros_like(b["valT"])
+    restore_device_checkpoint(path, eng2)
+    d1, s1 = eng2.search(q, top_k=5)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
