@@ -200,8 +200,6 @@ def load_device_checkpoint(
             )
         from bm25_tpu.models.sparse import SparseEngine, fit_score_buffer_budget
 
-        import numpy as np
-
         engine = SparseEngine(
             buckets=state["buckets"],
             offsets=state["offsets"],
@@ -261,6 +259,9 @@ def load_device_checkpoint(
         return ShardedSparseEngine(
             buckets=buckets,
             hot_table=state["hot_table"],
+            # host copy re-derived so cold-width query routing works after
+            # a warm restart (mirrors the single-chip SparseEngine path)
+            hot_table_host=np.asarray(state["hot_table"]),
             hot_h=meta["hot_h"],
             offsets=state["offsets"],
             num_docs=meta["num_docs"],
@@ -301,3 +302,8 @@ def restore_device_checkpoint(path: str | os.PathLike, engine) -> None:
             restored = ckptr.restore(path, targets)
     for key, val in restored.items():
         setattr(engine, key, val)
+    # keep the host routing copy coherent with the restored device table:
+    # a checkpoint with the same shapes but a different hot-token assignment
+    # would otherwise strip tokens the device table no longer marks hot
+    if "hot_table" in restored and hasattr(engine, "hot_table_host"):
+        engine.hot_table_host = np.asarray(restored["hot_table"])

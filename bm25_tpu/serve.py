@@ -6,10 +6,13 @@ Stdlib-only JSON-over-HTTP:
 
     POST /search   {"queries": ["text", ...], "top_k": 10}
                 -> {"results": [[{"doc": id, "score": s, "text": ...}]]}
-                   a query may also be a {"term": weight, ...} object —
+                   a query may also be a {term: weight, ...} object —
                    weighted retrieval (query expansion), scored on device;
                    "include_scores": false returns rankings only (skips
                    the device->host score transfer where supported)
+    POST /reload   {"index_dir": "..."} (optional; defaults to the served
+                   dir) — load the index fresh and swap the engine
+                   atomically; in-flight requests finish on the old engine
     GET  /healthz  -> {"status": "ok", "num_docs": N, ...}
 
 Batched: each request's queries run as one device batch.  With
@@ -17,19 +20,54 @@ Batched: each request's queries run as one device batch.  With
 queries from *concurrent* requests that arrive within the window into one
 device dispatch (admission control), so many small clients share the
 throughput of one large batch instead of serializing per-request launches.
-Start with ``bm25-tpu serve <index_dir>`` or ``Server(...).serve_forever()``.
+
+Robustness: request-size caps (body bytes, queries/request, terms/query),
+a per-request timeout, a bounded pending queue that answers 429 when the
+device can't keep up, and graceful drain on SIGTERM (stop accepting, let
+in-flight batches finish, then exit).  Start with
+``bm25-tpu serve <index_dir>`` or ``Server(...).serve_forever()``.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import queue
+import signal
 import threading
 import time
 from collections import deque
+from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+@dataclass(frozen=True)
+class ServeLimits:
+    """Request admission caps; one frozen object so a snapshot is atomic."""
+
+    max_body_bytes: int = 1 << 20          # 1 MiB request body
+    max_queries: int = 1024                # queries per request
+    max_terms: int = 256                   # terms per query
+    max_top_k: int = 16384
+    request_timeout_s: float = 60.0        # wall clock per request
+    max_pending_rows: int = 8192           # bounded batcher queue -> 429
+
+
+@dataclass
+class EngineRuntime:
+    """Everything a request needs, swapped as ONE reference on hot reload.
+
+    Handlers snapshot ``self.runtime`` once per request, so a concurrent
+    reload can never mix the old engine with the new vocab (or vice versa).
+    """
+
+    engine: object
+    tokenizer: object
+    vocab: dict
+    corpus: object | None
+    stats: dict = field(default_factory=dict)
 
 
 class ServerMetrics:
@@ -45,6 +83,8 @@ class ServerMetrics:
         self.requests = 0
         self.queries = 0
         self.errors = 0
+        self.rejected = 0  # 429s (queue full) + 504s (timeout)
+        self.reloads = 0
         self._lat = deque(maxlen=window)
 
     def record(self, n_queries: int, seconds: float) -> None:
@@ -57,6 +97,14 @@ class ServerMetrics:
         with self._lock:
             self.errors += 1
 
+    def record_rejected(self) -> None:
+        with self._lock:
+            self.rejected += 1
+
+    def record_reload(self) -> None:
+        with self._lock:
+            self.reloads += 1
+
     def snapshot(self, batcher=None) -> dict:
         with self._lock:
             lat = list(self._lat)
@@ -64,6 +112,8 @@ class ServerMetrics:
                 "requests": self.requests,
                 "queries": self.queries,
                 "errors": self.errors,
+                "rejected": self.rejected,
+                "reloads": self.reloads,
             }
         if lat:
             arr = np.asarray(lat)
@@ -77,7 +127,12 @@ class ServerMetrics:
             out["batch_occupancy"] = round(
                 batcher.rows_run / max(batcher.batches_run, 1), 2
             )
+            out["pending_rows"] = batcher.pending_rows
         return out
+
+
+class QueueFullError(RuntimeError):
+    """Pending-row cap reached; the caller should answer 429."""
 
 
 class MicroBatcher:
@@ -86,30 +141,60 @@ class MicroBatcher:
     ``search()`` blocks the calling (request handler) thread; a single
     collector thread drains the queue, waits up to ``window_ms`` after the
     first arrival for companions (or until ``max_rows`` queries are
-    pending), groups by ``top_k``, pads query matrices to a common width
-    and runs ONE ``engine.search`` per group.  An idle server keeps the
-    request = batch behavior (the window only opens when a request is
-    already in hand, so a lone request pays at most ``window_ms`` extra).
+    pending), groups by (top_k, engine) and pads query matrices to a
+    common width and runs ONE ``engine.search`` per group.  An idle server
+    keeps the request = batch behavior (the window only opens when a
+    request is already in hand, so a lone request pays at most
+    ``window_ms`` extra).
+
+    Back-pressure: admission is bounded by ``max_pending_rows`` — when the
+    device falls behind, ``search`` raises :class:`QueueFullError`
+    immediately instead of queueing unboundedly.  A per-call ``timeout``
+    bounds the total wait; an expired item is skipped by the collector
+    (its event carries a TimeoutError).
     """
 
     _SENTINEL = object()
 
-    def __init__(self, engine, window_ms: float = 2.0, max_rows: int = 2048):
-        self.engine = engine
+    def __init__(self, engine, window_ms: float = 2.0, max_rows: int = 2048,
+                 max_pending_rows: int = 8192):
+        self.engine = engine  # default engine; per-item override on reload
         self.window = window_ms / 1e3
         self.max_rows = max_rows
+        self.max_pending_rows = max_pending_rows
         self.batches_run = 0
         self.rows_run = 0
+        self.pending_rows = 0
+        self._pending_lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
+        self._draining = threading.Event()
         self._thread = threading.Thread(
             target=self._loop, name="bm25-microbatcher", daemon=True
         )
         self._thread.start()
 
     def search(self, ids: np.ndarray, top_k: int,
-               weights: np.ndarray | None = None):
-        """Submit one request's (n, T) query matrix; blocks until scored."""
+               weights: np.ndarray | None = None,
+               engine=None, timeout: float | None = None):
+        """Submit one request's (n, T) query matrix; blocks until scored.
+
+        Raises :class:`QueueFullError` when ``max_pending_rows`` queries
+        are already waiting, and :class:`TimeoutError` when ``timeout``
+        seconds elapse before the batch containing this item runs.
+        """
+        if self._draining.is_set():
+            raise QueueFullError("server is draining")
+        n = len(ids)
+        with self._pending_lock:
+            if self.pending_rows + n > self.max_pending_rows:
+                raise QueueFullError(
+                    f"{self.pending_rows} queries already pending "
+                    f"(cap {self.max_pending_rows})"
+                )
+            self.pending_rows += n
         item = {"ids": ids, "w": weights, "k": int(top_k),
+                "engine": engine if engine is not None else self.engine,
+                "deadline": (time.monotonic() + timeout) if timeout else None,
                 "ev": threading.Event(), "out": None}
         self._q.put(item)
         # poll the collector's liveness so a dead thread can't strand waiters
@@ -120,9 +205,14 @@ class MicroBatcher:
             raise item["out"]
         return item["out"]
 
-    def close(self):
+    def drain(self, timeout: float = 30.0) -> None:
+        """Stop admitting, finish everything queued, stop the collector."""
+        self._draining.set()
         self._q.put(self._SENTINEL)
-        self._thread.join(timeout=10)
+        self._thread.join(timeout=timeout)
+
+    def close(self):
+        self.drain(timeout=10)
 
     # internal -----------------------------------------------------------
 
@@ -130,10 +220,12 @@ class MicroBatcher:
         while True:
             first = self._q.get()
             if first is self._SENTINEL:
+                self._flush_remaining()
                 return
             batch = [first]
             rows = len(first["ids"])
             deadline = time.monotonic() + self.window
+            stop = False
             while rows < self.max_rows:
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
@@ -143,70 +235,152 @@ class MicroBatcher:
                 except queue.Empty:
                     break
                 if item is self._SENTINEL:
-                    self._flush(batch)
-                    return
+                    stop = True
+                    break
                 batch.append(item)
                 rows += len(item["ids"])
             self._flush(batch)
+            if stop:
+                self._flush_remaining()
+                return
+
+    def _flush_remaining(self):
+        """Drain path: run whatever is still queued, then exit."""
+        leftover = []
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not self._SENTINEL:
+                leftover.append(item)
+        if leftover:
+            self._flush(leftover)
 
     def _flush(self, batch):
-        by_k: dict[int, list] = {}
+        now = time.monotonic()
+        live = []
         for it in batch:
-            by_k.setdefault(it["k"], []).append(it)
-        for k, items in by_k.items():
+            if it["deadline"] is not None and now > it["deadline"]:
+                it["out"] = TimeoutError(
+                    "request timed out waiting for a device batch"
+                )
+                self._finish(it)
+            else:
+                live.append(it)
+        by_group: dict[tuple, list] = {}
+        for it in live:
+            by_group.setdefault((it["k"], id(it["engine"])), []).append(it)
+        for (k, _), items in by_group.items():
             try:
-                t_max = max(it["ids"].shape[1] for it in items)
-                mats = [
-                    np.pad(
-                        it["ids"],
-                        ((0, 0), (0, t_max - it["ids"].shape[1])),
-                        constant_values=-1,
-                    )
-                    for it in items
-                ]
-                ids = np.concatenate(mats, axis=0)
-                if any(it.get("w") is not None for it in items):
-                    # mixed batch: plain queries ride the weighted path
-                    # with unit weights (identical scores)
-                    wmats = []
-                    for it in items:
-                        w = it.get("w")
-                        if w is None:
-                            w = (it["ids"] >= 0).astype(np.float32)
-                        wmats.append(np.pad(
-                            w, ((0, 0), (0, t_max - w.shape[1]))
-                        ))
-                    weights = np.concatenate(wmats, axis=0)
-                    docs, scores = self.engine.search(
-                        ids, top_k=k, weights=weights
-                    )
-                else:
-                    docs, scores = self.engine.search(ids, top_k=k)
-                self.batches_run += 1
-                self.rows_run += len(ids)
-                off = 0
+                self._run_group(items[0]["engine"], k, items)
+            except Exception:
+                # one bad request must not poison its co-batched neighbors
+                # (e.g. a ValueError for negative weights would otherwise
+                # reach every waiter in the group): retry each item alone so
+                # only the offending request(s) observe the failure
                 for it in items:
-                    n = len(it["ids"])
-                    it["out"] = (docs[off : off + n], scores[off : off + n])
-                    off += n
-            except Exception as e:  # deliver the failure to every waiter
-                for it in items:
-                    if it["out"] is None:
+                    try:
+                        self._run_group(it["engine"], k, [it])
+                    except Exception as e:
                         it["out"] = e
             finally:
                 for it in items:
-                    it["ev"].set()
+                    self._finish(it)
+
+    def _run_group(self, engine, k, items):
+        t_max = max(it["ids"].shape[1] for it in items)
+        mats = [
+            np.pad(
+                it["ids"],
+                ((0, 0), (0, t_max - it["ids"].shape[1])),
+                constant_values=-1,
+            )
+            for it in items
+        ]
+        ids = np.concatenate(mats, axis=0)
+        if any(it.get("w") is not None for it in items):
+            # mixed batch: plain queries ride the weighted path
+            # with unit weights (identical scores)
+            wmats = []
+            for it in items:
+                w = it.get("w")
+                if w is None:
+                    w = (it["ids"] >= 0).astype(np.float32)
+                wmats.append(np.pad(
+                    w, ((0, 0), (0, t_max - w.shape[1]))
+                ))
+            weights = np.concatenate(wmats, axis=0)
+            docs, scores = engine.search(ids, top_k=k, weights=weights)
+        else:
+            docs, scores = engine.search(ids, top_k=k)
+        self.batches_run += 1
+        self.rows_run += len(ids)
+        off = 0
+        for it in items:
+            n = len(it["ids"])
+            it["out"] = (docs[off: off + n], scores[off: off + n])
+            off += n
+
+    def _finish(self, item):
+        if not item["ev"].is_set():
+            with self._pending_lock:
+                self.pending_rows -= len(item["ids"])
+            item["ev"].set()
+
+
+def _validate_request(req: dict, limits: ServeLimits):
+    """Parse + bound-check one /search body; returns (queries, top_k, incl)."""
+    queries = req.get("queries")
+    if not isinstance(queries, list) or not queries:
+        raise ValueError(
+            "'queries' must be a non-empty list of strings or "
+            "{term: weight} objects"
+        )
+    if len(queries) > limits.max_queries:
+        raise ValueError(
+            f"{len(queries)} queries exceeds the per-request cap of "
+            f"{limits.max_queries}"
+        )
+    for q in queries:
+        if not isinstance(q, (str, dict)):
+            raise ValueError(
+                "each query must be a string or a {term: weight} object"
+            )
+        if isinstance(q, dict):
+            if len(q) > limits.max_terms:
+                raise ValueError(
+                    f"query has {len(q)} terms; cap is {limits.max_terms}"
+                )
+            for wt in q.values():
+                w = float(wt)  # raises ValueError on junk
+                # json.loads accepts NaN/Infinity literals; a NaN weight
+                # slips past the engine's negative-weight check (NaN < 0 is
+                # False) and would 200 with garbage rankings
+                if not math.isfinite(w):
+                    raise ValueError(
+                        f"query weight {w!r} is not finite"
+                    )
+        elif len(q) > limits.max_terms * 64:  # generous: chars, not terms
+            raise ValueError("query string too long")
+    top_k = int(req.get("top_k", 10))
+    if top_k < 1:
+        raise ValueError("'top_k' must be >= 1")
+    if top_k > limits.max_top_k:
+        raise ValueError(
+            f"'top_k' {top_k} exceeds the cap of {limits.max_top_k}"
+        )
+    include_scores = bool(req.get("include_scores", True))
+    return queries, top_k, include_scores
 
 
 class BM25RequestHandler(BaseHTTPRequestHandler):
     # set by Server
-    engine = None
-    tokenizer = None
-    vocab = None
-    corpus = None
-    stats = None
+    runtime: EngineRuntime = None
+    limits: ServeLimits = ServeLimits()
     batcher = None  # optional MicroBatcher
     metrics = None  # ServerMetrics
+    server_ref = None  # back-pointer for /reload
 
     def _send(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
@@ -221,14 +395,15 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path.startswith("/healthz"):
-            payload = {"status": "ok", **(self.stats or {})}
+            rt = self.runtime
+            payload = {"status": "ok", **(rt.stats or {})}
             if self.metrics is not None:
                 payload["metrics"] = self.metrics.snapshot(self.batcher)
             if "deep=1" in self.path:
                 from bm25_tpu.runtime.health import device_probe, engine_probe
 
                 dev = device_probe()
-                eng = engine_probe(self.engine)
+                eng = engine_probe(rt.engine)
                 payload["device_probe"] = dev.as_dict()
                 payload["engine_probe"] = eng.as_dict()
                 if not (dev.ok and eng.ok):
@@ -239,32 +414,36 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         else:
             self._send(404, {"error": "not found"})
 
+    def _read_body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        if length > self.limits.max_body_bytes:
+            # consume the body so the client can read our 400 instead of
+            # hitting a connection reset mid-send
+            remaining = length
+            while remaining > 0:
+                chunk = self.rfile.read(min(remaining, 1 << 16))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
+            raise ValueError(
+                f"request body {length} bytes exceeds the cap of "
+                f"{self.limits.max_body_bytes}"
+            )
+        return json.loads(self.rfile.read(length) or b"{}")
+
     def do_POST(self):
+        if self.path == "/reload":
+            self._do_reload()
+            return
         if self.path != "/search":
             self._send(404, {"error": "not found"})
             return
+        rt = self.runtime  # one snapshot: engine+vocab+corpus stay coherent
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(length) or b"{}")
-            queries = req.get("queries")
-            if not isinstance(queries, list) or not queries:
-                raise ValueError(
-                    "'queries' must be a non-empty list of strings or "
-                    "{term: weight} objects"
-                )
-            for q in queries:
-                if not isinstance(q, (str, dict)):
-                    raise ValueError(
-                        "each query must be a string or a {term: weight} "
-                        "object"
-                    )
-                if isinstance(q, dict):
-                    for wt in q.values():
-                        float(wt)  # raises ValueError on junk
-            top_k = int(req.get("top_k", 10))
-            if top_k < 1:
-                raise ValueError("'top_k' must be >= 1")
-            include_scores = bool(req.get("include_scores", True))
+            req = self._read_body()
+            queries, top_k, include_scores = _validate_request(
+                req, self.limits
+            )
         except (TypeError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
             return
@@ -273,24 +452,42 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         try:
             weighted = any(isinstance(q, dict) for q in queries)
             if weighted:
-                ids, wts = self.tokenizer.tokenize_weighted_queries(
-                    queries, self.vocab
+                ids, wts = rt.tokenizer.tokenize_weighted_queries(
+                    queries, rt.vocab
                 )
             else:
-                ids = self.tokenizer.tokenize_queries(queries, self.vocab)
+                ids = rt.tokenizer.tokenize_queries(queries, rt.vocab)
                 wts = None
-            search_ids = getattr(self.engine, "search_ids", None)
+            search_ids = getattr(rt.engine, "search_ids", None)
             if self.batcher is not None:
-                docs, scores = self.batcher.search(ids, top_k=top_k,
-                                                   weights=wts)
+                docs, scores = self.batcher.search(
+                    ids, top_k=top_k, weights=wts, engine=rt.engine,
+                    timeout=self.limits.request_timeout_s,
+                )
             elif not include_scores and search_ids is not None:
                 # rankings-only: skip the score transfer entirely
                 docs, scores = search_ids(ids, top_k=top_k, weights=wts), None
             elif wts is None:
-                docs, scores = self.engine.search(ids, top_k=top_k)
+                docs, scores = rt.engine.search(ids, top_k=top_k)
             else:
-                docs, scores = self.engine.search(ids, top_k=top_k,
-                                                  weights=wts)
+                docs, scores = rt.engine.search(ids, top_k=top_k,
+                                                weights=wts)
+        except QueueFullError as e:
+            if self.metrics is not None:
+                self.metrics.record_rejected()
+            self.send_response(429)
+            self.send_header("Retry-After", "1")
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        except TimeoutError as e:
+            if self.metrics is not None:
+                self.metrics.record_rejected()
+            self._send(504, {"error": str(e)})
+            return
         except ValueError as e:
             # engine-level request validation (e.g. negative weights on a
             # tail-tier engine, out-of-range ids): the client's fault, not
@@ -311,11 +508,37 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
                 item = {"doc": int(d)}
                 if scores is not None and include_scores:
                     item["score"] = float(scores[qi][ri])
-                if self.corpus is not None:
-                    item["text"] = self.corpus[int(d)].get("text", "")
+                if rt.corpus is not None:
+                    item["text"] = rt.corpus[int(d)].get("text", "")
                 row.append(item)
             results.append(row)
         self._send(200, {"results": results})
+
+    def _do_reload(self):
+        if self.server_ref is None:
+            self._send(500, {"error": "reload unavailable"})
+            return
+        try:
+            req = self._read_body()
+            index_dir = req.get("index_dir")
+            if index_dir is not None and not isinstance(index_dir, str):
+                raise ValueError("'index_dir' must be a string path")
+        except (TypeError, ValueError, json.JSONDecodeError) as e:
+            self._send(400, {"error": str(e)})
+            return
+        try:
+            stats = self.server_ref.reload(index_dir)
+        except FileNotFoundError as e:
+            self._send(400, {"error": str(e)})
+            return
+        except Exception as e:
+            if self.metrics is not None:
+                self.metrics.record_error()
+            self._send(500, {"error": str(e)})
+            return
+        if self.metrics is not None:
+            self.metrics.record_reload()
+        self._send(200, {"status": "reloaded", **stats})
 
 
 class Server:
@@ -323,7 +546,35 @@ class Server:
 
     def __init__(self, index_dir: str, host: str = "127.0.0.1", port: int = 8225,
                  engine_mode: str = "auto", batch_window_ms: float = 0.0,
-                 warmup_top_k: int = 0, engine_kwargs: dict | None = None):
+                 warmup_top_k: int = 0, engine_kwargs: dict | None = None,
+                 limits: ServeLimits | None = None):
+        self._index_dir = index_dir
+        self._engine_mode = engine_mode
+        self._engine_kwargs = engine_kwargs or {}
+        self._warmup_top_k = warmup_top_k
+        self._reload_lock = threading.Lock()
+        limits = limits or ServeLimits()
+
+        runtime = self._build_runtime(index_dir, batch_window_ms)
+        handler = type("Handler", (BM25RequestHandler,), {})
+        handler.runtime = runtime
+        handler.limits = limits
+        self.batcher = (
+            MicroBatcher(runtime.engine, window_ms=batch_window_ms,
+                         max_pending_rows=limits.max_pending_rows)
+            if batch_window_ms > 0
+            else None
+        )
+        handler.batcher = self.batcher
+        self.metrics = handler.metrics = ServerMetrics()
+        handler.server_ref = self
+        self._handler = handler
+        if warmup_top_k > 0:
+            self._warmup(runtime.engine)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+
+    def _build_runtime(self, index_dir: str,
+                       batch_window_ms: float = 0.0) -> EngineRuntime:
         from bm25_tpu.index.io import MMapCorpus, load_index
         from bm25_tpu.models.auto import create_engine
         from bm25_tpu.text.tokenizer import Tokenizer
@@ -331,47 +582,66 @@ class Server:
         index = load_index(index_dir)
         if index.vocab is None:
             raise ValueError("index has no vocab; cannot serve text queries")
-        engine = create_engine(index, mode=engine_mode, **(engine_kwargs or {}))
+        engine = create_engine(index, mode=self._engine_mode,
+                               **self._engine_kwargs)
         try:
             corpus = MMapCorpus.open(index_dir)
         except FileNotFoundError:
             corpus = None
-
-        handler = type("Handler", (BM25RequestHandler,), {})
-        handler.engine = engine
-        handler.tokenizer = Tokenizer()
-        handler.vocab = index.vocab
-        handler.corpus = corpus
-        self.batcher = (
-            MicroBatcher(engine, window_ms=batch_window_ms)
-            if batch_window_ms > 0
-            else None
-        )
-        handler.batcher = self.batcher
-        self.metrics = handler.metrics = ServerMetrics()
-        handler.stats = {
+        stats = {
             "num_docs": index.num_docs,
             "vocab_size": index.vocab_size,
             "engine": type(engine).__name__,
             "batch_window_ms": batch_window_ms,
+            "index_dir": index_dir,
         }
-        if warmup_top_k > 0:
-            # trigger the first-query JIT compile before accepting traffic
-            # (cold compile through a remote-compile relay can take minutes;
-            # observed 4m22s on the first live request without this)
-            # T=8 hits the engines' floor query width (all queries with <= 8
-            # terms share this compiled shape)
-            t0 = time.monotonic()
-            engine.search(np.full((1, 8), -1, np.int32), top_k=warmup_top_k)
-            print(f"bm25-tpu warmup (top_k={warmup_top_k}): "
-                  f"{time.monotonic() - t0:.1f}s")
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+        return EngineRuntime(engine=engine, tokenizer=Tokenizer(),
+                             vocab=index.vocab, corpus=corpus, stats=stats)
+
+    def _warmup(self, engine) -> None:
+        # trigger the first-query JIT compile before accepting traffic
+        # (cold compile through a remote-compile relay can take minutes;
+        # observed 4m22s on the first live request without this)
+        # T=8 hits the engines' floor query width (all queries with <= 8
+        # terms share this compiled shape)
+        t0 = time.monotonic()
+        engine.search(np.full((1, 8), -1, np.int32),
+                      top_k=self._warmup_top_k)
+        print(f"bm25-tpu warmup (top_k={self._warmup_top_k}): "
+              f"{time.monotonic() - t0:.1f}s")
+
+    def reload(self, index_dir: str | None = None) -> dict:
+        """Load the index fresh and swap the runtime atomically.
+
+        In-flight requests already snapshotted the old runtime and finish
+        on the old engine; requests arriving after the swap see the new
+        one.  The micro-batcher keys batches by engine, so a mixed window
+        runs two dispatches rather than mixing indices.
+        """
+        with self._reload_lock:
+            index_dir = index_dir or self._index_dir
+            old_stats = self._handler.runtime.stats
+            runtime = self._build_runtime(
+                index_dir, old_stats.get("batch_window_ms", 0.0)
+            )
+            if self._warmup_top_k > 0:
+                self._warmup(runtime.engine)
+            self._handler.runtime = runtime  # the atomic swap
+            if self.batcher is not None:
+                self.batcher.engine = runtime.engine
+            self._index_dir = index_dir
+            return dict(runtime.stats)
 
     @property
     def port(self) -> int:
         return self.httpd.server_address[1]
 
-    def serve_forever(self):
+    def serve_forever(self, install_signal_handlers: bool = True):
+        if install_signal_handlers and (
+            threading.current_thread() is threading.main_thread()
+        ):
+            signal.signal(signal.SIGTERM, lambda *_: self.drain())
+            signal.signal(signal.SIGINT, lambda *_: self.drain())
         print(f"bm25-tpu serving on :{self.port}")
         self.httpd.serve_forever()
 
@@ -380,8 +650,12 @@ class Server:
         t.start()
         return t
 
+    def drain(self):
+        """Graceful shutdown: stop accepting, finish queued work, close."""
+        threading.Thread(target=self.shutdown, daemon=True).start()
+
     def shutdown(self):
         self.httpd.shutdown()
         self.httpd.server_close()
         if self.batcher is not None:
-            self.batcher.close()
+            self.batcher.drain(timeout=30)

@@ -347,3 +347,52 @@ def test_restore_device_checkpoint_without_meta_sidecar(tmp_path,
     d1, s1 = eng2.search(q, top_k=5)
     np.testing.assert_array_equal(d0, d1)
     np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+
+def test_device_checkpoint_restores_routing_host_table(
+    tmp_path, zipf_corpus_small
+):
+    """ADVICE r2: restore paths must refresh hot_table_host so cold-width
+    routing agrees with the restored device table (sharded load path) and
+    with a restored-in-place table whose hot assignment differs."""
+    from bm25_tpu.index.device_checkpoint import (
+        load_device_checkpoint, restore_device_checkpoint,
+        save_device_checkpoint)
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab),
+                             vocab=out.vocab)
+
+    # 1) sharded metadata-only load: host routing table must be populated
+    mesh = make_mesh(4)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, hot_tokens=8)
+    assert eng.hot_h > 0
+    path = str(tmp_path / "ckpt_route")
+    save_device_checkpoint(path, eng)
+    eng2 = load_device_checkpoint(path, mesh=mesh)
+    assert eng2.hot_table_host is not None
+    np.testing.assert_array_equal(
+        eng2.hot_table_host, np.asarray(eng2.hot_table)
+    )
+
+    # 2) in-place restore with a DIFFERENT hot assignment (same shapes):
+    # the host copy must track the restored device table, not the stale one
+    e_a = SparseEngine.from_scored_index(idx, hot_tokens=4)
+    e_b = SparseEngine.from_scored_index(idx, hot_tokens=4)
+    tbl = np.asarray(e_a.hot_table).copy()
+    hot_ids = np.flatnonzero(tbl >= 0)
+    # rotate which tokens are hot (keep count identical => same shapes)
+    rolled = np.full_like(tbl, -1)
+    rolled[(hot_ids + 1) % (len(tbl) - 1)] = tbl[hot_ids]
+    e_a.hot_table = e_a.session.put(rolled)
+    e_a.hot_table_host = rolled
+    p2 = str(tmp_path / "ckpt_rolled")
+    save_device_checkpoint(p2, e_a)
+    restore_device_checkpoint(p2, e_b)
+    np.testing.assert_array_equal(e_b.hot_table_host, rolled)

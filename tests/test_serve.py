@@ -278,9 +278,15 @@ def test_microbatcher_dead_collector_raises():
     from bm25_tpu.serve import MicroBatcher
 
     mb = MicroBatcher(_RecordingEngine(), window_ms=1.0)
-    mb.close()  # collector exits cleanly; queue is no longer drained
-    with pytest.raises(RuntimeError, match="collector thread died"):
+    mb.close()  # collector exits cleanly; admission now refuses
+    with pytest.raises(RuntimeError, match="draining"):
         mb.search(np.zeros((1, 2), np.int32), top_k=1)
+    # a collector that dies WITHOUT the drain flag must not strand waiters
+    mb2 = MicroBatcher(_RecordingEngine(), window_ms=1.0)
+    mb2._q.put(MicroBatcher._SENTINEL)  # kill the thread, keep admission on
+    mb2._thread.join(timeout=5)
+    with pytest.raises(RuntimeError, match="collector thread died"):
+        mb2.search(np.zeros((1, 2), np.int32), top_k=1)
 
 
 def test_healthz_reports_request_metrics(tmp_path_factory, request):
@@ -350,3 +356,236 @@ def test_search_include_scores_false(tmp_path_factory, request):
         assert [r["doc"] for r in row] == [r["doc"] for r in full["results"][0]]
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# serving hardening (round 3): caps, timeouts, back-pressure, reload, drain
+# ---------------------------------------------------------------------------
+
+
+def test_nonfinite_weight_rejected(server):
+    """json.loads accepts NaN/Infinity literals; they must 400, not 200."""
+    for bad in ("NaN", "Infinity", "-Infinity"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/search",
+            data=('{"queries": [{"fish": %s}], "top_k": 2}' % bad).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+
+def test_request_size_caps(server):
+    # too many queries
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"queries": ["x"] * 2000, "top_k": 1})
+    assert e.value.code == 400
+    # too many weighted terms
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"queries": [{f"t{i}": 1.0 for i in range(500)}],
+                       "top_k": 1})
+    assert e.value.code == 400
+    # top_k beyond the cap
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"queries": ["x"], "top_k": 1 << 20})
+    assert e.value.code == 400
+    # oversized body
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"queries": ["y" * (2 << 20)], "top_k": 1})
+    assert e.value.code == 400
+
+
+def test_microbatcher_queue_full_raises():
+    import threading
+
+    import numpy as np
+
+    from bm25_tpu.serve import MicroBatcher, QueueFullError
+
+    gate = threading.Event()
+
+    class Slow:
+        def search(self, ids, top_k):
+            gate.wait(timeout=10)
+            n = len(ids)
+            return (np.zeros((n, top_k), np.int32),
+                    np.zeros((n, top_k), np.float32))
+
+    mb = MicroBatcher(Slow(), window_ms=1.0, max_pending_rows=4)
+    try:
+        ts = [threading.Thread(
+            target=lambda: mb.search(np.zeros((2, 2), np.int32), top_k=1)
+        ) for _ in range(2)]
+        for t in ts:
+            t.start()
+        deadline = __import__("time").monotonic() + 5
+        while mb.pending_rows < 4 and __import__("time").monotonic() < deadline:
+            __import__("time").sleep(0.01)
+        with pytest.raises(QueueFullError):
+            mb.search(np.zeros((1, 2), np.int32), top_k=1)
+        gate.set()
+        for t in ts:
+            t.join(timeout=10)
+        # pending count returns to zero after completion
+        assert mb.pending_rows == 0
+    finally:
+        gate.set()
+        mb.close()
+
+
+def test_microbatcher_timeout():
+    import threading
+
+    import numpy as np
+
+    from bm25_tpu.serve import MicroBatcher
+
+    gate = threading.Event()
+
+    class Slow:
+        def search(self, ids, top_k):
+            gate.wait(timeout=10)
+            n = len(ids)
+            return (np.zeros((n, top_k), np.int32),
+                    np.zeros((n, top_k), np.float32))
+
+    mb = MicroBatcher(Slow(), window_ms=1.0)
+    try:
+        # first request occupies the collector; the second expires in queue
+        t = threading.Thread(
+            target=lambda: mb.search(np.zeros((1, 2), np.int32), top_k=1)
+        )
+        t.start()
+        import time as _t
+
+        _t.sleep(0.1)
+        with pytest.raises(TimeoutError):
+            mb.search(np.zeros((1, 2), np.int32), top_k=1, timeout=0.05)
+        gate.set()
+        t.join(timeout=10)
+    finally:
+        gate.set()
+        mb.close()
+
+
+def test_microbatcher_isolates_bad_request():
+    """ADVICE r2: one request's engine ValueError must not 400 its
+    co-batched neighbors — the batch retries individually."""
+    import threading
+
+    import numpy as np
+
+    from bm25_tpu.serve import MicroBatcher
+
+    class Picky:
+        def search(self, ids, top_k, weights=None):
+            if weights is not None and (weights < 0).any():
+                raise ValueError("negative weights unsupported")
+            n = len(ids)
+            return (np.tile(np.arange(top_k, dtype=np.int32), (n, 1)),
+                    np.ones((n, top_k), np.float32))
+
+    mb = MicroBatcher(Picky(), window_ms=50.0)
+    try:
+        results = {}
+
+        def good():
+            results["good"] = mb.search(
+                np.zeros((1, 2), np.int32), top_k=2
+            )
+
+        def bad():
+            try:
+                mb.search(np.zeros((1, 2), np.int32), top_k=2,
+                          weights=np.array([[-1.0, 1.0]], np.float32))
+            except ValueError as e:
+                results["bad"] = e
+
+        ts = [threading.Thread(target=good), threading.Thread(target=bad)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=15)
+        # the innocent request succeeded; only the offender saw the error
+        assert isinstance(results["bad"], ValueError)
+        docs, scores = results["good"]
+        assert docs.shape == (1, 2)
+    finally:
+        mb.close()
+
+
+def test_hot_reload(tmp_path_factory, request):
+    """POST /reload swaps to a new index; old requests' answers change."""
+    corpus = request.getfixturevalue("animal_corpus")
+    d1 = tmp_path_factory.mktemp("idx_reload_a")
+    d2 = tmp_path_factory.mktemp("idx_reload_b")
+    build_index(corpus, save_to=str(d1), save_corpus=True)
+    # second index: different corpus so the swap is observable
+    corpus2 = ["the zebra gallops across the plain",
+               "a silent submarine dives deep"]
+    build_index(corpus2, save_to=str(d2), save_corpus=True)
+    srv = Server(str(d1), port=0)
+    srv.start_background()
+    try:
+        out = _post(srv, {"queries": ["cat"], "top_k": 1})
+        assert "feline" in out["results"][0][0]["text"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/reload",
+            data=json.dumps({"index_dir": str(d2)}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            rl = json.loads(r.read())
+        assert rl["status"] == "reloaded" and rl["num_docs"] == 2
+        out = _post(srv, {"queries": ["zebra"], "top_k": 1})
+        assert "zebra" in out["results"][0][0]["text"]
+        # healthz reflects the new index and counts the reload
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+        ) as r:
+            h = json.loads(r.read())
+        assert h["num_docs"] == 2 and h["metrics"]["reloads"] == 1
+        # reloading a nonexistent dir is the client's fault and keeps the
+        # old engine serving
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/reload",
+            data=json.dumps({"index_dir": "/does/not/exist"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        out = _post(srv, {"queries": ["zebra"], "top_k": 1})
+        assert "zebra" in out["results"][0][0]["text"]
+    finally:
+        srv.shutdown()
+
+
+def test_graceful_drain_finishes_queued_work():
+    """close() must run every already-admitted request before exiting."""
+    import threading
+
+    import numpy as np
+
+    from bm25_tpu.serve import MicroBatcher
+
+    eng = _RecordingEngine()
+    mb = MicroBatcher(eng, window_ms=200.0)  # long window: items sit queued
+    outs = []
+    ts = [threading.Thread(
+        target=lambda: outs.append(
+            mb.search(np.zeros((1, 2), np.int32), top_k=1)
+        )
+    ) for _ in range(3)]
+    for t in ts:
+        t.start()
+    import time as _t
+
+    deadline = _t.monotonic() + 5
+    while mb.pending_rows < 3 and _t.monotonic() < deadline:
+        _t.sleep(0.01)
+    mb.drain(timeout=15)  # triggers immediate flush of the open window
+    for t in ts:
+        t.join(timeout=15)
+    assert len(outs) == 3 and all(o is not None for o in outs)

@@ -510,3 +510,31 @@ def test_dedup_plus_cold_routing_matches_oracle(setup):
     strict = strict_positions(os_)
     np.testing.assert_array_equal(dd[strict], od[strict])
     np.testing.assert_array_equal(eng.search_ids(queries, top_k=9), dd)
+
+
+def test_auto_hot_respects_tail_cap_disjointness(setup):
+    """ADVICE r2: with auto hot sizing + a tail tier, the BUILT hot set must
+    stay within the df > tail_cap tokens the cost model considered."""
+    from bm25_tpu.models.sparse import choose_hot_tokens
+
+    idx, oracle = setup
+    df = idx.df()
+    # a cap high enough that only a handful of tokens sit above it
+    cap = int(np.sort(df)[-5])
+    n_above = int((df > cap).sum())
+    assert n_above < 8  # the model unconstrained would propose h >= 64
+    h_model = choose_hot_tokens(idx, tail_cap=cap)
+    assert h_model <= n_above
+    eng = SparseEngine.from_scored_index(
+        idx, hot_tokens="auto", tail_cap=cap
+    )
+    assert eng.hot_h <= n_above
+    if eng.hot_h > 0:
+        hot_ids = np.flatnonzero(np.asarray(eng.hot_table)[:-1] >= 0)
+        assert (df[hot_ids] > cap).all()
+    # and it still scores exactly
+    rng = np.random.default_rng(11)
+    queries = rng.integers(-1, idx.vocab_size, size=(8, 6), dtype=np.int32)
+    dd, ds = eng.search(queries, top_k=10)
+    od, os_ = oracle.search(queries, top_k=10)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
