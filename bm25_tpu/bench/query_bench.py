@@ -171,6 +171,7 @@ def measure_device_step_ms(engine, queries: np.ndarray, k: int,
             step = make_sparse_query_step(
                 min(k, engine.num_docs), engine.hot_h, pack=True,
                 split_cold=cold_padded is not None,
+                union_select=engine.union_select,
             )
             ids_dev = engine.session.put(padded)
             cold_dev = (None if cold_padded is None

@@ -269,6 +269,7 @@ def load_device_checkpoint(
             mesh=mesh,
             vocab=vocab,
             _cache={},
+            score_dtype=meta.get("score_dtype", "float32"),
         )
     raise TypeError(f"unsupported engine type {name} in checkpoint")
 

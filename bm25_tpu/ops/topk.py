@@ -370,6 +370,89 @@ def top_k_tree_with_maxes(
 register_op("top_k_tree_with_maxes")(top_k_tree_with_maxes)
 
 
+DOC_SENTINEL = np.int32(2**31 - 1)
+
+
+def union_group_select(
+    gmaxes: list[jax.Array],  # per bucket (Q, rows_b / branch) group maxima
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """ONE global group tournament across every bucket's group maxima.
+
+    Instead of a full top-k tree per bucket plus a cross-bucket merge
+    (cost: ``buckets * (tree + gather + sort)``), run a single tournament
+    over the CONCATENATED group maxima.  Returns ``(gpos, ok)``: the
+    (Q, k) winning group positions in concatenated group space, and a
+    scalar exactness flag.
+
+    Exactness: let theta be the k-th largest group max.  Every unselected
+    group has gmax <= the (k+1)-th max; when ``ok`` (the (k+1)-th max is
+    STRICTLY below theta, checked per query and AND-reduced) every doc
+    outside the selected groups scores < theta, while the k selected
+    groups contribute >= k distinct docs scoring >= theta — so the true
+    k-th score >= theta and no outside doc can reach the top-k even via
+    ties.  When a tie straddles the k-boundary of the group maxima
+    (``ok`` False — e.g. planted duplicate docs), the caller must fall
+    back to the exact per-bucket path; this keeps the degenerate-tie
+    rescue OFF the common path (the round-2 union prototype paid an
+    unconditional full-base rescue pass and lost, NOTES.md finding 12).
+
+    The reference's two-stage shape (``topk.mojo:576-830``) taken to its
+    limit: stage 1 is the kernels' fused group maxima, stage 2 is one
+    global merge instead of one per bucket.
+    """
+    gm = jnp.concatenate(gmaxes, axis=1)  # (Q, G_total)
+    gv, gpos = top_k_tree(gm, k + 1)
+    theta = gv[:, k - 1]
+    # strict gap between the k-th and (k+1)-th group max for every query
+    ok = jnp.all(gv[:, k] < theta)
+    return gpos[:, :k], ok
+
+
+register_op("union_group_select")(union_group_select)
+
+
+def gather_group_candidates(
+    bases: list[jax.Array],  # per bucket (Q, rows_b) f32, pads = -inf
+    dids: list[jax.Array],  # per bucket (rows_b,) int32 doc ids, -1 pads
+    gpos: jax.Array,  # (Q, k) winning group positions (concatenated space)
+    branch: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Flat (Q, k*branch) candidate (values, doc_ids) of the won groups.
+
+    Each bucket contributes the groups whose concatenated position lands
+    in its range; sentinel slots and pad rows are masked to -inf so one
+    final two-key (score desc, doc asc) sort yields the exact top-k with
+    the smaller-doc-id tie contract (doc ids are carried explicitly —
+    no positional-stability requirement, so ``gpos`` needs no re-sort).
+    """
+    q, k = gpos.shape
+    vals = jnp.full((q, k, branch), NEG_INF, jnp.float32)
+    docs = jnp.full((q, k, branch), DOC_SENTINEL, jnp.int32)
+    off = 0
+    for base, did in zip(bases, dids):
+        gb = base.shape[1] // branch
+        b3 = base.reshape(q, gb, branch)
+        dg = did.reshape(gb, branch)
+        rel = gpos - off
+        in_b = (rel >= 0) & (rel < gb)
+        relc = jnp.clip(rel, 0, gb - 1)
+        v = jnp.take_along_axis(b3, relc[:, :, None], axis=1)
+        d = jnp.take(dg, relc, axis=0)
+        vals = jnp.where(in_b[:, :, None], v, vals)
+        docs = jnp.where(in_b[:, :, None], d, docs)
+        off += gb
+    flat_v = vals.reshape(q, k * branch)
+    flat_d = docs.reshape(q, k * branch)
+    # pad rows (doc -1) and unfilled sentinel slots can never win
+    flat_v = jnp.where((flat_d < 0) | (flat_d == DOC_SENTINEL),
+                       NEG_INF, flat_v)
+    return flat_v, flat_d
+
+
+register_op("gather_group_candidates")(gather_group_candidates)
+
+
 # ---------------------------------------------------------------------------
 # hierarchical (block-max) exact top-k for huge N
 # ---------------------------------------------------------------------------

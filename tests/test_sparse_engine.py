@@ -538,3 +538,32 @@ def test_auto_hot_respects_tail_cap_disjointness(setup):
     dd, ds = eng.search(queries, top_k=10)
     od, os_ = oracle.search(queries, top_k=10)
     np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+
+
+def test_union_selection_matches_per_bucket(setup):
+    """Union group selection (one global tournament) must be bit-equal to
+    the per-bucket path, including on degenerate all-tied corpora (where
+    the exactness flag trips and lax.cond falls back)."""
+    idx, oracle = setup
+    rng = np.random.default_rng(21)
+    queries = rng.integers(-1, idx.vocab_size, size=(24, 7), dtype=np.int32)
+    for k in (5, 40):
+        e_u = SparseEngine.from_scored_index(idx, max_buckets=4)
+        assert e_u.union_select
+        e_p = SparseEngine.from_scored_index(idx, max_buckets=4)
+        e_p.union_select = False
+        du, su = e_u.search(queries, top_k=k)
+        dp, sp = e_p.search(queries, top_k=k)
+        np.testing.assert_array_equal(du, dp)
+        np.testing.assert_array_equal(su, sp)
+
+    # degenerate ties: every doc identical -> every group max ties theta,
+    # the union flag must trip and the fallback must keep the doc-id order
+    ids = [np.array([0, 1], np.int32)] * 64
+    from bm25_tpu.scoring import build_scored_index
+
+    tied = build_scored_index(ids, vocab_size=4)
+    eng = SparseEngine.from_scored_index(tied, max_buckets=2)
+    d, s = eng.search(np.array([[0, 1]], np.int32), top_k=10)
+    np.testing.assert_array_equal(d[0], np.arange(10))
+    assert np.allclose(s[0], s[0][0])
