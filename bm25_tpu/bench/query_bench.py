@@ -365,16 +365,19 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
 
     mem = index_memory_stats(index, engine)
 
-    # end-to-end retrieval-quality smoke on a self-labelled BEIR-style
-    # dataset — exercises tokenize -> build -> search -> qrels every round
-    # (real BEIR drops use the same pipeline via `bm25-tpu eval`)
-    from bm25_tpu.datasets import evaluate_dataset, synthetic_beir_dataset
+    # end-to-end retrieval-quality gate on the ADVERSARIAL self-labelled
+    # dataset (hard negatives + term dropout + typos + length skew) —
+    # metrics sit strictly inside (0, 1) so a ranking regression above
+    # top-1 moves them (the plain synthetic eval saturated at 1.0 and
+    # stopped discriminating, VERDICT r2).  One row per engine family.
+    from bm25_tpu.datasets import evaluate_dataset, synthetic_beir_hard
 
-    beir = evaluate_dataset(
-        synthetic_beir_dataset(num_docs=5000, num_queries=50, seed=cfg.seed),
-        top_k=10,
-        log=log,
-    )
+    hard_ds = synthetic_beir_hard(num_docs=5000, num_queries=50,
+                                  seed=cfg.seed)
+    beir = {
+        mode: evaluate_dataset(hard_ds, top_k=10, engine_mode=mode, log=log)
+        for mode in ("dense", "sparse")
+    }
     return {
         "metric": "bm25_query_throughput",
         "value": head["qps"],

@@ -55,3 +55,23 @@ def test_synthetic_beir_dataset_end_to_end():
     # querying a doc's own rarest terms must rank it near the top
     assert result["recall@10"] >= 0.9
     assert result["mrr@10"] >= 0.7
+
+
+def test_synthetic_beir_hard_discriminates():
+    """VERDICT r2: the in-driver eval must NOT saturate at 1.0 — hard
+    negatives/typos/length skew keep recall@10 and MRR strictly inside
+    (0, 1) so ranking regressions move them."""
+    from bm25_tpu.datasets import evaluate_dataset, synthetic_beir_hard
+
+    ds = synthetic_beir_hard(num_docs=800, num_queries=20, decoys_per_query=12,
+                             seed=3)
+    # graded qrels: target rel 2 + two full-term-set decoys rel 1
+    assert all(len(v) == 3 for v in ds.qrels.values())
+    r = evaluate_dataset(ds, top_k=10, engine_mode="dense", log=lambda *_: None)
+    assert 0.3 < r["recall@10"] < 1.0
+    assert 0.3 < r["mrr@10"] < 1.0
+    # deterministic per seed: a ranking regression shows as a changed value
+    r2 = evaluate_dataset(ds, top_k=10, engine_mode="sparse",
+                          log=lambda *_: None)
+    assert r2["recall@10"] == r["recall@10"]
+    assert r2["mrr@10"] == r["mrr@10"]
