@@ -143,7 +143,8 @@ def _time_step_chunk(engine, step, ids, cold, iters: int) -> float:
 
 
 def measure_device_step_ms(engine, queries: np.ndarray, k: int,
-                           iters: int = 5, plan=None) -> float | None:
+                           iters: int = 5, plan=None,
+                           batch: int = 512) -> float | None:
     """Relay-proof on-device step time: N dependency-chained steps, 1 fetch.
 
     Through the axon relay every host fetch pays a ~30 ms round trip and
@@ -180,7 +181,13 @@ def measure_device_step_ms(engine, queries: np.ndarray, k: int,
                 engine, step, ids_dev, cold_dev, iters
             )
         times.append(per_config[key])
-    return float(np.mean(times)) if times else None
+    if not times:
+        return None
+    # chunks vary in size under width-boundary routing: report the TOTAL
+    # plan time normalized per `batch` queries (equal-chunk plans reduce
+    # to the old per-chunk mean)
+    total_q = sum(c[0] for c in chunks)
+    return float(sum(times) * batch / max(total_q, 1))
 
 
 def estimate_step_hbm_bytes(engine, q: int) -> int | None:
@@ -301,7 +308,8 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
     plan = None
     if hasattr(engine, "plan_chunks"):
         plan = engine.plan_chunks(queries.astype(np.int32))
-    step_ms = measure_device_step_ms(engine, queries, k, plan=plan)
+    step_ms = measure_device_step_ms(engine, queries, k, plan=plan,
+                                     batch=cfg.batch)
     if step_ms is not None:
         row["device_step_ms"] = round(step_ms, 2)
         model_bytes = estimate_step_hbm_bytes(engine, len(batches[0]))

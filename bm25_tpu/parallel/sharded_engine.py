@@ -266,10 +266,29 @@ def _bucket_specs(buckets: list[dict]) -> tuple:
     return tuple({key: spec_of[key] for key in b} for b in buckets)
 
 
+def choose_k_local(k: int, n_shards: int) -> int:
+    """Shard-local candidate count for the two-stage merge.
+
+    Cost model (v5e numbers): the all-gather moves ``S*k*Q*8`` bytes over
+    ICI (~0.5 ms at S=8, k=1000, Q=512) and the replicated merge two-key
+    sorts ``(Q, S*k)`` (~2-3 ms at 8k wide, growing ~linearly) — under
+    ~5% of the ~80 ms local step at S=8, so trimming is pure risk there.
+    At S >= 32 the merge sort alone (32k+ wide) crosses ~10 ms and the
+    trim pays: each shard returns ``ceil(2k/S) + 64`` candidates (2x the
+    expected per-shard share of a uniformly split top-k, plus slack), and
+    the step verifies exactness after the merge (strict inequality
+    against the merged k-th score) with a full-k fallback via lax.cond.
+    """
+    if n_shards < 32:
+        return k
+    return min(k, -(-2 * k // n_shards) + 64)
+
+
 def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
                           buckets: list[dict], weighted: bool = False,
                           split_cold: bool = False, score_dtype=None,
-                          ids_only: bool = False):
+                          ids_only: bool = False,
+                          k_local: int | None = None):
     """Doc-sharded multi-bucket ELL scoring + all-gather top-k merge.
 
     Per bucket: tokT/valT/hotT/hotLo (rows axis) shard P(None, 'docs') and
@@ -385,22 +404,48 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
         nss, dd = lax.sort((-ls, li), num_keys=2, is_stable=False)
         ls, li = -nss[:, :kk], dd[:, :kk]
 
-        # merge candidates across doc shards over ICI
-        gs = lax.all_gather(ls, DOC_AXIS)  # (S, q, kk)
-        gi = lax.all_gather(li, DOC_AXIS)
-        gs = jnp.transpose(gs, (1, 0, 2)).reshape(q, -1)
-        gi = jnp.transpose(gi, (1, 0, 2)).reshape(q, -1)
-        kk = min(k, gs.shape[1])
-        nss, dd = lax.sort((-gs, gi), num_keys=2, is_stable=False)
+        def gather_merge(ls_t, li_t):
+            """All-gather candidates over ICI + replicated two-key merge."""
+            gs = lax.all_gather(ls_t, DOC_AXIS)  # (S, q, width)
+            gi = lax.all_gather(li_t, DOC_AXIS)
+            gsf = jnp.transpose(gs, (1, 0, 2)).reshape(q, -1)
+            gif = jnp.transpose(gi, (1, 0, 2)).reshape(q, -1)
+            kf = min(k, gsf.shape[1])
+            nss_, dd_ = lax.sort((-gsf, gif), num_keys=2, is_stable=False)
+            return -nss_[:, :kf], dd_[:, :kf], gs
+
+        n_shards = mesh.shape[DOC_AXIS]
+        m = k if k_local is None else min(k_local, kk)
+        if m < kk and n_shards * m >= k:
+            # k_local trim: gather only each shard's top-m candidates
+            # (m ~ 2k/S + slack) — cuts both ICI volume and the merge sort
+            # width from S*k to S*m.  Exactness check after the merge: if
+            # any shard's m-th (last trimmed) candidate still scores >=
+            # the merged k-th, that shard may hold more top-k docs (or tie
+            # at the boundary with smaller doc ids) — fall back to the
+            # full-width gather of the ALREADY-computed local candidates
+            # (no re-scoring).  The distributed analog of the union
+            # selection's tie flag (ops/topk.py::union_group_select).
+            t_s, t_i, gs3 = gather_merge(ls[:, :m], li[:, :m])
+            merged_kth = t_s[:, -1]
+            last = gs3[:, :, m - 1]  # (S, q) each shard's m-th score
+            ok = jnp.all((last < merged_kth[None, :]) | (last == NEG_INF))
+
+            def full():
+                f_s, f_i, _ = gather_merge(ls, li)
+                return f_s[:, : t_s.shape[1]], f_i[:, : t_i.shape[1]]
+
+            out_s, out_i = lax.cond(ok, lambda: (t_s, t_i), full)
+        else:
+            out_s, out_i, _ = gather_merge(ls, li)
         if ids_only:
             # rankings-only: selection already ran in f32; skip the score
             # transfer entirely (same contract as SparseEngine.search_ids)
-            return dd[:, :kk]
-        out_s = -nss[:, :kk]
+            return out_i
         if score_dtype is not None:
             # halve the result-transfer bytes; ids stay exact int32
             out_s = out_s.astype(score_dtype)
-        return out_s, dd[:, :kk]
+        return out_s, out_i
 
     in_specs = (P(), P(DATA_AXIS, None))
     if split_cold:
@@ -458,6 +503,11 @@ class ShardedSparseEngine:
     # "bfloat16" halves the result-transfer bytes (ids stay exact int32;
     # selection stays f32 on device) — same option as SparseEngine
     score_dtype: str = "float32"
+    # shard-local candidate trim for the ICI merge: "auto" applies
+    # choose_k_local's cost model (full k below 32 shards, ~2k/S + slack
+    # above, exactness-checked with a full-width fallback); an int forces
+    # a specific m; None disables
+    k_local: int | str | None = "auto"
 
     @classmethod
     def from_scored_index(
@@ -657,15 +707,19 @@ class ShardedSparseEngine:
             q_pad, t_pad = padded.shape
             split = cold_padded is not None
             t_pad_c = None if cold_padded is None else cold_padded.shape[1]
+            if self.k_local == "auto":
+                kl = choose_k_local(k, self.mesh.shape[DOC_AXIS])
+            else:
+                kl = self.k_local
             key = (k, self.hot_h, q_pad, t_pad, shapes, weighted, split,
-                   t_pad_c, ids_only, self.score_dtype)
+                   t_pad_c, ids_only, self.score_dtype, kl)
             fn = self._cache.get(key)
             if fn is None:
                 fn = jax.jit(make_sharded_ell_step(
                     self.mesh, k, self.hot_h, self.buckets,
                     weighted=weighted, split_cold=split,
                     score_dtype=None if ids_only else sdt,
-                    ids_only=ids_only,
+                    ids_only=ids_only, k_local=kl,
                 ))
                 self._cache[key] = fn
             qsh = NamedSharding(self.mesh, P(DATA_AXIS, None))

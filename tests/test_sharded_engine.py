@@ -233,3 +233,48 @@ def test_sharded_sparse_cold_routing_matches_oracle(setup):
     np.testing.assert_allclose(sw, osw, rtol=5e-5, atol=5e-5)
     strict = strict_positions(osw)
     np.testing.assert_array_equal(dw[strict], ow[strict])
+
+
+def test_k_local_trim_exact_with_fallback(zipf_corpus_small):
+    """VERDICT r2 item 7: shard-local candidate trim (k_local < k) must
+    stay exact — fast path on ordinary data, full-width fallback on
+    planted cross-shard ties at the merge boundary."""
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import (ShardedSparseEngine,
+                                                  choose_k_local)
+    from bm25_tpu.reference import ReferenceEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    # policy: no trim below 32 shards, ~2k/S + slack above
+    assert choose_k_local(1000, 8) == 1000
+    assert choose_k_local(1000, 64) == -(-2000 // 64) + 64
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    mesh = make_mesh(8)
+    oracle = ReferenceEngine.from_scored_index(idx)
+    rng = np.random.default_rng(17)
+    queries = rng.integers(-1, idx.vocab_size, size=(10, 6), dtype=np.int32)
+
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh)
+    k = 24
+    # force an aggressive trim (m = 2k/S + tiny slack) at 8 shards
+    eng.k_local = max(2 * k // 8 + 2, 1)
+    dd, ds = eng.search(queries, top_k=k)
+    od, os_ = oracle.search(queries, top_k=k)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+
+    # degenerate all-tied corpus: every shard's m-th candidate ties the
+    # merged k-th -> the exactness flag must trip and the full-width
+    # fallback must keep the smaller-doc-id order
+    ids = [np.array([0, 1], np.int32)] * 64
+    tied = build_scored_index(ids, vocab_size=4)
+    te = ShardedSparseEngine.from_scored_index(tied, mesh=mesh)
+    te.k_local = 3
+    d, s = te.search(np.array([[0, 1]], np.int32), top_k=16)
+    np.testing.assert_array_equal(d[0], np.arange(16))
+    assert np.allclose(s[0], s[0][0])

@@ -549,9 +549,9 @@ def test_union_selection_matches_per_bucket(setup):
     queries = rng.integers(-1, idx.vocab_size, size=(24, 7), dtype=np.int32)
     for k in (5, 40):
         e_u = SparseEngine.from_scored_index(idx, max_buckets=4)
-        assert e_u.union_select
+        e_u.union_select = True
         e_p = SparseEngine.from_scored_index(idx, max_buckets=4)
-        e_p.union_select = False
+        assert not e_p.union_select  # default off (slower in-step on chip)
         du, su = e_u.search(queries, top_k=k)
         dp, sp = e_p.search(queries, top_k=k)
         np.testing.assert_array_equal(du, dp)
@@ -564,6 +564,7 @@ def test_union_selection_matches_per_bucket(setup):
 
     tied = build_scored_index(ids, vocab_size=4)
     eng = SparseEngine.from_scored_index(tied, max_buckets=2)
+    eng.union_select = True
     d, s = eng.search(np.array([[0, 1]], np.int32), top_k=10)
     np.testing.assert_array_equal(d[0], np.arange(10))
     assert np.allclose(s[0], s[0][0])
