@@ -34,11 +34,10 @@ class BenchConfig:
     engine: str = "auto"
     # ELL bucket count trades padding (more buckets = tighter widths =
     # less VPU scan work) against per-bucket selection cost (one top-k
-    # tree per bucket).  Measured on v5e at this bench's shape with the
-    # fused epilogue kernel: 2 buckets win the k=1000 headline (110.6 vs
-    # 136.6 ms/step) and cost ~10% at k=100 (74.1 vs 66.8); the engine
-    # default stays 4 (safer for skewed real-corpus length distributions)
-    max_buckets: int = 2
+    # tree per bucket).  0 = choose by the measured cost model
+    # (models.sparse.choose_layout, keyed on the headline k) — the model
+    # reproduces the round-2 sweep (2 buckets at k=1000, 4 at k=100)
+    max_buckets: int = 0
 
     @classmethod
     def from_env(cls) -> "BenchConfig":
@@ -162,7 +161,7 @@ def measure_device_step_ms(engine, queries: np.ndarray, k: int,
     if not isinstance(engine, SparseEngine):
         return None
     if plan is None:
-        plan = engine.plan_chunks(queries.astype(np.int32))
+        plan = engine.plan_chunks(queries.astype(np.int32), k=k)
     _, chunks = plan
     per_config: dict[tuple, float] = {}
     times = []
@@ -307,7 +306,7 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
     # the timing and the t_eff model below)
     plan = None
     if hasattr(engine, "plan_chunks"):
-        plan = engine.plan_chunks(queries.astype(np.int32))
+        plan = engine.plan_chunks(queries.astype(np.int32), k=k)
     step_ms = measure_device_step_ms(engine, queries, k, plan=plan,
                                      batch=cfg.batch)
     if step_ms is not None:
@@ -350,8 +349,17 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
 
     from bm25_tpu.models.auto import create_engine
 
+    kwargs = cfg.engine_kwargs()
+    if kwargs.get("max_buckets") == 0:
+        from bm25_tpu.models.sparse import choose_layout
+
+        layout = choose_layout(index, k=cfg.top_k, q=cfg.batch,
+                               t=max(cfg.query_len, 8))
+        kwargs["max_buckets"] = layout["max_buckets"]
+        log(f"[bench] layout model: max_buckets={layout['max_buckets']} "
+            f"hot_tokens={layout['hot_tokens']} (k={cfg.top_k})")
     t0 = time.perf_counter()
-    engine = create_engine(index, mode=cfg.engine, **cfg.engine_kwargs())
+    engine = create_engine(index, mode=cfg.engine, **kwargs)
     upload_s = time.perf_counter() - t0
     log(f"[bench] engine={type(engine).__name__} upload+init {upload_s:.1f}s")
 
@@ -398,6 +406,10 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
             "headline": head,
             "secondary": [rows[k] for k in ks[1:]],
             "index_build_docs_per_sec": round(cfg.num_docs / build_s, 1),
+            # first-class cold-start figure (round-3 target: <= 20 s at the
+            # 512K shape with the full hot tier — the device-side hot build
+            # took it from 76.9 s to ~13 s warm / ~29 s cold-compile)
+            "upload_init_s": round(upload_s, 1),
             "engine": type(engine).__name__,
             "hot_tokens": getattr(engine, "hot_h", 0),
             "index_memory": mem.as_dict(),

@@ -10,8 +10,12 @@ import inspect
 
 from bm25_tpu.scoring import ScoredIndex
 
-# leave headroom on a 16 GiB v5e chip for query buffers + compiler scratch
-DEFAULT_DENSE_BUDGET = 8 << 30
+def _default_dense_budget() -> int:
+    """Half the device's HBM: headroom for query buffers + compiler
+    scratch (8 GiB on a 16 GiB v5e — scales with the chip)."""
+    from bm25_tpu.models.sparse import device_hbm_bytes
+
+    return device_hbm_bytes() // 2
 
 
 def _build(cls, index, kwargs, filter_kwargs: bool):
@@ -30,7 +34,7 @@ def _build(cls, index, kwargs, filter_kwargs: bool):
 def create_engine(
     index: ScoredIndex,
     mode: str = "auto",
-    dense_budget_bytes: int = DEFAULT_DENSE_BUDGET,
+    dense_budget_bytes: int | None = None,
     **kwargs,
 ):
     """Build the best device engine for this index.
@@ -60,6 +64,8 @@ def create_engine(
     if mode != "auto":
         raise ValueError(f"unknown engine mode {mode!r}")
 
+    if dense_budget_bytes is None:
+        dense_budget_bytes = _default_dense_budget()
     v = index.vocab_size + 8
     d = index.num_docs + 128
     if v * d * 4 <= dense_budget_bytes:

@@ -696,6 +696,9 @@ class ShardedSparseEngine:
             route_min_queries=self.route_min_queries,
             max_q=next_multiple(self._max_chunk(), 8 * n_data),
             q_align=8 * n_data,
+            c0_units=float(np.interp(
+                np.log(max(k, 1)), [np.log(100), np.log(1000)], [10.0, 32.0]
+            )),
         )
         shapes = tuple(
             tuple((key, tuple(b[key].shape), str(b[key].dtype))

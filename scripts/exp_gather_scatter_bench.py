@@ -57,9 +57,9 @@ def main():
     print(f"device: {jax.devices()[0].platform}")
     rng = np.random.default_rng(0)
 
-    # dense scoring shape: (V_pad, D) table, (Q, T) int rows
-    v_pad, d, q, t = 32768 + 8, 524288, 512, 8
-    st = jnp.asarray(rng.normal(size=(v_pad, d)).astype(np.float32))
+    # dense scoring shape (same as the round-2 NOTES row): (V_pad, D)
+    v_pad, d, q, t = 4104, 65664, 512, 8
+    st = jnp.asarray(rng.standard_normal((v_pad, d), dtype=np.float32))
     ids = jnp.asarray(
         rng.integers(0, v_pad - 1, size=(q, t)).astype(np.int32)
     )
@@ -83,7 +83,7 @@ def main():
     print(f"  jnp.take + sum           {timed(body_take, (st, ids)):8.2f} ms")
 
     # plain gather: 36864 rows of width 512 (the round-2 tail-tier shape)
-    tbl = jnp.asarray(rng.normal(size=(131072, 512)).astype(np.float32))
+    tbl = jnp.asarray(rng.standard_normal((131072, 512), dtype=np.float32))
     gi = jnp.asarray(rng.integers(0, 131072, size=(36864,)).astype(np.int32))
 
     def body_gather(tbl, gi, acc):
