@@ -22,13 +22,14 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from bm25_tpu.bench.query_bench import (
-        BenchConfig, make_queries, make_synthetic_index, recall_at_k)
+        BenchConfig, make_queries, make_synthetic_index,
+        measure_device_step_ms, recall_at_k)
     from bm25_tpu.eval import index_memory_stats
-    from bm25_tpu.models.sparse import SparseEngine, choose_hot_tokens
+    from bm25_tpu.models.sparse import SparseEngine, choose_layout
     from bm25_tpu.reference import ReferenceEngine
 
     cfg = BenchConfig(num_docs=8_840_000, vocab=262144, avg_len=35,
-                      num_queries=512, query_len=8, max_buckets=4)
+                      num_queries=2048, query_len=8)
     t0 = time.perf_counter()
     index = make_synthetic_index(cfg)
     print(f"[mm] built in {time.perf_counter()-t0:.0f}s nnz={index.nnz}",
@@ -36,12 +37,15 @@ def main():
     queries = make_queries(cfg)
 
     t0 = time.perf_counter()
-    h = choose_hot_tokens(index, max_buckets=cfg.max_buckets, log=print)
-    print(f"[mm] auto hot = {h} (chose in {time.perf_counter()-t0:.0f}s)",
+    # bucket count + hot size from the calibrated cost model (VERDICT r2
+    # item 3: no hand-set layout constants at scale)
+    layout = choose_layout(index, k=1000, log=print)
+    print(f"[mm] layout = {layout} (chose in {time.perf_counter()-t0:.0f}s)",
           flush=True)
 
     t0 = time.perf_counter()
-    eng = SparseEngine.from_scored_index(index, max_buckets=cfg.max_buckets)
+    eng = SparseEngine.from_scored_index(
+        index, max_buckets=layout["max_buckets"])
     print(f"[mm] engine up in {time.perf_counter()-t0:.0f}s hot_h={eng.hot_h} "
           f"buckets={len(eng.buckets)} "
           f"score_budget={eng.score_buffer_budget/2**30:.2f}GiB", flush=True)
@@ -53,8 +57,13 @@ def main():
         t0 = time.perf_counter()
         dd, ss = eng.search(queries, top_k=k)
         dt = time.perf_counter() - t0
-        print(f"[mm] k={k}: {len(queries)/dt:.0f} qps "
-              f"({dt*1e3/ (len(queries)/512):.0f} ms/512-batch)", flush=True)
+        # relay-proof hardware-side figure over the routed DP chunk plan
+        step = measure_device_step_ms(eng, queries, k)
+        hw_qps = 512e3 / step if step else float("nan")
+        print(f"[mm] k={k}: e2e {len(queries)/dt:.0f} qps "
+              f"({dt*1e3/(len(queries)/512):.0f} ms/512-batch); "
+              f"device step {step:.0f} ms/512 -> {hw_qps:.0f} qps "
+              f"hardware-side", flush=True)
 
     ref = ReferenceEngine.from_scored_index(index)
     nb = 16
