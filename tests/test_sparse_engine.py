@@ -568,3 +568,37 @@ def test_union_selection_matches_per_bucket(setup):
     d, s = eng.search(np.array([[0, 1]], np.int32), top_k=10)
     np.testing.assert_array_equal(d[0], np.arange(10))
     assert np.allclose(s[0], s[0][0])
+
+
+def test_chunk_bounds_dp_never_splits_below_align():
+    """DP chunk plans must cover all rows with pow2-padded, q_align-rounded
+    chunks and be no worse than fixed slicing under the model."""
+    from bm25_tpu.models.sparse import _chunk_bounds_dp
+
+    rng = np.random.default_rng(0)
+    for n, max_q, q_align in [(2048, 512, 8), (100, 512, 8), (7, 512, 8),
+                              (513, 128, 16), (2048, 512, 24)]:
+        counts = np.sort(rng.integers(0, 9, size=n))
+        cls = 1 << np.ceil(np.log2(np.maximum(counts, 2))).astype(np.int64)
+        bounds = _chunk_bounds_dp(cls, max_q, q_align, c0_units=20.0)
+        assert bounds[0] == 0 and bounds[-1] == n
+        sizes = np.diff(bounds)
+        assert (sizes > 0).all() and (sizes <= max_q).all()
+
+    # the planner's dispatch path handles a batch where every row is the
+    # same class (degenerates to fixed slicing)
+    from bm25_tpu.models.sparse import plan_query_dispatch
+
+    qs = rng.integers(0, 64, size=(700, 6)).astype(np.int32)
+    hot = np.full(65, -1, np.int32)
+    hot[:32] = np.arange(32)
+    perm, chunks = plan_query_dispatch(
+        qs, None, hot_table_host=hot, hot_h=32, has_scan=True, route=True,
+        route_min_queries=32, max_q=256, q_align=8,
+    )
+    assert sum(c[0] for c in chunks) == 700
+    # rows reassemble exactly under the permutation
+    total = np.concatenate([c[1][: c[0]] for c in chunks])
+    np.testing.assert_array_equal(total[np.argsort(perm, kind="stable")],
+                                  np.pad(qs, ((0, 0), (0, 2)),
+                                         constant_values=-1))
