@@ -87,7 +87,19 @@ def main() -> None:
         t0 = time.perf_counter()
         for t in threads:
             t.start()
-        time.sleep(180)
+        time.sleep(60)
+        # VERDICT r2 item 6: hot-reload the index MID-TRAFFIC — in-flight
+        # requests finish on the old engine, later ones on the new; zero
+        # errors expected either side of the swap
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            rl = json.loads(r.read())
+        print(f"[soak] mid-traffic reload: {rl['status']} "
+              f"(num_docs={rl['num_docs']})", flush=True)
+        time.sleep(120)
         done.set()
         for t in threads:
             t.join(timeout=120)
@@ -107,6 +119,7 @@ def main() -> None:
         assert not errors, errors[:3]
         assert h["status"] == "ok"
         assert m.get("requests", 0) >= total
+        assert m.get("reloads", 0) == 1
         occ = m.get("batch_occupancy", 0)
         print(f"[soak] batch occupancy {occ} (cross-request coalescing "
               f"{'ACTIVE' if occ and occ > 1 else 'inactive'})", flush=True)
