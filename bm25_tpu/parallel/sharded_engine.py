@@ -123,10 +123,14 @@ def _put_doc_sharded_dense(index: ScoredIndex, mesh: Mesh, v_pad: int,
         stop = d_pad if col.stop is None else col.stop
         block = blocks.get((start, stop))
         if block is None:
-            block = np.zeros((v_pad, stop - start), dtype=dtype)
+            block = np.zeros((v_pad, stop - start), dtype=np.float32)
             lo, hi = min(start, d), min(stop, d)
             if hi > lo:
                 block[:v, : hi - lo] = csr[lo:hi].toarray().T
+            if np.dtype(dtype) != np.dtype(np.float32):
+                # ml_dtypes registers bfloat16 with numpy, so the cast
+                # happens host-side and the upload ships target bytes
+                block = block.astype(dtype)
             blocks[(start, stop)] = block
         arrays.append(jax.device_put(block, dev))
     return jax.make_array_from_single_device_arrays(shape, sharding, arrays)
@@ -161,12 +165,10 @@ class ShardedEngine:
         v, d = index.vocab_size, index.num_docs
         d_pad = next_multiple(max(d, 1), 128 * n_doc)
         v_pad = next_multiple(v + 1, 8)
-        st = _put_doc_sharded_dense(index, mesh, v_pad, d_pad, np.float32)
-        if dtype != jnp.float32:
-            st = jax.jit(
-                lambda x: x.astype(dtype),
-                out_shardings=NamedSharding(mesh, P(None, DOC_AXIS)),
-            )(st)
+        # host blocks are cast to the target dtype BEFORE upload: a
+        # device-side cast would transiently hold f32 + target copies
+        # (~3x the steady state) and defeat picking bf16 for memory
+        st = _put_doc_sharded_dense(index, mesh, v_pad, d_pad, dtype)
         off_host = np.zeros((v_pad,), dtype=np.float32)
         if index.token_offsets is not None:
             off_host[:v] = index.token_offsets
@@ -386,12 +388,16 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
                     scores = jnp.zeros((q, did_l.shape[0]), jnp.float32)
                 scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
                 gmax = None
-            k_local = min(k, scores.shape[1])
-            if (gmax is not None and scores.shape[1] > max(2 * k_local, 4096)
-                    and gmax.shape[1] >= k_local):
-                ls, lpos = top_k_tree_with_maxes(scores, gmax, k_local)
+            # NB: named kk_b, NOT k_local — that name is the enclosing
+            # step factory's trim parameter and assigning it here would
+            # shadow it for the whole function (a real bug caught in the
+            # round-3 review: the ICI trim was silently dead code)
+            kk_b = min(k, scores.shape[1])
+            if (gmax is not None and scores.shape[1] > max(2 * kk_b, 4096)
+                    and gmax.shape[1] >= kk_b):
+                ls, lpos = top_k_tree_with_maxes(scores, gmax, kk_b)
             else:
-                ls, lpos = select_top_k(scores, k_local)
+                ls, lpos = select_top_k(scores, kk_b)
             cand_s.append(ls)
             cand_i.append(did_l[lpos])
 

@@ -274,15 +274,22 @@ class MicroBatcher:
         for (k, _), items in by_group.items():
             try:
                 self._run_group(items[0]["engine"], k, items)
-            except Exception:
-                # one bad request must not poison its co-batched neighbors
+            except ValueError:
+                # one bad REQUEST must not poison its co-batched neighbors
                 # (e.g. a ValueError for negative weights would otherwise
-                # reach every waiter in the group): retry each item alone so
-                # only the offending request(s) observe the failure
+                # reach every waiter in the group): retry each item alone
+                # so only the offending request(s) observe the failure.
+                # ONLY request-fault errors retry — an infrastructure
+                # failure (device OOM, transport error) must not amplify
+                # into N sequential calls against an unhealthy device
                 for it in items:
                     try:
                         self._run_group(it["engine"], k, [it])
                     except Exception as e:
+                        it["out"] = e
+            except Exception as e:
+                for it in items:
+                    if it["out"] is None:
                         it["out"] = e
             finally:
                 for it in items:
@@ -439,6 +446,10 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             self._send(404, {"error": "not found"})
             return
         rt = self.runtime  # one snapshot: engine+vocab+corpus stay coherent
+        if rt.engine is None:
+            # a mode="drop" reload is rebuilding the engine
+            self._send(503, {"error": "index reloading; retry shortly"})
+            return
         try:
             req = self._read_body()
             queries, top_k, include_scores = _validate_request(
@@ -523,11 +534,14 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             index_dir = req.get("index_dir")
             if index_dir is not None and not isinstance(index_dir, str):
                 raise ValueError("'index_dir' must be a string path")
+            mode = req.get("mode", "drop")
+            if mode not in ("drop", "swap"):
+                raise ValueError("'mode' must be 'drop' or 'swap'")
         except (TypeError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
             return
         try:
-            stats = self.server_ref.reload(index_dir)
+            stats = self.server_ref.reload(index_dir, mode=mode)
         except FileNotFoundError as e:
             self._send(400, {"error": str(e)})
             return
@@ -572,22 +586,36 @@ class Server:
         if warmup_top_k > 0:
             self._warmup(runtime.engine)
         self.httpd = ThreadingHTTPServer((host, port), handler)
+        # in-flight handler threads must survive process teardown during a
+        # drain (they hold admitted requests); per-request timeouts bound
+        # how long a hung client can delay exit
+        self.httpd.daemon_threads = False
 
-    def _build_runtime(self, index_dir: str,
-                       batch_window_ms: float = 0.0) -> EngineRuntime:
+    def _load_host(self, index_dir: str):
+        """Host-side index load + validation (no device memory touched).
+
+        Kept separate from the engine build so a mode="drop" reload can
+        validate the NEW index before releasing the old engine — a bad
+        path must leave the old index serving, not a 503 stub.
+        """
         from bm25_tpu.index.io import MMapCorpus, load_index
-        from bm25_tpu.models.auto import create_engine
-        from bm25_tpu.text.tokenizer import Tokenizer
 
         index = load_index(index_dir)
         if index.vocab is None:
             raise ValueError("index has no vocab; cannot serve text queries")
-        engine = create_engine(index, mode=self._engine_mode,
-                               **self._engine_kwargs)
         try:
             corpus = MMapCorpus.open(index_dir)
         except FileNotFoundError:
             corpus = None
+        return index, corpus
+
+    def _make_runtime(self, index, corpus, index_dir: str,
+                      batch_window_ms: float = 0.0) -> EngineRuntime:
+        from bm25_tpu.models.auto import create_engine
+        from bm25_tpu.text.tokenizer import Tokenizer
+
+        engine = create_engine(index, mode=self._engine_mode,
+                               **self._engine_kwargs)
         stats = {
             "num_docs": index.num_docs,
             "vocab_size": index.vocab_size,
@@ -597,6 +625,11 @@ class Server:
         }
         return EngineRuntime(engine=engine, tokenizer=Tokenizer(),
                              vocab=index.vocab, corpus=corpus, stats=stats)
+
+    def _build_runtime(self, index_dir: str,
+                       batch_window_ms: float = 0.0) -> EngineRuntime:
+        index, corpus = self._load_host(index_dir)
+        return self._make_runtime(index, corpus, index_dir, batch_window_ms)
 
     def _warmup(self, engine) -> None:
         # trigger the first-query JIT compile before accepting traffic
@@ -610,20 +643,54 @@ class Server:
         print(f"bm25-tpu warmup (top_k={self._warmup_top_k}): "
               f"{time.monotonic() - t0:.1f}s")
 
-    def reload(self, index_dir: str | None = None) -> dict:
+    def reload(self, index_dir: str | None = None,
+               mode: str = "drop") -> dict:
         """Load the index fresh and swap the runtime atomically.
 
+        ``mode="swap"`` builds the new engine NEXT TO the old one (true
+        zero-downtime, but both engines' device memory coexists — only
+        safe when two indexes fit HBM together).  ``mode="drop"`` (the
+        default) releases the old engine first: production engines are
+        auto-sized to most of the chip's HBM, so a side-by-side build
+        would OOM the worker mid-traffic; the cost is a brief window
+        where /search answers 503 while the new index loads.
+
         In-flight requests already snapshotted the old runtime and finish
-        on the old engine; requests arriving after the swap see the new
-        one.  The micro-batcher keys batches by engine, so a mixed window
-        runs two dispatches rather than mixing indices.
+        on the old engine either way; the micro-batcher keys batches by
+        engine, so a mixed window runs two dispatches rather than mixing
+        indices.
         """
         with self._reload_lock:
             index_dir = index_dir or self._index_dir
-            old_stats = self._handler.runtime.stats
-            runtime = self._build_runtime(
-                index_dir, old_stats.get("batch_window_ms", 0.0)
-            )
+            old_rt = self._handler.runtime
+            old_stats = old_rt.stats
+            window = old_stats.get("batch_window_ms", 0.0)
+            # validate the new index on the HOST before touching the old
+            # engine: a bad path must leave the old index serving
+            index, corpus = self._load_host(index_dir)
+            if mode == "drop":
+                # release the old engine before building: serve 503 from
+                # a stub runtime, wait for admitted work to finish, drop
+                # the only engine reference so its buffers free
+                self._handler.runtime = EngineRuntime(
+                    engine=None, tokenizer=old_rt.tokenizer,
+                    vocab=old_rt.vocab, corpus=old_rt.corpus,
+                    stats=dict(old_stats, reloading=True),
+                )
+                if self.batcher is not None:
+                    deadline = time.monotonic() + 60
+                    while (self.batcher.pending_rows > 0
+                           and time.monotonic() < deadline):
+                        time.sleep(0.05)
+                    self.batcher.engine = None
+                del old_rt
+                import gc
+
+                gc.collect()
+            # on a device-build failure under mode="drop" the old engine
+            # is already gone; the stub runtime stays in place (503s)
+            # rather than serving wrong answers
+            runtime = self._make_runtime(index, corpus, index_dir, window)
             if self._warmup_top_k > 0:
                 self._warmup(runtime.engine)
             self._handler.runtime = runtime  # the atomic swap
@@ -651,8 +718,16 @@ class Server:
         return t
 
     def drain(self):
-        """Graceful shutdown: stop accepting, finish queued work, close."""
-        threading.Thread(target=self.shutdown, daemon=True).start()
+        """Graceful shutdown: stop accepting, finish queued work, close.
+
+        The worker thread is NON-daemon: after ``serve_forever`` returns
+        (the accept loop stops), the interpreter stays alive until the
+        batcher has flushed every admitted request and in-flight handler
+        threads finished — otherwise a SIGTERM would abandon queued work
+        the moment the main thread unblocks (round-3 review finding).
+        """
+        threading.Thread(target=self.shutdown, daemon=False,
+                         name="bm25-drain").start()
 
     def shutdown(self):
         self.httpd.shutdown()

@@ -278,3 +278,35 @@ def test_k_local_trim_exact_with_fallback(zipf_corpus_small):
     d, s = te.search(np.array([[0, 1]], np.int32), top_k=16)
     np.testing.assert_array_equal(d[0], np.arange(16))
     assert np.allclose(s[0], s[0][0])
+
+
+def test_k_local_trim_actually_engages(zipf_corpus_small):
+    """Round-3 review regression: the step factory's k_local parameter was
+    shadowed by a loop variable and the trim compiled to dead code.  The
+    trimmed step's jaxpr must contain the exactness-fallback cond; the
+    untrimmed step's must not."""
+    import jax
+
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import make_sharded_ell_step
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    mesh = make_mesh(8)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh)
+    ids = np.full((8, 8), -1, np.int32)
+
+    def jaxpr_of(kl):
+        step = make_sharded_ell_step(
+            mesh, 24, eng.hot_h, eng.buckets, k_local=kl
+        )
+        return str(jax.make_jaxpr(
+            lambda ht, q, *bs: step(ht, q, *bs)
+        )(eng.hot_table, ids, *eng.buckets))
+
+    assert "cond" in jaxpr_of(8)       # trim active -> fallback cond
+    assert "cond" not in jaxpr_of(None)  # full k -> no trim machinery
