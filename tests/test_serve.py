@@ -589,3 +589,90 @@ def test_graceful_drain_finishes_queued_work():
     for t in ts:
         t.join(timeout=15)
     assert len(outs) == 3 and all(o is not None for o in outs)
+
+
+def test_microbatcher_infra_errors_not_retried_per_item():
+    """Round-3 review: only ValueError (request fault) triggers per-item
+    retry; infrastructure errors deliver once to all waiters instead of
+    amplifying into N calls against an unhealthy device."""
+    import threading
+
+    import numpy as np
+
+    from bm25_tpu.serve import MicroBatcher
+
+    calls = []
+
+    class Flaky:
+        def search(self, ids, top_k):
+            calls.append(len(ids))
+            raise RuntimeError("device on fire")
+
+    mb = MicroBatcher(Flaky(), window_ms=50.0)
+    try:
+        errs = []
+
+        def hit():
+            try:
+                mb.search(np.zeros((1, 2), np.int32), top_k=1)
+            except RuntimeError as e:
+                errs.append(e)
+
+        ts = [threading.Thread(target=hit) for _ in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=15)
+        assert len(errs) == 4
+        # one coalesced attempt, NO per-item retries
+        assert len(calls) == 1 and calls[0] == 4
+    finally:
+        mb.close()
+
+
+def test_reload_drop_mode_releases_engine_and_503s(tmp_path_factory, request):
+    """mode='drop' serves 503 while the engine rebuilds, then recovers."""
+    import threading
+    import time as _t
+
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_drop")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0)
+    srv.start_background()
+    try:
+        # slow the engine build down so the 503 window is observable
+        orig = srv._make_runtime
+        gate = threading.Event()
+
+        def slow_make(*a, **kw):
+            gate.wait(timeout=10)
+            return orig(*a, **kw)
+
+        srv._make_runtime = slow_make
+        t = threading.Thread(
+            target=lambda: urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{srv.port}/reload", data=b"{}",
+                    headers={"Content-Type": "application/json"},
+                ), timeout=60,
+            ).read()
+        )
+        t.start()
+        deadline = _t.monotonic() + 5
+        saw_503 = False
+        while _t.monotonic() < deadline and not saw_503:
+            try:
+                _post(srv, {"queries": ["cat"], "top_k": 1})
+            except urllib.error.HTTPError as e:
+                saw_503 = e.code == 503
+            _t.sleep(0.02)
+        gate.set()
+        t.join(timeout=30)
+        assert saw_503, "drop-mode reload never exposed the 503 window"
+        # and the server recovers with the (re)loaded index
+        out = _post(srv, {"queries": ["cat"], "top_k": 1})
+        assert "feline" in out["results"][0][0]["text"]
+    finally:
+        gate.set()
+        srv.shutdown()

@@ -602,3 +602,17 @@ def test_chunk_bounds_dp_never_splits_below_align():
     np.testing.assert_array_equal(total[np.argsort(perm, kind="stable")],
                                   np.pad(qs, ((0, 0), (0, 2)),
                                          constant_values=-1))
+
+
+def test_routed_q_pad_respects_budget():
+    """Round-3 review: the pow2 pad floor must never exceed max_q (the
+    transient-score budget) — padding above it resurrects the OOM class
+    the budget exists to prevent."""
+    from bm25_tpu.models.sparse import _routed_q_pad
+
+    assert _routed_q_pad(5, max_q=512, q_align=8) == 32
+    assert _routed_q_pad(100, max_q=512, q_align=8) == 128
+    # budget below the 32-row floor: stay at/below the budget
+    assert _routed_q_pad(5, max_q=8, q_align=8) == 8
+    assert _routed_q_pad(20, max_q=24, q_align=8) == 24
+    assert _routed_q_pad(16, max_q=24, q_align=8) == 16
