@@ -319,11 +319,13 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
         # effective kernel width: with cold-width routing the scan runs at
         # each chunk's cold T_c, not the full padded query width
         chunks = plan[1] if plan is not None else []
-        # DP chunks vary in size: weight each chunk's width by its rows
+        # DP chunks vary in size: weight each chunk's width by its REAL
+        # row count (c[0]) — estimate_step_vpu_ops multiplies by actual
+        # queries, so padded-height weights would inflate utilization
         t_eff = (float(np.average(
             [(c[3].shape[1] if c[3] is not None else c[1].shape[1])
              for c in chunks],
-            weights=[c[1].shape[0] for c in chunks],
+            weights=[c[0] for c in chunks],
         )) if chunks else float(max(cfg.query_len, 8)))
         vpu_ops = estimate_step_vpu_ops(engine, len(batches[0]), t_eff)
         if vpu_ops and step_ms > 0:

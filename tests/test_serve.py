@@ -608,7 +608,7 @@ def test_microbatcher_infra_errors_not_retried_per_item():
             calls.append(len(ids))
             raise RuntimeError("device on fire")
 
-    mb = MicroBatcher(Flaky(), window_ms=50.0)
+    mb = MicroBatcher(Flaky(), window_ms=200.0)
     try:
         errs = []
 
