@@ -21,7 +21,11 @@ import os
 import jax
 import numpy as np
 
-CHECKPOINT_VERSION = 3
+# v4: bucket hot tiers are stored SPARSE (hotNz{Rank,Pos,Hi,Lo} — 12 B
+# per posting instead of 4 B per dense cell, ~13x smaller checkpoints)
+# and the dense bf16 pair is rebuilt on device at restore via two exact
+# membership scans.  v3 (dense) and v2 checkpoints still load.
+CHECKPOINT_VERSION = 4
 
 # per-field PartitionSpec factories for sharded restore targets; bucket
 # dict leaves resolve by key name (see _mesh_shardings)
@@ -34,18 +38,42 @@ _SHARDED_FIELD_SPECS = {
     "doc_ids": ("docs",),
     "offsets": (),
     "hot_table": (),
+    # sparse hot leaves restore replicated (host-side rebuild re-shards)
+    "hotNzRank": (),
+    "hotNzPos": (),
+    "hotNzHi": (),
+    "hotNzLo": (),
 }
 _SHARDED_ENGINES = ("ShardedEngine", "ShardedSparseEngine")
 
 
-def _engine_state(engine) -> dict:
-    """Every device array the engine's query step reads."""
+def _compact_buckets(buckets: list) -> list:
+    """Bucket state with dense hot pairs replaced by their sparse form."""
+    from bm25_tpu.models.sparse import hot_pair_to_sparse
+
+    out = []
+    for b in buckets:
+        entry = {k: v for k, v in b.items() if k not in ("hotT", "hotLo")}
+        if "hotT" in b:
+            entry.update(hot_pair_to_sparse(b["hotT"], b["hotLo"]))
+        out.append(entry)
+    return out
+
+
+def _engine_state(engine, compact: bool = True) -> dict:
+    """Every device array the engine's query step reads.
+
+    ``compact=True`` (the save path) stores bucket hot tiers sparse;
+    ``compact=False`` keeps the live dense arrays (used to derive restore
+    targets for legacy checkpoints without a metadata sidecar).
+    """
+    maybe = _compact_buckets if compact else (lambda b: b)
     name = type(engine).__name__
     if name == "ShardedEngine":
         return {"st": engine.st, "offsets": engine.offsets}
     if name == "ShardedSparseEngine":
         return {
-            "buckets": engine.buckets,
+            "buckets": maybe(engine.buckets),
             "offsets": engine.offsets,
             "hot_table": engine.hot_table,
         }
@@ -53,7 +81,7 @@ def _engine_state(engine) -> dict:
         return {"st": engine.st, "offsets": engine.offsets}
     if name == "SparseEngine":
         state = {
-            "buckets": engine.buckets,
+            "buckets": maybe(engine.buckets),
             "offsets": engine.offsets,
             "hot_table": engine.hot_table,
         }
@@ -159,6 +187,72 @@ def _mesh_shardings(meta: dict, mesh) -> dict:
     return map_node(meta["tree"])
 
 
+def _rebuild_buckets(buckets: list, hot_h: int, put=None, mesh=None) -> list:
+    """Rebuild dense (H, rows) hot pairs from v4 sparse bucket leaves.
+
+    Single-chip: ``put`` places host arrays on the session device and the
+    membership-scan runs plainly.  Sharded: the rebuilt ELL row axis is
+    device_put doc-sharded and the scan runs under shard_map (the scan is
+    row-parallel, no collectives).
+    """
+    out = []
+    for b in buckets:
+        if "hotNzRank" not in b:
+            out.append(b)
+            continue
+        sparse = {
+            k: np.asarray(b[k])
+            for k in ("hotNzRank", "hotNzPos", "hotNzHi", "hotNzLo")
+        }
+        rows = b["doc_ids"].shape[0]
+        if mesh is None:
+            from bm25_tpu.models.sparse import rebuild_hot_pair_from_sparse
+
+            hi, lo = rebuild_hot_pair_from_sparse(hot_h, rows, sparse, put)
+        else:
+            hi, lo = _rebuild_hot_sharded(hot_h, rows, sparse, mesh)
+        nb = {k: v for k, v in b.items() if not k.startswith("hotNz")}
+        nb["hotT"], nb["hotLo"] = hi, lo
+        out.append(nb)
+    return out
+
+
+def _rebuild_hot_sharded(hot_h: int, rows: int, sparse: dict, mesh):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bm25_tpu.models.sparse import _sparse_hot_ell
+    from bm25_tpu.ops.ell_score import ell_score_pallas
+    from bm25_tpu.parallel.mesh import DOC_AXIS
+
+    interpret = jax.devices()[0].platform != "tpu"
+    row_sh = NamedSharding(mesh, P(None, DOC_AXIS))
+    rep = NamedSharding(mesh, P())
+    ids = jax.device_put(
+        np.arange(hot_h, dtype=np.int32).reshape(-1, 1), rep
+    )
+
+    def scan_cast(i, t, v):
+        return ell_score_pallas(i, t, v, interpret=interpret).astype(
+            jnp.bfloat16
+        )
+
+    scan = jax.jit(jax.shard_map(
+        scan_cast, mesh=mesh,
+        in_specs=(P(), P(None, DOC_AXIS), P(None, DOC_AXIS)),
+        out_specs=P(None, DOC_AXIS), check_vma=False,
+    ))
+    out = []
+    for key in ("hotNzHi", "hotNzLo"):
+        tokT, valT = _sparse_hot_ell(
+            hot_h, rows, sparse["hotNzRank"], sparse["hotNzPos"], sparse[key]
+        )
+        out.append(scan(ids, jax.device_put(tokT, row_sh),
+                        jax.device_put(valT, row_sh)))
+    out[0].block_until_ready()
+    return out[0], out[1]
+
+
 def load_device_checkpoint(
     path: str | os.PathLike, mesh=None, session=None
 ):
@@ -201,7 +295,9 @@ def load_device_checkpoint(
         from bm25_tpu.models.sparse import SparseEngine, fit_score_buffer_budget
 
         engine = SparseEngine(
-            buckets=state["buckets"],
+            buckets=_rebuild_buckets(
+                state["buckets"], meta["hot_h"], put=session.put
+            ),
             offsets=state["offsets"],
             hot_table=state["hot_table"],
             # host copy re-derived from the checkpointed table so the
@@ -246,7 +342,9 @@ def load_device_checkpoint(
         from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
 
         if "buckets" in state:
-            buckets = state["buckets"]
+            buckets = _rebuild_buckets(
+                state["buckets"], meta["hot_h"], mesh=mesh
+            )
         else:
             # version-2 checkpoints saved one flat bucket's fields
             buckets = [{
@@ -284,13 +382,26 @@ def restore_device_checkpoint(path: str | os.PathLike, engine) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.fspath(path))
-    state = _engine_state(engine)
-    shardings = jax.tree.map(lambda x: x.sharding, state)
     if os.path.exists(_meta_path(path)):
         with open(_meta_path(path)) as f:
             meta = json.load(f)
+        # shardings derive from the META tree (v4 trees carry sparse hot
+        # leaves the live engine doesn't have), placed on the live
+        # engine's device or mesh
+        mesh = getattr(engine, "mesh", None)
+        if mesh is not None:
+            shardings = _mesh_shardings(meta, mesh)
+        else:
+            shardings = _single_device_shardings(meta, engine.session.device)
         restored = _restore_state(path, meta, shardings)
+        if "buckets" in restored:
+            restored["buckets"] = _rebuild_buckets(
+                restored["buckets"], meta.get("hot_h", 0),
+                put=None if mesh is not None else engine.session.put,
+                mesh=mesh,
+            )
     else:
+        state = _engine_state(engine, compact=False)
         # pre-sidecar checkpoints (saved before the metadata file existed):
         # derive the restore targets from the live engine's arrays, the
         # original behavior — shapes must match what was checkpointed

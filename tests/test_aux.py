@@ -335,8 +335,15 @@ def test_restore_device_checkpoint_without_meta_sidecar(tmp_path,
     q = np.array([[0, 1, 2]], dtype=np.int32)
     d0, s0 = eng.search(q, top_k=5)
     path = str(tmp_path / "ckpt")
-    save_device_checkpoint(path, eng)
-    os.remove(path + ".meta.json")  # simulate a pre-sidecar checkpoint
+    # a REAL pre-sidecar checkpoint stored the DENSE tree (v4 saves the
+    # compact hot form) — write one the way v1 did
+    import orbax.checkpoint as ocp
+
+    from bm25_tpu.index.device_checkpoint import _engine_state
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _engine_state(eng, compact=False))
+    assert not os.path.exists(path + ".meta.json")
 
     import jax.numpy as jnp
     eng2 = SparseEngine.from_scored_index(idx, hot_tokens=8)
@@ -396,3 +403,63 @@ def test_device_checkpoint_restores_routing_host_table(
     save_device_checkpoint(p2, e_a)
     restore_device_checkpoint(p2, e_b)
     np.testing.assert_array_equal(e_b.hot_table_host, rolled)
+
+
+def test_device_checkpoint_v4_sparse_hot(tmp_path, zipf_corpus_small):
+    """v4 stores the hot tier sparse (much smaller) and the restored dense
+    bf16 pair is BIT-identical; v3 dense checkpoints still load."""
+    import json as _json
+
+    import orbax.checkpoint as ocp
+
+    from bm25_tpu.index.device_checkpoint import (
+        _engine_meta, _engine_state, load_device_checkpoint,
+        save_device_checkpoint)
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab),
+                             vocab=out.vocab)
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=16)
+    assert eng.hot_h == 16
+    p4 = str(tmp_path / "v4")
+    save_device_checkpoint(p4, eng)
+    # the saved tree is sparse: no dense hotT leaves on disk
+    meta = _json.load(open(p4 + ".meta.json"))
+    assert meta["version"] == 4
+    flat = _json.dumps(meta["tree"])
+    assert "hotNzRank" in flat and '"hotT"' not in flat
+
+    e2 = load_device_checkpoint(p4)
+    for b_old, b_new in zip(eng.buckets, e2.buckets):
+        if "hotT" in b_old:
+            np.testing.assert_array_equal(
+                np.asarray(b_old["hotT"]), np.asarray(b_new["hotT"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(b_old["hotLo"]), np.asarray(b_new["hotLo"])
+            )
+    q = np.array([[0, 1, 5, -1]], dtype=np.int32)
+    np.testing.assert_array_equal(eng.search(q, top_k=6)[0],
+                                  e2.search(q, top_k=6)[0])
+
+    # v3 (dense) checkpoint still loads through the same path
+    p3 = str(tmp_path / "v3")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(p3, _engine_state(eng, compact=False))
+    m3 = _engine_meta(eng)
+    m3["version"] = 3
+    import jax
+
+    m3["tree"] = jax.tree.map(
+        lambda x: [list(x.shape), str(x.dtype)],
+        _engine_state(eng, compact=False),
+    )
+    with open(p3 + ".meta.json", "w") as f:
+        _json.dump(m3, f)
+    e3 = load_device_checkpoint(p3)
+    np.testing.assert_array_equal(eng.search(q, top_k=6)[0],
+                                  e3.search(q, top_k=6)[0])
