@@ -183,6 +183,9 @@ def cmd_eval(args) -> int:
 def cmd_serve(args) -> int:
     from bm25_tpu.serve import Server
 
+    if args.index is None and not args.device_checkpoint:
+        print("error: provide an index dir and/or --device-checkpoint")
+        return 2
     engine_kwargs = {}
     if args.score_dtype != "float32":
         engine_kwargs["score_dtype"] = args.score_dtype
@@ -190,7 +193,28 @@ def cmd_serve(args) -> int:
            engine_mode=args.engine,
            batch_window_ms=args.batch_window_ms,
            warmup_top_k=args.warmup_top_k,
-           engine_kwargs=engine_kwargs).serve_forever()
+           engine_kwargs=engine_kwargs,
+           device_checkpoint=args.device_checkpoint).serve_forever()
+    return 0
+
+
+def cmd_checkpoint(args) -> int:
+    """Build the engine once and save a device checkpoint for fast serves."""
+    import time
+
+    from bm25_tpu.index.device_checkpoint import save_device_checkpoint
+    from bm25_tpu.index.io import load_index
+    from bm25_tpu.models.auto import create_engine
+
+    t0 = time.perf_counter()
+    index = load_index(args.index)
+    engine = create_engine(index, mode=args.engine)
+    print(f"engine built in {time.perf_counter() - t0:.1f}s "
+          f"({type(engine).__name__})")
+    t0 = time.perf_counter()
+    save_device_checkpoint(args.out, engine)
+    print(f"device checkpoint saved to {args.out} "
+          f"in {time.perf_counter() - t0:.1f}s")
     return 0
 
 
@@ -242,8 +266,25 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--max-queries", type=int, default=None)
     pe.set_defaults(fn=cmd_eval)
 
+    pc = sub.add_parser(
+        "checkpoint",
+        help="build an engine once and save a device checkpoint "
+             "(warm-restart serving without the index rebuild)",
+    )
+    pc.add_argument("index")
+    pc.add_argument("-o", "--out", required=True)
+    pc.add_argument("--engine", default="auto",
+                    choices=["auto", "dense", "sparse", "sharded",
+                             "sharded_sparse"])
+    pc.set_defaults(fn=cmd_checkpoint)
+
     ps = sub.add_parser("serve", help="HTTP search daemon over a saved index")
-    ps.add_argument("index")
+    ps.add_argument("index", nargs="?", default=None)
+    ps.add_argument("--device-checkpoint", default=None,
+                    help="warm-restart the engine from a device checkpoint "
+                         "(bm25-tpu checkpoint ...) instead of building "
+                         "from the index; the index dir remains optional "
+                         "for corpus text in responses and /reload")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8225)
     ps.add_argument("--engine", default="auto",

@@ -558,10 +558,12 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
 class Server:
     """Owns the engine + HTTP server; use as a context manager in tests."""
 
-    def __init__(self, index_dir: str, host: str = "127.0.0.1", port: int = 8225,
+    def __init__(self, index_dir: str | None, host: str = "127.0.0.1",
+                 port: int = 8225,
                  engine_mode: str = "auto", batch_window_ms: float = 0.0,
                  warmup_top_k: int = 0, engine_kwargs: dict | None = None,
-                 limits: ServeLimits | None = None):
+                 limits: ServeLimits | None = None,
+                 device_checkpoint: str | None = None):
         self._index_dir = index_dir
         self._engine_mode = engine_mode
         self._engine_kwargs = engine_kwargs or {}
@@ -569,7 +571,16 @@ class Server:
         self._reload_lock = threading.Lock()
         limits = limits or ServeLimits()
 
-        runtime = self._build_runtime(index_dir, batch_window_ms)
+        if device_checkpoint:
+            runtime = self._runtime_from_checkpoint(
+                device_checkpoint, index_dir, batch_window_ms
+            )
+        else:
+            if index_dir is None:
+                raise ValueError(
+                    "provide an index dir or a device_checkpoint"
+                )
+            runtime = self._build_runtime(index_dir, batch_window_ms)
         handler = type("Handler", (BM25RequestHandler,), {})
         handler.runtime = runtime
         handler.limits = limits
@@ -631,6 +642,42 @@ class Server:
         index, corpus = self._load_host(index_dir)
         return self._make_runtime(index, corpus, index_dir, batch_window_ms)
 
+    def _runtime_from_checkpoint(
+        self, path: str, index_dir: str | None,
+        batch_window_ms: float = 0.0,
+    ) -> EngineRuntime:
+        """Warm-restart the engine straight from a device checkpoint.
+
+        No ScoredIndex load, no ELL/hot rebuild — the vocab rides in the
+        checkpoint metadata.  ``index_dir`` (optional) only supplies the
+        corpus texts for response bodies and a /reload target.
+        """
+        from bm25_tpu.index.device_checkpoint import load_device_checkpoint
+        from bm25_tpu.index.io import MMapCorpus
+        from bm25_tpu.text.tokenizer import Tokenizer
+
+        engine = load_device_checkpoint(path)
+        if engine.vocab is None:
+            raise ValueError(
+                "checkpoint has no vocab; re-save it from an engine built "
+                "with one (build_index keeps the vocab on the index)"
+            )
+        corpus = None
+        if index_dir is not None:
+            try:
+                corpus = MMapCorpus.open(index_dir)
+            except FileNotFoundError:
+                corpus = None
+        stats = {
+            "num_docs": engine.num_docs,
+            "vocab_size": engine.vocab_size,
+            "engine": type(engine).__name__,
+            "batch_window_ms": batch_window_ms,
+            "device_checkpoint": path,
+        }
+        return EngineRuntime(engine=engine, tokenizer=Tokenizer(),
+                             vocab=engine.vocab, corpus=corpus, stats=stats)
+
     def _warmup(self, engine) -> None:
         # trigger the first-query JIT compile before accepting traffic
         # (cold compile through a remote-compile relay can take minutes;
@@ -662,6 +709,11 @@ class Server:
         """
         with self._reload_lock:
             index_dir = index_dir or self._index_dir
+            if index_dir is None:
+                raise FileNotFoundError(
+                    "no index dir to reload from (serving from a device "
+                    "checkpoint); pass 'index_dir' in the reload request"
+                )
             old_rt = self._handler.runtime
             old_stats = old_rt.stats
             window = old_stats.get("batch_window_ms", 0.0)

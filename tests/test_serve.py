@@ -676,3 +676,43 @@ def test_reload_drop_mode_releases_engine_and_503s(tmp_path_factory, request):
     finally:
         gate.set()
         srv.shutdown()
+
+
+def test_serve_from_device_checkpoint(tmp_path_factory, request):
+    """bm25-tpu checkpoint + serve --device-checkpoint: the server warm-
+    restarts from the checkpoint (no index build) and serves correctly."""
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_ck")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    ck = str(tmp_path_factory.mktemp("ck_dir") / "ck")
+
+    from bm25_tpu.cli.main import main as cli_main
+
+    assert cli_main(["checkpoint", str(d), "-o", ck]) == 0
+    srv = Server(None, port=0, device_checkpoint=ck)
+    srv.start_background()
+    try:
+        out = _post(srv, {"queries": ["does the fish purr like a cat?"],
+                          "top_k": 2})
+        assert out["results"][0][0]["doc"] == 0
+        # no corpus dir -> no text in responses, but ids/scores work
+        assert "text" not in out["results"][0][0]
+        # reload without an index dir is a client error, not a crash
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/reload", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+
+    # with the index dir alongside, corpus text comes back
+    srv2 = Server(str(d), port=0, device_checkpoint=ck)
+    srv2.start_background()
+    try:
+        out = _post(srv2, {"queries": ["bird that can fly"], "top_k": 1})
+        assert "fly" in out["results"][0][0]["text"]
+    finally:
+        srv2.shutdown()
