@@ -198,6 +198,53 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_warm(args) -> int:
+    """Pre-compile the serving shape family into the persistent cache.
+
+    A deploy step: first run pays the compiles (minutes through a
+    remote-compile relay), every later ``serve`` start or ``/reload`` of
+    the same engine configuration starts warm.
+    """
+    from bm25_tpu.runtime.warmup import warm_engine
+
+    if args.index is None and not args.device_checkpoint:
+        print("error: provide an index dir and/or --device-checkpoint",
+              file=sys.stderr)
+        return 2
+    if args.device_checkpoint:
+        from bm25_tpu.index.device_checkpoint import load_device_checkpoint
+
+        engine = load_device_checkpoint(args.device_checkpoint)
+    else:
+        from bm25_tpu.index.io import load_index
+        from bm25_tpu.models.auto import create_engine
+
+        engine_kwargs = {}
+        if args.score_dtype != "float32":
+            engine_kwargs["score_dtype"] = args.score_dtype
+        engine = create_engine(load_index(args.index), mode=args.engine,
+                               **engine_kwargs)
+    ints = lambda s: tuple(int(x) for x in s.split(","))  # noqa: E731
+    t0 = time.perf_counter()
+    report = warm_engine(
+        engine,
+        top_ks=ints(args.top_k),
+        batch_sizes=ints(args.batch_sizes),
+        routed_batch=args.routed_batch,
+        widths=ints(args.widths),
+        cold_classes=ints(args.cold_classes),
+        weighted=args.weighted,
+        ids_only=args.ids_only,
+        log=lambda *a: print(*a, file=sys.stderr),
+    )
+    print(json.dumps({
+        "shapes": len(report),
+        "total_seconds": round(time.perf_counter() - t0, 1),
+        "report": report,
+    }))
+    return 0
+
+
 def cmd_checkpoint(args) -> int:
     """Build the engine once and save a device checkpoint for fast serves."""
     import time
@@ -277,6 +324,38 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["auto", "dense", "sparse", "sharded",
                              "sharded_sparse"])
     pc.set_defaults(fn=cmd_checkpoint)
+
+    pw = sub.add_parser(
+        "warm",
+        help="pre-compile the serving shape family into the persistent "
+             "compile cache (run once at deploy; later serves start warm)",
+    )
+    pw.add_argument("index", nargs="?", default=None)
+    pw.add_argument("--device-checkpoint", default=None,
+                    help="warm an engine restored from a device checkpoint "
+                         "instead of building from the index dir")
+    pw.add_argument("--engine", default="auto",
+                    choices=["auto", "dense", "sparse", "sharded",
+                             "sharded_sparse"])
+    pw.add_argument("--top-k", default="10",
+                    help="comma-separated top_k values to warm (match what "
+                         "clients will send)")
+    pw.add_argument("--batch-sizes", default="1,8,32",
+                    help="comma-separated unrouted request sizes")
+    pw.add_argument("--routed-batch", type=int, default=512,
+                    help="row count for the routed (micro-batched) shapes")
+    pw.add_argument("--widths", default="8",
+                    help="comma-separated padded query widths (8 covers "
+                         "all queries with <= 8 terms)")
+    pw.add_argument("--cold-classes", default="2,4,8",
+                    help="comma-separated routed cold-width classes")
+    pw.add_argument("--weighted", action="store_true",
+                    help="also warm the weighted-query path")
+    pw.add_argument("--ids-only", action="store_true",
+                    help="also warm the rankings-only (search_ids) path")
+    pw.add_argument("--score-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    pw.set_defaults(fn=cmd_warm)
 
     ps = sub.add_parser("serve", help="HTTP search daemon over a saved index")
     ps.add_argument("index", nargs="?", default=None)

@@ -1,0 +1,157 @@
+"""Compile-cache warmers: pre-compile a serving engine's shape family.
+
+The first dispatch of each distinct compiled shape — (chunk height, query
+width, cold width, top_k, weighted-or-not) — pays a fresh XLA compile,
+which costs minutes through a remote-compile relay (NOTES.md: a cold
+serving soak spent 19 minutes compiling before taking traffic; the
+``--warmup-top-k`` flag only covers ONE shape).  Compiles land in the
+persistent compilation cache (``runtime/session.py``), so warming is a
+*deploy* step: run ``bm25-tpu warm`` once per engine configuration and
+every later ``serve`` start or ``/reload`` replays the cached binaries.
+
+``warm_engine`` drives the REAL public dispatch path (``engine.search``)
+rather than poking jit internals, so exactly the shapes the planner
+(``models/sparse.py::plan_query_dispatch``) would compile under traffic
+are the ones compiled here.  The reference has no serving daemon and no
+compile step to warm (SURVEY.md section 0); this is the TPU-native
+operational answer to XLA's trace-once/compile-once model.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _query_matrix(
+    engine, q: int, t: int, cold: int | None, rng: np.random.Generator
+) -> np.ndarray:
+    """A (q, t) int32 query matrix shaped to hit one compiled shape class.
+
+    ``cold`` pins each row's count of cold (non-hot-tier) tokens so the
+    routed planner compiles chunks at that cold-width class.  When the
+    engine has no hot table (dense engines, routing off) the ids are
+    plain uniform draws and ``cold`` is ignored.
+    """
+    vocab = int(engine.vocab_size)
+    table = getattr(engine, "hot_table_host", None)
+    if cold is None or table is None:
+        return rng.integers(0, vocab, size=(q, t), dtype=np.int32)
+    cold = min(cold, t)
+    cold_pool = np.where(np.asarray(table) < 0)[0]
+    hot_pool = np.where(np.asarray(table) >= 0)[0]
+    if len(cold_pool) == 0 or len(hot_pool) == 0:
+        # degenerate hot split (all-hot or all-cold vocab): routing can't
+        # produce mixed widths anyway, fall back to uniform ids
+        return rng.integers(0, vocab, size=(q, t), dtype=np.int32)
+    ids = np.empty((q, t), dtype=np.int64)
+    ids[:, :cold] = rng.choice(cold_pool, size=(q, cold))
+    ids[:, cold:] = rng.choice(hot_pool, size=(q, t - cold))
+    return ids.astype(np.int32)
+
+
+def default_plan(
+    engine,
+    top_ks=(10,),
+    batch_sizes=(1, 8, 32),
+    routed_batch: int = 512,
+    widths=(8,),
+    cold_classes=(2, 4, 8),
+    weighted: bool = False,
+    ids_only: bool = False,
+) -> list[dict]:
+    """Enumerate the warm tasks for a serving deployment.
+
+    Two families per (top_k, width):
+
+    - small *unrouted* batches (below the engine's ``route_min_queries``
+      floor): each ``q`` pads to its own 8-row multiple, the shapes a
+      lightly-loaded server compiles request by request;
+    - one *routed* batch per cold-width class: ``routed_batch`` rows all
+      at ``c`` cold tokens, so the dispatch DP emits chunks compiled at
+      exactly that class — the shapes a busy micro-batched server hits.
+
+    ``weighted=True`` / ``ids_only=True`` add those path variants (each
+    is its own compiled family).  Returns plain dicts so callers (CLI,
+    tests) can inspect or edit the plan before running it.
+    """
+    route_min = int(getattr(engine, "route_min_queries", 32) or 32)
+    has_routing = (
+        getattr(engine, "hot_table_host", None) is not None
+        and int(getattr(engine, "hot_h", 0) or 0) > 0
+    )
+    tasks: list[dict] = []
+
+    def add(q, t, c, k, w, io):
+        tasks.append({
+            "q": int(q), "t": int(t), "cold": c, "top_k": int(k),
+            "weighted": bool(w), "ids_only": bool(io),
+        })
+
+    variants = [(False, False)]
+    if weighted:
+        variants.append((True, False))
+    if ids_only and getattr(engine, "search_ids", None) is not None:
+        variants.append((False, True))
+    for k in top_ks:
+        for t in widths:
+            for w, io in variants:
+                for q in batch_sizes:
+                    if q < route_min:
+                        add(q, t, None, k, w, io)
+                if has_routing and routed_batch >= route_min:
+                    for c in cold_classes:
+                        if c <= t:
+                            add(routed_batch, t, int(c), k, w, io)
+                elif routed_batch not in batch_sizes:
+                    add(routed_batch, t, None, k, w, io)
+    return tasks
+
+
+def warm_engine(
+    engine,
+    tasks: list[dict] | None = None,
+    *,
+    seed: int = 0,
+    log=None,
+    **plan_kwargs,
+) -> list[dict]:
+    """Run every task through ``engine.search``, timing each dispatch.
+
+    Returns the task list with a ``seconds`` field added per task.  Cache
+    hits run in milliseconds-to-tens-of-ms; a multi-second entry is a
+    fresh compile that is now persistently cached.  Safe to re-run —
+    idempotent by construction (results are discarded).
+    """
+    if tasks is None:
+        tasks = default_plan(engine, **plan_kwargs)
+    rng = np.random.default_rng(seed)
+    report = []
+    for task in tasks:
+        ids = _query_matrix(engine, task["q"], task["t"], task["cold"], rng)
+        weights = None
+        if task["weighted"]:
+            # unit weights: tail-tier engines require non-negative weights
+            weights = np.ones_like(ids, dtype=np.float32)
+        t0 = time.monotonic()
+        if task["ids_only"]:
+            engine.search_ids(ids, top_k=task["top_k"], weights=weights)
+        elif weights is not None:
+            engine.search(ids, top_k=task["top_k"], weights=weights)
+        else:
+            engine.search(ids, top_k=task["top_k"])
+        entry = dict(task, seconds=round(time.monotonic() - t0, 3))
+        report.append(entry)
+        if log is not None:
+            c = "-" if entry["cold"] is None else entry["cold"]
+            flags = "".join(
+                f" {name}" for name, on in
+                (("weighted", entry["weighted"]), ("ids_only", entry["ids_only"]))
+                if on
+            )
+            log(
+                f"warm q={entry['q']:>4} t={entry['t']:>3} cold={c:>2} "
+                f"k={entry['top_k']:>5}{flags}: {entry['seconds']:.3f}s"
+            )
+    return report
