@@ -48,14 +48,26 @@ _SHARDED_ENGINES = ("ShardedEngine", "ShardedSparseEngine")
 
 
 def _compact_buckets(buckets: list) -> list:
-    """Bucket state with dense hot pairs replaced by their sparse form."""
+    """Bucket state with dense hot pairs replaced by their sparse form.
+
+    Sparsifying needs the full pair on THIS host; on a multi-process mesh
+    the hot arrays are not fully addressable here, so those buckets keep
+    their dense leaves (v3 form — Orbax writes sharded leaves natively,
+    each process its own shards).  Restore handles either form per
+    bucket.
+    """
     from bm25_tpu.models.sparse import hot_pair_to_sparse
 
     out = []
     for b in buckets:
-        entry = {k: v for k, v in b.items() if k not in ("hotT", "hotLo")}
-        if "hotT" in b:
+        if "hotT" in b and getattr(
+            b["hotT"], "is_fully_addressable", True
+        ):
+            entry = {k: v for k, v in b.items()
+                     if k not in ("hotT", "hotLo")}
             entry.update(hot_pair_to_sparse(b["hotT"], b["hotLo"]))
+        else:
+            entry = dict(b)
         out.append(entry)
     return out
 
@@ -97,8 +109,13 @@ def _engine_state(engine, compact: bool = True) -> dict:
     )
 
 
-def _engine_meta(engine) -> dict:
+def _engine_meta(engine, state: dict | None = None) -> dict:
+    """Metadata sidecar; pass the already-computed ``state`` from the save
+    path — recomputing it here would run the bucket compaction (a full
+    device->host pull of the dense hot pair) a second time."""
     name = type(engine).__name__
+    if state is None:
+        state = _engine_state(engine)
     meta = {
         "version": CHECKPOINT_VERSION,
         "engine": name,
@@ -109,7 +126,7 @@ def _engine_meta(engine) -> dict:
         "tail_cap": int(getattr(engine, "tail_cap", 0)),
         "score_dtype": getattr(engine, "score_dtype", "float32"),
         "tree": jax.tree.map(
-            lambda x: [list(x.shape), str(x.dtype)], _engine_state(engine)
+            lambda x: [list(x.shape), str(x.dtype)], state
         ),
     }
     return meta
@@ -124,11 +141,12 @@ def save_device_checkpoint(path: str | os.PathLike, engine) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.fspath(path))
+    state = _engine_state(engine)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _engine_state(engine))
+        ckptr.save(path, state)
     if jax.process_index() == 0:
         with open(_meta_path(path), "w") as f:
-            json.dump(_engine_meta(engine), f)
+            json.dump(_engine_meta(engine, state), f)
 
 
 def _restore_state(path: str, meta: dict, shardings) -> dict:
@@ -245,7 +263,7 @@ def _rebuild_hot_sharded(hot_h: int, rows: int, sparse: dict, mesh):
     out = []
     for key in ("hotNzHi", "hotNzLo"):
         tokT, valT = _sparse_hot_ell(
-            hot_h, rows, sparse["hotNzRank"], sparse["hotNzPos"], sparse[key]
+            rows, sparse["hotNzRank"], sparse["hotNzPos"], sparse[key]
         )
         out.append(scan(ids, jax.device_put(tokT, row_sh),
                         jax.device_put(valT, row_sh)))

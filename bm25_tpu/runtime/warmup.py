@@ -39,8 +39,10 @@ def _query_matrix(
     if cold is None or table is None:
         return rng.integers(0, vocab, size=(q, t), dtype=np.int32)
     cold = min(cold, t)
-    cold_pool = np.where(np.asarray(table) < 0)[0]
-    hot_pool = np.where(np.asarray(table) >= 0)[0]
+    # the hot table is padded past the real vocab; ids must stay in range
+    table = np.asarray(table)[:vocab]
+    cold_pool = np.where(table < 0)[0]
+    hot_pool = np.where(table >= 0)[0]
     if len(cold_pool) == 0 or len(hot_pool) == 0:
         # degenerate hot split (all-hot or all-cold vocab): routing can't
         # produce mixed widths anyway, fall back to uniform ids
@@ -63,14 +65,15 @@ def default_plan(
 ) -> list[dict]:
     """Enumerate the warm tasks for a serving deployment.
 
-    Two families per (top_k, width):
-
-    - small *unrouted* batches (below the engine's ``route_min_queries``
-      floor): each ``q`` pads to its own 8-row multiple, the shapes a
-      lightly-loaded server compiles request by request;
-    - one *routed* batch per cold-width class: ``routed_batch`` rows all
-      at ``c`` cold tokens, so the dispatch DP emits chunks compiled at
-      exactly that class — the shapes a busy micro-batched server hits.
+    Every batch size is warmed in the form production would run it:
+    sizes below the engine's ``route_min_queries`` floor warm as plain
+    *unrouted* dispatches (each pads to its own 8-row multiple — the
+    shapes a lightly-loaded server compiles request by request); sizes
+    at or above the floor warm *routed*, once per cold-width class, so
+    the dispatch DP emits chunks compiled at exactly the classes a busy
+    micro-batched server hits.  ``routed_batch`` is just an extra large
+    size appended to ``batch_sizes``.  Engines without a hot tier warm
+    every size unrouted (routing never engages for them).
 
     ``weighted=True`` / ``ids_only=True`` add those path variants (each
     is its own compiled family).  Returns plain dicts so callers (CLI,
@@ -81,6 +84,7 @@ def default_plan(
         getattr(engine, "hot_table_host", None) is not None
         and int(getattr(engine, "hot_h", 0) or 0) > 0
     )
+    sizes = sorted(set(batch_sizes) | {routed_batch})
     tasks: list[dict] = []
 
     def add(q, t, c, k, w, io):
@@ -97,15 +101,13 @@ def default_plan(
     for k in top_ks:
         for t in widths:
             for w, io in variants:
-                for q in batch_sizes:
-                    if q < route_min:
+                for q in sizes:
+                    if has_routing and q >= route_min:
+                        for c in cold_classes:
+                            if c <= t:
+                                add(q, t, int(c), k, w, io)
+                    else:
                         add(q, t, None, k, w, io)
-                if has_routing and routed_batch >= route_min:
-                    for c in cold_classes:
-                        if c <= t:
-                            add(routed_batch, t, int(c), k, w, io)
-                elif routed_batch not in batch_sizes:
-                    add(routed_batch, t, None, k, w, io)
     return tasks
 
 

@@ -33,6 +33,20 @@ def test_default_plan_covers_unrouted_and_routed(engine):
     assert {t["top_k"] for t in tasks} == {5, 10}
 
 
+def test_default_plan_warms_every_batch_size(engine):
+    """A size at/above the routing floor warms ROUTED (per cold class),
+    never silently dropped (review finding: q=32 vanished from the plan)."""
+    tasks = default_plan(engine, top_ks=(5,), batch_sizes=(1, 8, 32),
+                         routed_batch=512, cold_classes=(2, 4))
+    assert engine.route_min_queries == 32
+    by_q = {}
+    for t in tasks:
+        by_q.setdefault(t["q"], []).append(t["cold"])
+    assert by_q[1] == [None] and by_q[8] == [None]
+    assert sorted(by_q[32]) == [2, 4]      # routed, both classes
+    assert sorted(by_q[512]) == [2, 4]
+
+
 def test_default_plan_variant_families(engine):
     tasks = default_plan(engine, top_ks=(5,), batch_sizes=(8,),
                          routed_batch=64, cold_classes=(2,),
