@@ -1,0 +1,536 @@
+"""Incremental index updates: delta segment + tombstones + compaction.
+
+The reference (and bm25s, whose on-disk format we share) is build-once:
+changing the corpus means a full refit (``/root/reference/bm25_test.py:22-35``
+rebuilds from scratch).  A serving deployment needs live mutation, so this
+module adds the segment architecture search engines use for it (Lucene-style):
+
+* the **base segment** is the existing device engine, frozen with the corpus
+  statistics (N, avgdl, df) captured at its build;
+* **added docs** land in a small host-side :class:`DeltaSegment`, scored with
+  the SAME frozen statistics snapshot, so base and delta scores are mutually
+  consistent and merge exactly;
+* **deletes** are tombstones — filtered out of results at query time (the
+  base engine over-fetches just enough to stay exact);
+* :func:`UpdatableEngine.search` merges base and delta candidates with the
+  library-wide tie contract (equal scores -> smaller doc id);
+* **compaction** rebuilds one fresh base segment from the live corpus,
+  restoring true current-corpus statistics, and reports the doc-id remap.
+
+Score semantics contract: between compactions every score is exactly what a
+full build over the *base-snapshot* corpus statistics would produce (new
+terms, absent from the snapshot, use their delta document frequency).  BM25
+scores of existing docs legitimately shift when N/avgdl/df change; deferring
+that shift to compaction is the standard trade (precomputed-score engines
+cannot cheaply rescore 10^8 postings per added doc).  ``compact()`` makes
+scores exact for the current corpus again — bit-identical to a fresh build.
+
+Thread safety: mutators swap one immutable snapshot reference; ``search``
+reads it once.  Concurrent searches during an ``add``/``delete`` see either
+the old or the new corpus, never a mix.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+from bm25_tpu.scoring import (
+    BM25Params,
+    ScoredIndex,
+    idf,
+    tf_saturation,
+    zero_tf_offset,
+)
+
+
+def _round_up_k(extra: int, quantum: int = 64) -> int:
+    """Over-fetch amount rounded up so tombstone count changes don't mint a
+    new compiled top-k shape on every delete (bounded shape family)."""
+    if extra <= 0:
+        return 0
+    return -(-extra // quantum) * quantum
+
+
+@dataclass(frozen=True)
+class StatsSnapshot:
+    """Frozen corpus statistics the base segment was scored with."""
+
+    num_docs: int
+    avgdl: float
+    df: np.ndarray  # (V0,) document frequencies at snapshot time
+    params: BM25Params
+
+    @classmethod
+    def from_index(cls, index: ScoredIndex) -> "StatsSnapshot":
+        return cls(
+            num_docs=index.num_docs,
+            avgdl=index.avgdl,
+            df=index.df(),
+            params=index.params,
+        )
+
+
+class DeltaSegment:
+    """Host-scored segment of recently added docs (frozen-stats scoring).
+
+    Rebuilt from the raw per-doc token ids on every ``add`` batch — new
+    terms' df grows as docs arrive, and the segment is small by contract
+    (compaction caps it), so the O(delta nnz) NumPy rebuild is cheap.
+    Scoring mirrors ``build_scored_index_flat`` exactly (same f32 rounding
+    points), so a delta doc identical to a base doc scores identically.
+    """
+
+    def __init__(self, stats: StatsSnapshot, vocab_size: int):
+        self.stats = stats
+        self.base_vocab_size = vocab_size
+        self.doc_token_ids: list[np.ndarray] = []
+        self.vocab_size = vocab_size
+        self._csc: sp.csc_matrix | None = None
+        self._token_offsets: np.ndarray | None = None
+
+    def __len__(self) -> int:
+        return len(self.doc_token_ids)
+
+    def add(self, doc_token_ids: list[np.ndarray]) -> None:
+        self.doc_token_ids.extend(
+            np.asarray(t, dtype=np.int32) for t in doc_token_ids
+        )
+        for t in self.doc_token_ids[-len(doc_token_ids):]:
+            if len(t):
+                self.vocab_size = max(self.vocab_size, int(t.max()) + 1)
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        stats, params = self.stats, self.stats.params
+        m = len(self.doc_token_ids)
+        v = self.vocab_size
+        dl = np.array([len(t) for t in self.doc_token_ids], dtype=np.int32)
+        flat = (np.concatenate(self.doc_token_ids)
+                if m else np.zeros(0, np.int32))
+        # (doc, token) -> tf via one sparse sum
+        rows = np.repeat(np.arange(m, dtype=np.int64), dl)
+        tf_mat = sp.csc_matrix(
+            (np.ones(len(flat), np.float32), (rows, flat)), shape=(m, v)
+        )
+        tf_mat.sum_duplicates()
+        tf_mat.sort_indices()
+
+        # frozen-stats scoring: snapshot df for snapshot-era terms, delta df
+        # for new terms (they did not exist at snapshot time)
+        df_full = np.zeros(v, dtype=np.int64)
+        v0 = min(len(stats.df), v)
+        df_full[:v0] = stats.df[:v0]
+        if v > self.base_vocab_size:
+            new_df = np.diff(tf_mat.indptr)[self.base_vocab_size:]
+            df_full[self.base_vocab_size:] = new_df
+        idf_low = idf(
+            params.effective_idf_method, stats.num_docs, df_full
+        ).astype(np.float32)
+
+        avgdl = stats.avgdl
+        if avgdl > 0:
+            dl_norm = (1.0 - params.b + params.b
+                       * (dl.astype(np.float64) / avgdl)).astype(np.float32)
+        else:
+            dl_norm = np.full(m, 1.0 - params.b, dtype=np.float32)
+
+        # per-nnz transform at the SAME f32 rounding points as
+        # build_scored_index_flat (scoring.py) for bitwise consistency
+        col_of = np.repeat(
+            np.arange(v, dtype=np.int64), np.diff(tf_mat.indptr)
+        )
+        row_of = tf_mat.indices
+        sat = tf_saturation(
+            params.method, tf_mat.data, dl_norm[row_of],
+            np.float32(params.k1), np.float32(params.delta),
+        )
+        base = np.float32(zero_tf_offset(params.method, params.k1,
+                                         params.delta))
+        scored = sp.csc_matrix(
+            ((idf_low[col_of] * (sat - base)).astype(np.float32),
+             tf_mat.indices, tf_mat.indptr),
+            shape=(m, v),
+        )
+        self._csc = scored
+        self._token_offsets = (
+            (idf_low * base).astype(np.float32) if base != 0.0
+            else np.zeros(v, dtype=np.float32)
+        )
+
+    def score_all(
+        self, queries: np.ndarray, weights: np.ndarray | None = None
+    ) -> np.ndarray:
+        """(Q, M) dense scores of every delta doc for every query row."""
+        m = len(self.doc_token_ids)
+        q_n = len(queries)
+        out = np.zeros((q_n, m), dtype=np.float32)
+        if m == 0 or q_n == 0:
+            return out
+        csc, offs = self._csc, self._token_offsets
+        for i in range(q_n):
+            q = queries[i]
+            keep = (q >= 0) & (q < self.vocab_size)
+            q_i = q[keep]
+            if not len(q_i):
+                continue
+            if weights is None:
+                out[i] = np.asarray(csc[:, q_i].sum(axis=1)).ravel()
+                out[i] += np.float32(offs[q_i].sum())
+            else:
+                w = weights[i][keep].astype(np.float64)
+                out[i] = np.asarray(csc[:, q_i] @ w).ravel()
+                out[i] += np.float32(offs[q_i] @ w)
+        return out
+
+
+@dataclass(frozen=True)
+class _State:
+    """One immutable corpus snapshot; ``search`` reads a single reference."""
+
+    delta: DeltaSegment | None
+    tombs: np.ndarray  # bool (num_docs_total,)
+    tomb_base: int     # tombstones among base docs
+    tomb_delta: int
+    num_total: int
+
+
+class UpdatableEngine:
+    """Mutable-corpus facade over a frozen device engine (engine-level API).
+
+    Wraps any single-chip or sharded engine: ``search``/``search_ids`` take
+    the usual (Q, T) padded token-id matrices and return global doc ids —
+    base docs keep their build-time ids, added docs number onward from
+    ``base_num_docs``.  See the module docstring for the score-consistency
+    contract.
+    """
+
+    def __init__(self, base_engine, base_index: ScoredIndex):
+        self.base = base_engine
+        self.base_num_docs = int(base_index.num_docs)
+        if self.base_num_docs == 0:
+            raise ValueError(
+                "base engine has no documents; build the initial index "
+                "with at least one doc (stats snapshots need a corpus)"
+            )
+        self.base_vocab_size = int(base_index.vocab_size)
+        self.stats = StatsSnapshot.from_index(base_index)
+        self._lock = threading.Lock()
+        self._state = _State(
+            delta=None,
+            tombs=np.zeros(self.base_num_docs, dtype=bool),
+            tomb_base=0, tomb_delta=0,
+            num_total=self.base_num_docs,
+        )
+
+    # -- introspection ------------------------------------------------------
+
+    @property
+    def num_docs(self) -> int:
+        """Total addressable doc ids (live + tombstoned)."""
+        return self._state.num_total
+
+    @property
+    def live_docs(self) -> int:
+        st = self._state
+        return st.num_total - st.tomb_base - st.tomb_delta
+
+    @property
+    def delta_docs(self) -> int:
+        st = self._state
+        return 0 if st.delta is None else len(st.delta)
+
+    @property
+    def deleted_docs(self) -> int:
+        st = self._state
+        return st.tomb_base + st.tomb_delta
+
+    @property
+    def vocab_size(self) -> int:
+        st = self._state
+        return (self.base_vocab_size if st.delta is None
+                else st.delta.vocab_size)
+
+    # -- mutation -----------------------------------------------------------
+
+    def add(self, doc_token_ids: list[np.ndarray]) -> np.ndarray:
+        """Append docs (per-doc token-id arrays); returns their global ids."""
+        with self._lock:
+            st = self._state
+            delta = st.delta or DeltaSegment(self.stats,
+                                             self.base_vocab_size)
+            start = self.base_num_docs + len(delta)
+            delta.add(doc_token_ids)
+            new_total = self.base_num_docs + len(delta)
+            tombs = np.zeros(new_total, dtype=bool)
+            tombs[: len(st.tombs)] = st.tombs
+            self._state = _State(
+                delta=delta, tombs=tombs,
+                tomb_base=st.tomb_base, tomb_delta=st.tomb_delta,
+                num_total=new_total,
+            )
+            return np.arange(start, start + len(doc_token_ids),
+                             dtype=np.int64)
+
+    def delete(self, doc_ids) -> int:
+        """Tombstone global doc ids; returns how many were newly deleted."""
+        ids = np.atleast_1d(np.asarray(doc_ids, dtype=np.int64))
+        with self._lock:
+            st = self._state
+            if ids.size and (
+                int(ids.min()) < 0 or int(ids.max()) >= st.num_total
+            ):
+                raise ValueError(
+                    f"doc id out of range [0, {st.num_total}) in delete"
+                )
+            tombs = st.tombs.copy()
+            before = int(tombs.sum())
+            tombs[ids] = True
+            newly = int(tombs.sum()) - before
+            self._state = _State(
+                delta=st.delta, tombs=tombs,
+                tomb_base=int(tombs[: self.base_num_docs].sum()),
+                tomb_delta=int(tombs[self.base_num_docs:].sum()),
+                num_total=st.num_total,
+            )
+            return newly
+
+    # -- search -------------------------------------------------------------
+
+    def search(
+        self, queries: np.ndarray, top_k: int = 100,
+        weights: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched top-k over the LIVE corpus (tombstones never returned)."""
+        st = self._state  # one snapshot: delta + tombs stay coherent
+        queries = np.asarray(queries)
+        if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
+            raise ValueError("queries must be a 2-D integer array of token ids")
+        vmax = (self.base_vocab_size if st.delta is None
+                else st.delta.vocab_size)
+        if queries.size and int(queries.max()) >= vmax:
+            raise ValueError(
+                f"max token id {int(queries.max())} out of range for vocab "
+                f"of {vmax} tokens"
+            )
+        q_n = len(queries)
+        live = st.num_total - st.tomb_base - st.tomb_delta
+        k = min(top_k, live)
+        if q_n == 0 or k <= 0:
+            return (np.zeros((q_n, max(k, 0)), np.int32),
+                    np.zeros((q_n, max(k, 0)), np.float32))
+
+        # base candidates: strip post-snapshot token ids (the base engine
+        # has no postings for them; they still score in the delta), and
+        # over-fetch by the (shape-quantized) base tombstone count so the
+        # top k live base docs are always inside the candidate set
+        base_q = queries
+        stripped = None
+        if queries.size and int(queries.max()) >= self.base_vocab_size:
+            stripped = queries >= self.base_vocab_size
+            base_q = np.where(stripped, np.int32(-1), queries)
+        k_base = min(k + _round_up_k(st.tomb_base), self.base_num_docs)
+        docs_b, scores_b = self.base.search(base_q, top_k=k_base,
+                                            weights=weights)
+        docs_b = np.asarray(docs_b, dtype=np.int64)
+        scores_b = np.asarray(scores_b, dtype=np.float32)
+        if stripped is not None and st.delta is not None:
+            # token offsets (bm25l/bm25+ nonoccurrence term) are
+            # doc-independent: the delta adds them for new terms, so base
+            # rows need the same constant or cross-segment order skews
+            offs = st.delta._token_offsets
+            per_tok = offs[np.where(stripped, queries, 0)] * stripped
+            if weights is not None:
+                per_tok = per_tok * weights
+            corr = per_tok.sum(axis=1, dtype=np.float64).astype(np.float32)
+            scores_b = scores_b + corr[:, None]
+
+        if st.delta is None or len(st.delta) == 0:
+            if st.tomb_base == 0:
+                return docs_b[:, :k].astype(np.int32), scores_b[:, :k]
+            return self._filter_merge(
+                docs_b, scores_b, None, None, st.tombs, k
+            )
+
+        # delta candidates: score EVERY delta doc (the segment is small by
+        # contract), shift to global ids
+        scores_d_all = st.delta.score_all(queries, weights)
+        docs_d = (np.arange(len(st.delta), dtype=np.int64)
+                  + self.base_num_docs)
+        docs_d = np.broadcast_to(docs_d, scores_d_all.shape)
+        return self._filter_merge(
+            docs_b, scores_b, docs_d, scores_d_all, st.tombs, k
+        )
+
+    def search_ids(
+        self, queries: np.ndarray, top_k: int = 100,
+        weights: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Rankings only (docs matrix)."""
+        return self.search(queries, top_k=top_k, weights=weights)[0]
+
+    @staticmethod
+    def _filter_merge(docs_b, scores_b, docs_d, scores_d, tombs, k):
+        """Per-query: drop tombstones, two-key merge (score desc, id asc)."""
+        q_n = len(docs_b)
+        out_docs = np.zeros((q_n, k), dtype=np.int32)
+        out_scores = np.zeros((q_n, k), dtype=np.float32)
+        for i in range(q_n):
+            d, s = docs_b[i], scores_b[i]
+            if docs_d is not None:
+                d = np.concatenate([d, docs_d[i]])
+                s = np.concatenate([s, scores_d[i]])
+            keep = ~tombs[d]
+            d, s = d[keep], s[keep]
+            order = np.lexsort((d, -s))[:k]
+            n = len(order)
+            out_docs[i, :n] = d[order]
+            out_scores[i, :n] = s[order]
+        return out_docs, out_scores
+
+    # -- compaction hooks ---------------------------------------------------
+
+    def needs_compaction(
+        self, max_delta_docs: int = 50_000, max_deleted_frac: float = 0.2
+    ) -> bool:
+        st = self._state
+        deleted = st.tomb_base + st.tomb_delta
+        return (self.delta_docs > max_delta_docs
+                or deleted > max_deleted_frac * max(st.num_total, 1))
+
+    def live_mask(self) -> np.ndarray:
+        """Bool (num_docs,): True = live.  Basis for the compaction remap."""
+        return ~self._state.tombs
+
+
+class UpdatableRetriever:
+    """Text-level mutable retrieval: add/delete/compact + batched search.
+
+    The live corpus is ``self.corpus`` (deleted texts stay in place until
+    compaction so global doc ids remain stable between compactions).  The
+    vocab grows in place as added docs introduce new terms; queries always
+    tokenize against the full live vocab.
+    """
+
+    def __init__(self, index: ScoredIndex, engine, tokenizer, corpus,
+                 engine_mode: str = "auto",
+                 max_delta_docs: int = 50_000,
+                 max_deleted_frac: float = 0.2,
+                 engine_kwargs: dict | None = None):
+        if index.vocab is None:
+            raise ValueError("UpdatableRetriever needs an index with a vocab")
+        self.index = index
+        self.engine = UpdatableEngine(engine, index)
+        self.tokenizer = tokenizer
+        self.vocab = index.vocab  # grows in place on add
+        self.corpus = list(corpus)
+        self.engine_mode = engine_mode
+        self.max_delta_docs = max_delta_docs
+        self.max_deleted_frac = max_deleted_frac
+        self.engine_kwargs = engine_kwargs or {}
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def fit(cls, corpus, params: BM25Params | None = None,
+            tokenizer=None, engine_mode: str = "auto",
+            **kwargs) -> "UpdatableRetriever":
+        from bm25_tpu.index.builder import build_index
+        from bm25_tpu.models.auto import create_engine
+        from bm25_tpu.text.tokenizer import Tokenizer
+
+        tokenizer = tokenizer or Tokenizer()
+        corpus = list(corpus)
+        index, _ = build_index(corpus, params=params, tokenizer=tokenizer)
+        engine = create_engine(index, mode=engine_mode)
+        return cls(index=index, engine=engine, tokenizer=tokenizer,
+                   corpus=corpus, engine_mode=engine_mode, **kwargs)
+
+    # -- mutation ------------------------------------------------------------
+
+    def add_documents(self, texts) -> np.ndarray:
+        """Add texts; returns their doc ids (post-compaction ids if the add
+        tripped the auto-compaction thresholds)."""
+        texts = list(texts)
+        if not texts:
+            return np.zeros(0, dtype=np.int64)
+        tc = self.tokenizer.tokenize_corpus(texts, vocab=self.vocab)
+        ids = self.engine.add(tc.ids)
+        self.corpus.extend(texts)
+        if self.engine.needs_compaction(self.max_delta_docs,
+                                        self.max_deleted_frac):
+            remap = self.compact()
+            ids = remap[ids]
+        return ids
+
+    def delete_documents(self, doc_ids) -> int:
+        n = self.engine.delete(doc_ids)
+        if self.engine.needs_compaction(self.max_delta_docs,
+                                        self.max_deleted_frac):
+            self.compact()
+        return n
+
+    def compact(self) -> np.ndarray:
+        """Rebuild one fresh base segment from the live corpus.
+
+        Returns the id remap: ``remap[old_id] -> new_id`` (-1 for deleted
+        docs).  After compaction scores are exact for the current corpus —
+        bit-identical to ``UpdatableRetriever.fit`` on the live texts.
+        """
+        from bm25_tpu.index.builder import build_index
+        from bm25_tpu.models.auto import create_engine
+
+        live = self.engine.live_mask()
+        remap = np.full(len(live), -1, dtype=np.int64)
+        remap[live] = np.arange(int(live.sum()), dtype=np.int64)
+        corpus = [t for t, alive in zip(self.corpus, live) if alive]
+        if not corpus:
+            raise ValueError(
+                "compaction would empty the corpus; engines need >= 1 doc "
+                "(delete fewer docs or rebuild from scratch)"
+            )
+        # fresh vocab: ids reassigned in first-occurrence order, terms that
+        # only occurred in deleted docs drop out
+        tokenizer = self.tokenizer
+        index, _ = build_index(corpus, params=self.index.params,
+                               tokenizer=tokenizer)
+        engine = create_engine(index, mode=self.engine_mode,
+                               **self.engine_kwargs)
+        self.index = index
+        self.vocab = index.vocab
+        self.corpus = corpus
+        self.engine = UpdatableEngine(engine, index)
+        return remap
+
+    # -- retrieval -----------------------------------------------------------
+
+    def retrieve(self, queries, k: int = 10, return_text: bool = False):
+        """Batched text retrieval over the live corpus (see Retriever)."""
+        queries = list(queries)
+        if any(isinstance(q, dict) for q in queries):
+            ids, wts = self.tokenizer.tokenize_weighted_queries(
+                queries, self.vocab
+            )
+            docs, scores = self.engine.search(ids, top_k=k, weights=wts)
+        else:
+            ids = self.tokenizer.tokenize_queries(queries, self.vocab)
+            docs, scores = self.engine.search(ids, top_k=k)
+        if not return_text:
+            return docs, scores
+        texts = [[self.text(int(d)) for d in row] for row in docs]
+        return docs, scores, texts
+
+    def text(self, doc_id: int) -> str:
+        return self.corpus[doc_id]
+
+    def save(self, path: str, with_corpus: bool = True) -> None:
+        """Compact (making scores current-corpus-exact), then save."""
+        from bm25_tpu.index.io import save_index
+
+        if self.engine.delta_docs or self.engine.deleted_docs:
+            self.compact()
+        save_index(path, self.index,
+                   corpus=self.corpus if with_corpus else None)
