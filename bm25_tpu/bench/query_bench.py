@@ -257,7 +257,15 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
     batches = [
         queries[i : i + cfg.batch] for i in range(0, len(queries), cfg.batch)
     ]
-    docs0, scores0 = engine.search(batches[0], top_k=k)  # warmup / compile
+    # warmup / compile: one full pass — the routed planner compiles per
+    # cold-width class, and later batches can hit classes the first batch
+    # never produced (an unwarmed class once put a 42 s compile inside the
+    # timed loop, reporting as p99)
+    docs0 = None
+    for b in batches:
+        d, _ = engine.search(b, top_k=k)
+        if docs0 is None:
+            docs0 = d
     lat = []
     for b in batches:
         t0 = time.perf_counter()
