@@ -194,7 +194,8 @@ def cmd_serve(args) -> int:
            batch_window_ms=args.batch_window_ms,
            warmup_top_k=args.warmup_top_k,
            engine_kwargs=engine_kwargs,
-           device_checkpoint=args.device_checkpoint).serve_forever()
+           device_checkpoint=args.device_checkpoint,
+           updatable=args.updatable).serve_forever()
     return 0
 
 
@@ -379,6 +380,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bfloat16 halves result-transfer bytes (sparse "
                          "engines; doc ids stay exact, returned score "
                          "values round to bf16)")
+    ps.add_argument("--updatable", action="store_true",
+                    help="enable live index mutation: POST /add, /delete, "
+                         "/compact (delta segment + tombstones over the "
+                         "frozen base engine)")
     ps.set_defaults(fn=cmd_serve)
     return p
 

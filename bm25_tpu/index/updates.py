@@ -95,6 +95,19 @@ class DeltaSegment:
     def __len__(self) -> int:
         return len(self.doc_token_ids)
 
+    def clone(self) -> "DeltaSegment":
+        """Copy for copy-on-write mutation: concurrent readers keep scoring
+        the old segment while ``add`` rebuilds the new one (the _State swap
+        is what publishes it — mutating a published segment in place would
+        let ``score_all`` see the grown ``vocab_size`` next to the old,
+        narrower CSC and index out of bounds)."""
+        c = DeltaSegment(self.stats, self.base_vocab_size)
+        c.doc_token_ids = list(self.doc_token_ids)
+        c.vocab_size = self.vocab_size
+        c._csc = self._csc
+        c._token_offsets = self._token_offsets
+        return c
+
     def add(self, doc_token_ids: list[np.ndarray]) -> None:
         self.doc_token_ids.extend(
             np.asarray(t, dtype=np.int32) for t in doc_token_ids
@@ -260,8 +273,8 @@ class UpdatableEngine:
         """Append docs (per-doc token-id arrays); returns their global ids."""
         with self._lock:
             st = self._state
-            delta = st.delta or DeltaSegment(self.stats,
-                                             self.base_vocab_size)
+            delta = (st.delta.clone() if st.delta is not None
+                     else DeltaSegment(self.stats, self.base_vocab_size))
             start = self.base_num_docs + len(delta)
             delta.add(doc_token_ids)
             new_total = self.base_num_docs + len(delta)

@@ -13,6 +13,15 @@ Stdlib-only JSON-over-HTTP:
     POST /reload   {"index_dir": "..."} (optional; defaults to the served
                    dir) — load the index fresh and swap the engine
                    atomically; in-flight requests finish on the old engine
+    POST /add      {"docs": ["text", ...]}        (updatable=True only)
+                -> {"doc_ids": [...]} — live adds via a host delta segment
+                   scored with frozen base statistics (index/updates.py);
+                   new docs and new TERMS are searchable immediately
+    POST /delete   {"doc_ids": [id, ...]}         (updatable=True only)
+                   tombstones; deleted docs stop appearing at once
+    POST /compact  {"save_dir": "..."} (optional) (updatable=True only)
+                   rebuild one fresh base segment from the live corpus
+                   (ids reassigned, scores current-corpus-exact again)
     GET  /healthz  -> {"status": "ok", "num_docs": N, ...}
 
 Batched: each request's queries run as one device batch.  With
@@ -53,6 +62,8 @@ class ServeLimits:
     max_top_k: int = 16384
     request_timeout_s: float = 60.0        # wall clock per request
     max_pending_rows: int = 8192           # bounded batcher queue -> 429
+    max_add_docs: int = 1024               # docs per /add request
+    max_doc_chars: int = 1 << 20           # chars per added doc
 
 
 @dataclass
@@ -68,6 +79,50 @@ class EngineRuntime:
     vocab: dict
     corpus: object | None
     stats: dict = field(default_factory=dict)
+
+
+class CorpusView:
+    """Read view over base corpus + live-added texts (updatable serving).
+
+    Base docs come from the loaded corpus (an :class:`MMapCorpus` or a
+    list); docs added through ``POST /add`` land in an in-memory overlay.
+    Doc ids are global engine ids: ``[0, base_len)`` reads the base,
+    onward reads the overlay.  A missing base (index saved without a
+    corpus) degrades to empty text rather than failing the response.
+    """
+
+    def __init__(self, base, extra: list | None = None):
+        self.base = base
+        self.base_len = len(base) if base is not None else 0
+        self.extra = list(extra or [])
+
+    def __len__(self) -> int:
+        return self.base_len + len(self.extra)
+
+    def __getitem__(self, i: int):
+        if i < self.base_len:
+            return self.base[i]
+        j = i - self.base_len
+        if j < len(self.extra):
+            return self.extra[j]
+        return {"text": ""}
+
+    def append_texts(self, texts: list[str]) -> None:
+        self.extra.extend({"text": t} for t in texts)
+
+    def live_texts(self, live_mask) -> list[str]:
+        """Texts of every live doc, in global id order (compaction input)."""
+        live_ids = [i for i, alive in enumerate(live_mask) if alive]
+        base_ids = [i for i in live_ids if i < self.base_len]
+        if self.base is not None and hasattr(self.base, "batch"):
+            base_docs = self.base.batch(base_ids)  # one file pass
+        else:
+            base_docs = [self[i] for i in base_ids]
+        out = [d.get("text", "") for d in base_docs]
+        out.extend(
+            self[i].get("text", "") for i in live_ids if i >= self.base_len
+        )
+        return out
 
 
 class ServerMetrics:
@@ -404,6 +459,14 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         if self.path.startswith("/healthz"):
             rt = self.runtime
             payload = {"status": "ok", **(rt.stats or {})}
+            if (rt.stats or {}).get("updatable") and rt.engine is not None:
+                eng = rt.engine
+                payload["updates"] = {
+                    "live_docs": eng.live_docs,
+                    "delta_docs": eng.delta_docs,
+                    "deleted_docs": eng.deleted_docs,
+                    "needs_compaction": eng.needs_compaction(),
+                }
             if self.metrics is not None:
                 payload["metrics"] = self.metrics.snapshot(self.batcher)
             if "deep=1" in self.path:
@@ -442,6 +505,9 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         if self.path == "/reload":
             self._do_reload()
             return
+        if self.path in ("/add", "/delete", "/compact"):
+            self._do_update()
+            return
         if self.path != "/search":
             self._send(404, {"error": "not found"})
             return
@@ -469,6 +535,16 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             else:
                 ids = rt.tokenizer.tokenize_queries(queries, rt.vocab)
                 wts = None
+            if (rt.stats or {}).get("updatable"):
+                # a racing /add grows the vocab BEFORE its engine state
+                # swaps in; a query tokenized against the grown vocab must
+                # not 400 on "token id out of range" — ids the engine can't
+                # see yet have no postings anywhere, so mask them to pad
+                oov = ids >= rt.engine.vocab_size
+                if oov.any():
+                    ids = np.where(oov, np.int32(-1), ids)
+                    if wts is not None:
+                        wts = np.where(oov, np.float32(0.0), wts)
             search_ids = getattr(rt.engine, "search_ids", None)
             if self.batcher is not None:
                 docs, scores = self.batcher.search(
@@ -525,6 +601,64 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             results.append(row)
         self._send(200, {"results": results})
 
+    def _do_update(self):
+        """POST /add | /delete | /compact — live index mutation."""
+        rt = self.runtime
+        if self.server_ref is None:
+            self._send(500, {"error": "updates unavailable"})
+            return
+        if not (rt.stats or {}).get("updatable"):
+            self._send(400, {
+                "error": "server is not updatable; start with --updatable"
+            })
+            return
+        if rt.engine is None:
+            self._send(503, {"error": "index rebuilding; retry shortly"})
+            return
+        try:
+            req = self._read_body()
+            if self.path == "/add":
+                docs = req.get("docs")
+                if (not isinstance(docs, list) or not docs
+                        or not all(isinstance(d, str) for d in docs)):
+                    raise ValueError(
+                        "'docs' must be a non-empty list of strings"
+                    )
+                if len(docs) > self.limits.max_add_docs:
+                    raise ValueError(
+                        f"{len(docs)} docs exceeds the per-request cap of "
+                        f"{self.limits.max_add_docs}"
+                    )
+                for d in docs:
+                    if len(d) > self.limits.max_doc_chars:
+                        raise ValueError(
+                            f"doc of {len(d)} chars exceeds the cap of "
+                            f"{self.limits.max_doc_chars}"
+                        )
+                out = self.server_ref.add_documents(docs)
+            elif self.path == "/delete":
+                ids = req.get("doc_ids")
+                if (not isinstance(ids, list) or not ids
+                        or not all(isinstance(i, int) for i in ids)):
+                    raise ValueError(
+                        "'doc_ids' must be a non-empty list of integers"
+                    )
+                out = self.server_ref.delete_documents(ids)
+            else:
+                save_dir = req.get("save_dir")
+                if save_dir is not None and not isinstance(save_dir, str):
+                    raise ValueError("'save_dir' must be a string path")
+                out = self.server_ref.compact(save_dir=save_dir)
+        except (TypeError, ValueError, json.JSONDecodeError) as e:
+            self._send(400, {"error": str(e)})
+            return
+        except Exception as e:
+            if self.metrics is not None:
+                self.metrics.record_error()
+            self._send(500, {"error": str(e)})
+            return
+        self._send(200, out)
+
     def _do_reload(self):
         if self.server_ref is None:
             self._send(500, {"error": "reload unavailable"})
@@ -563,12 +697,21 @@ class Server:
                  engine_mode: str = "auto", batch_window_ms: float = 0.0,
                  warmup_top_k: int = 0, engine_kwargs: dict | None = None,
                  limits: ServeLimits | None = None,
-                 device_checkpoint: str | None = None):
+                 device_checkpoint: str | None = None,
+                 updatable: bool = False):
         self._index_dir = index_dir
         self._engine_mode = engine_mode
         self._engine_kwargs = engine_kwargs or {}
         self._warmup_top_k = warmup_top_k
         self._reload_lock = threading.Lock()
+        self._updatable = updatable
+        self._update_lock = threading.Lock()  # serializes add/delete/compact
+        if updatable and device_checkpoint:
+            raise ValueError(
+                "updatable serving needs the host index (corpus stats for "
+                "delta scoring); start from an index dir, not a device "
+                "checkpoint"
+            )
         limits = limits or ServeLimits()
 
         if device_checkpoint:
@@ -634,6 +777,12 @@ class Server:
             "batch_window_ms": batch_window_ms,
             "index_dir": index_dir,
         }
+        if self._updatable:
+            from bm25_tpu.index.updates import UpdatableEngine
+
+            engine = UpdatableEngine(engine, index)
+            corpus = CorpusView(corpus)
+            stats["updatable"] = True
         return EngineRuntime(engine=engine, tokenizer=Tokenizer(),
                              vocab=index.vocab, corpus=corpus, stats=stats)
 
@@ -750,6 +899,114 @@ class Server:
                 self.batcher.engine = runtime.engine
             self._index_dir = index_dir
             return dict(runtime.stats)
+
+    # -- live updates (updatable=True) -----------------------------------
+
+    def add_documents(self, texts: list[str]) -> dict:
+        """Tokenize + add texts to the live delta segment; returns ids.
+
+        The vocab grows in place (new terms become queryable immediately);
+        texts land in the corpus view BEFORE the engine state swaps so a
+        racing search never returns a doc id without its text.
+        """
+        with self._update_lock:
+            rt = self._handler.runtime  # snapshot under the lock: compact
+            # swaps the runtime and also takes this lock, so rt stays valid
+            if rt.engine is None:
+                raise RuntimeError("index rebuilding; retry shortly")
+            tc = rt.tokenizer.tokenize_corpus(list(texts), vocab=rt.vocab)
+            rt.corpus.append_texts(list(texts))
+            ids = rt.engine.add(tc.ids)
+            return {
+                "status": "added",
+                "doc_ids": [int(i) for i in ids],
+                "live_docs": rt.engine.live_docs,
+                "delta_docs": rt.engine.delta_docs,
+                "needs_compaction": rt.engine.needs_compaction(),
+            }
+
+    def delete_documents(self, doc_ids) -> dict:
+        """Tombstone doc ids; they stop appearing in results immediately."""
+        with self._update_lock:
+            rt = self._handler.runtime
+            if rt.engine is None:
+                raise RuntimeError("index rebuilding; retry shortly")
+            n = rt.engine.delete(doc_ids)
+            return {
+                "status": "deleted",
+                "deleted": n,
+                "live_docs": rt.engine.live_docs,
+                "deleted_docs": rt.engine.deleted_docs,
+                "needs_compaction": rt.engine.needs_compaction(),
+            }
+
+    def compact(self, save_dir: str | None = None) -> dict:
+        """Rebuild one fresh base segment from the live corpus and swap it in.
+
+        Doc ids are REASSIGNED (the response reports the live count; clients
+        treating ids as stable must re-resolve after compaction — same
+        contract as :meth:`UpdatableRetriever.compact`).  The host index is
+        rebuilt while the old engine still serves; the device swap uses the
+        drop-mode reload sequence (releases the old engine's HBM first, a
+        brief 503 window) because production engines are auto-sized to most
+        of the chip.  ``save_dir`` additionally persists the compacted index
+        (bm25s artifact set) for restart.
+        """
+        from bm25_tpu.index.builder import build_index
+        from bm25_tpu.index.io import save_index
+
+        with self._update_lock, self._reload_lock:
+            rt = self._handler.runtime
+            if rt.engine is None:
+                raise RuntimeError("index rebuilding; retry shortly")
+            params = rt.engine.stats.params
+            texts = rt.corpus.live_texts(rt.engine.live_mask())
+            if not texts:
+                raise ValueError(
+                    "compaction would empty the corpus; engines need >= 1 "
+                    "live doc"
+                )
+            window = rt.stats.get("batch_window_ms", 0.0)
+            index_dir = rt.stats.get("index_dir")
+            tokenizer = rt.tokenizer
+            # host rebuild FIRST — a failure here leaves the old engine
+            # serving untouched
+            index, _ = build_index(texts, params=params, tokenizer=tokenizer)
+            if save_dir is not None:
+                save_index(save_dir, index, corpus=texts)
+                index_dir = save_dir
+            corpus_list = [{"text": t} for t in texts]
+            # drop-mode swap: stub 503s, wait out admitted work, release
+            # the old engine's device buffers, then build the new one
+            self._handler.runtime = EngineRuntime(
+                engine=None, tokenizer=tokenizer, vocab=rt.vocab,
+                corpus=rt.corpus, stats=dict(rt.stats, reloading=True),
+            )
+            if self.batcher is not None:
+                deadline = time.monotonic() + 60
+                while (self.batcher.pending_rows > 0
+                       and time.monotonic() < deadline):
+                    time.sleep(0.05)
+                self.batcher.engine = None
+            del rt
+            import gc
+
+            gc.collect()
+            runtime = self._make_runtime(index, corpus_list, index_dir,
+                                         window)
+            if self._warmup_top_k > 0:
+                self._warmup(runtime.engine)
+            self._handler.runtime = runtime
+            if self.batcher is not None:
+                self.batcher.engine = runtime.engine
+            out = {
+                "status": "compacted",
+                "live_docs": runtime.engine.live_docs,
+                "vocab_size": runtime.engine.vocab_size,
+            }
+            if save_dir is not None:
+                out["saved_to"] = save_dir
+            return out
 
     @property
     def port(self) -> int:

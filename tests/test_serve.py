@@ -716,3 +716,179 @@ def test_serve_from_device_checkpoint(tmp_path_factory, request):
         assert "fly" in out["results"][0][0]["text"]
     finally:
         srv2.shutdown()
+
+
+# -- live updates (updatable=True) ----------------------------------------
+
+
+def _post_path(srv, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _healthz(srv):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+    ) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture()
+def upd_server(tmp_path_factory, request):
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("upd_idx")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0, updatable=True)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def test_updates_rejected_without_flag(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_path(server, "/add", {"docs": ["a new document"]})
+    assert e.value.code == 400
+    assert "updatable" in json.loads(e.value.read())["error"]
+
+
+def test_updatable_add_search_delete(upd_server):
+    srv = upd_server
+    h = _healthz(srv)
+    assert h["updatable"] is True and h["updates"]["live_docs"] == 4
+
+    # add two docs; one introduces a brand-new vocabulary term
+    out = _post_path(srv, "/add", {
+        "docs": ["the quokka is a smiling marsupial from rottnest",
+                 "a second quokka document about marsupials"]})
+    assert out["doc_ids"] == [4, 5] and out["live_docs"] == 6
+
+    # the new term is queryable immediately, text comes back
+    res = _post_path(srv, "/search",
+                     {"queries": ["quokka marsupial"], "top_k": 3})
+    top = res["results"][0]
+    assert {top[0]["doc"], top[1]["doc"]} == {4, 5}
+    assert "quokka" in top[0]["text"]
+
+    # weighted query against the grown vocab
+    res = _post_path(srv, "/search",
+                     {"queries": [{"quokka": 2.0, "bird": 0.5}], "top_k": 2})
+    assert res["results"][0][0]["doc"] in (4, 5)
+
+    # delete one; it stops appearing at once
+    out = _post_path(srv, "/delete", {"doc_ids": [4]})
+    assert out["deleted"] == 1 and out["live_docs"] == 5
+    res = _post_path(srv, "/search",
+                     {"queries": ["quokka marsupial"], "top_k": 3})
+    docs = [r["doc"] for r in res["results"][0]]
+    assert 4 not in docs and 5 in docs
+
+    h = _healthz(srv)
+    assert h["updates"]["delta_docs"] == 2
+    assert h["updates"]["deleted_docs"] == 1
+
+
+def test_updatable_bad_requests(upd_server):
+    srv = upd_server
+    for path, payload in [
+        ("/add", {"docs": []}),
+        ("/add", {"docs": [123]}),
+        ("/add", {}),
+        ("/delete", {"doc_ids": []}),
+        ("/delete", {"doc_ids": ["x"]}),
+        ("/delete", {"doc_ids": [99999]}),  # out of range
+        ("/compact", {"save_dir": 7}),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(srv, path, payload)
+        assert e.value.code == 400, (path, payload)
+
+
+def test_updatable_compact_and_save(upd_server, tmp_path):
+    srv = upd_server
+    _post_path(srv, "/add", {
+        "docs": ["axolotl regeneration is remarkable"]})
+    _post_path(srv, "/delete", {"doc_ids": [1]})
+
+    save_dir = str(tmp_path / "compacted")
+    out = _post_path(srv, "/compact", {"save_dir": save_dir})
+    assert out["status"] == "compacted" and out["live_docs"] == 4
+    assert out["saved_to"] == save_dir
+
+    h = _healthz(srv)
+    assert h["updates"]["delta_docs"] == 0
+    assert h["updates"]["deleted_docs"] == 0
+
+    # ids were reassigned: the axolotl doc is now id 3 (live order), and
+    # scores are current-corpus-exact -> equal to a fresh fit on the texts
+    res = _post_path(srv, "/search",
+                     {"queries": ["axolotl regeneration"], "top_k": 1})
+    assert res["results"][0][0]["doc"] == 3
+    assert "axolotl" in res["results"][0][0]["text"]
+
+    # the saved artifact set round-trips through a fresh (plain) server
+    srv2 = Server(save_dir, port=0)
+    srv2.start_background()
+    try:
+        res2 = _post_path(srv2, "/search",
+                          {"queries": ["axolotl regeneration"], "top_k": 1})
+        assert res2["results"][0][0]["doc"] == 3
+        assert (res2["results"][0][0]["score"]
+                == pytest.approx(res["results"][0][0]["score"]))
+    finally:
+        srv2.shutdown()
+
+    # post-compaction mutation keeps working (fresh stats snapshot)
+    out = _post_path(srv, "/add", {"docs": ["one more axolotl fact"]})
+    assert out["doc_ids"] == [4]
+    res = _post_path(srv, "/search",
+                     {"queries": ["axolotl"], "top_k": 2})
+    docs = [r["doc"] for r in res["results"][0]]
+    assert set(docs) == {3, 4}
+
+
+def test_updatable_rejects_device_checkpoint():
+    with pytest.raises(ValueError, match="updatable"):
+        Server(None, port=0, updatable=True, device_checkpoint="/tmp/x")
+
+
+def test_updatable_with_microbatcher_concurrent(tmp_path_factory, request):
+    """Adds racing searches through the batcher: no 400s, no wrong hits."""
+    import threading
+
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("upd_mb_idx")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0, updatable=True, batch_window_ms=5.0)
+    srv.start_background()
+    try:
+        errors = []
+
+        def searcher():
+            for _ in range(20):
+                try:
+                    _post_path(srv, "/search",
+                               {"queries": ["fish cat", "capybara rodent"],
+                                "top_k": 2})
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+
+        threads = [threading.Thread(target=searcher) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for i in range(10):
+            _post_path(srv, "/add",
+                       {"docs": [f"capybara rodent fact number {i}"]})
+        for t in threads:
+            t.join()
+        assert not errors
+        res = _post_path(srv, "/search",
+                         {"queries": ["capybara rodent"], "top_k": 10})
+        docs = {r["doc"] for r in res["results"][0]}
+        assert docs & set(range(4, 14))  # added docs rank for their term
+    finally:
+        srv.shutdown()
