@@ -91,9 +91,15 @@ class CorpusView:
     corpus) degrades to empty text rather than failing the response.
     """
 
-    def __init__(self, base, extra: list | None = None):
+    def __init__(self, base, extra: list | None = None,
+                 base_len: int | None = None):
         self.base = base
-        self.base_len = len(base) if base is not None else 0
+        # base_len is the engine's base doc count — the id offset of the
+        # overlay.  With no base corpus it must still equal the engine's
+        # base_num_docs (pass it explicitly) or added docs' texts would be
+        # looked up at the wrong overlay position.
+        self.base_len = (len(base) if base is not None
+                         else int(base_len or 0))
         self.extra = list(extra or [])
 
     def __len__(self) -> int:
@@ -101,7 +107,7 @@ class CorpusView:
 
     def __getitem__(self, i: int):
         if i < self.base_len:
-            return self.base[i]
+            return self.base[i] if self.base is not None else {"text": ""}
         j = i - self.base_len
         if j < len(self.extra):
             return self.extra[j]
@@ -781,7 +787,7 @@ class Server:
             from bm25_tpu.index.updates import UpdatableEngine
 
             engine = UpdatableEngine(engine, index)
-            corpus = CorpusView(corpus)
+            corpus = CorpusView(corpus, base_len=index.num_docs)
             stats["updatable"] = True
         return EngineRuntime(engine=engine, tokenizer=Tokenizer(),
                              vocab=index.vocab, corpus=corpus, stats=stats)
@@ -960,7 +966,16 @@ class Server:
             if rt.engine is None:
                 raise RuntimeError("index rebuilding; retry shortly")
             params = rt.engine.stats.params
-            texts = rt.corpus.live_texts(rt.engine.live_mask())
+            live = rt.engine.live_mask()
+            if rt.corpus.base is None and bool(
+                live[: rt.corpus.base_len].any()
+            ):
+                raise ValueError(
+                    "cannot compact: the served index has no corpus texts "
+                    "for its base docs (save the index with a corpus, or "
+                    "delete all base docs first)"
+                )
+            texts = rt.corpus.live_texts(live)
             if not texts:
                 raise ValueError(
                     "compaction would empty the corpus; engines need >= 1 "

@@ -19,14 +19,178 @@ sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 
 
-def post(port, payload, timeout=120):
+def post(port, payload, timeout=120, path="/search"):
     req = urllib.request.Request(
-        f"http://127.0.0.1:{port}/search",
+        f"http://127.0.0.1:{port}{path}",
         data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"},
     )
     with urllib.request.urlopen(req, timeout=timeout) as r:
         return json.loads(r.read())
+
+
+def soak_updates() -> None:
+    """Updatable-serving soak: add/delete/compact under concurrent traffic.
+
+    Mid-size index (compact rebuilds the whole base segment, so the scale
+    is chosen to keep the drop-mode 503 window tens of seconds).  Clients
+    retry on 503 (the documented compact/reload window contract); any
+    other failure is a hard error.  Ends with consistency checks: marker
+    docs searchable across the compaction id remap, zero hard errors.
+    """
+    import tempfile
+    import urllib.error
+
+    import jax
+
+    if os.environ.get("SOAK_CPU"):
+        # the axon sitecustomize force-sets JAX_PLATFORMS, so the env var
+        # alone can't select CPU — mirror tests/conftest.py
+        jax.config.update("jax_platforms", "cpu")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_bm25")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bm25_tpu.bench.query_bench import _zipf_probs
+    from bm25_tpu.index.builder import build_index
+    from bm25_tpu.serve import Server
+
+    num_docs = int(os.environ.get("SOAK_DOCS", 131072))
+    vocab = 16384
+    rng = np.random.default_rng(0)
+    cum = np.cumsum(_zipf_probs(vocab))
+    lengths = np.maximum(4, rng.poisson(32, num_docs))
+    print(f"[soak-upd] synthesizing {num_docs} docs", flush=True)
+    texts = [
+        " ".join(f"w{t}" for t in np.searchsorted(cum, rng.random(n)))
+        for n in lengths
+    ]
+    with tempfile.TemporaryDirectory(dir="/root") as d:
+        idx_dir = os.path.join(d, "idx")
+        t0 = time.perf_counter()
+        build_index(texts, save_to=idx_dir, save_corpus=True)
+        print(f"[soak-upd] index built+saved in {time.perf_counter()-t0:.0f}s",
+              flush=True)
+        srv = Server(idx_dir, port=0, engine_mode="sparse",
+                     batch_window_ms=5.0, warmup_top_k=10, updatable=True)
+        srv.start_background()
+        port = srv.port
+        print(f"[soak-upd] serving on :{port}", flush=True)
+
+        errors: list[str] = []
+        retries_503 = [0]
+        done = threading.Event()
+        counts = [0] * 6
+
+        def client(ci):
+            r = np.random.default_rng(ci)
+            while not done.is_set():
+                terms = [f"w{t}" for t in r.integers(0, 2000, size=5)]
+                q = (" ".join(terms) if r.integers(0, 2) == 0
+                     else {t: float(r.uniform(0.5, 3.0)) for t in terms})
+                try:
+                    out = post(port, {"queries": [q], "top_k": 10},
+                               timeout=300)
+                    assert len(out["results"][0]) == 10
+                    counts[ci] += 1
+                except urllib.error.HTTPError as e:
+                    if e.code == 503:  # compact window: documented, retry
+                        retries_503[0] += 1
+                        time.sleep(0.3)
+                        continue
+                    errors.append(f"client {ci}: HTTP {e.code}")
+                    return
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"client {ci}: {e!r}")
+                    return
+
+        added_ids: list[int] = []
+        marker_batches = [0]
+
+        def mutator():
+            n = 0
+            r = np.random.default_rng(99)
+            while not done.is_set():
+                docs = [f"zzmarker{n} special doc {i} "
+                        + " ".join(f"w{t}" for t in r.integers(0, 2000, 8))
+                        for i in range(8)]
+                try:
+                    out = post(port, {"docs": docs}, timeout=600,
+                               path="/add")
+                    added_ids.extend(out["doc_ids"])
+                    marker_batches[0] += 1
+                    if n % 3 == 2 and len(added_ids) > 4:
+                        # delete two of our own earlier adds
+                        victims = added_ids[:2]
+                        del added_ids[:2]
+                        post(port, {"doc_ids": victims}, timeout=600,
+                             path="/delete")
+                except urllib.error.HTTPError as e:
+                    if e.code != 503:
+                        errors.append(f"mutator: HTTP {e.code} "
+                                      f"{e.read()[:200]!r}")
+                        return
+                    retries_503[0] += 1
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"mutator: {e!r}")
+                    return
+                n += 1
+                time.sleep(1.0)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        mt = threading.Thread(target=mutator)
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        mt.start()
+        time.sleep(45)
+
+        # a fresh marker term is searchable immediately (delta segment)
+        probe = post(port, {"queries": ["zzmarker1"], "top_k": 8},
+                     timeout=300)
+        hits = [it["doc"] for it in probe["results"][0] if it["score"] > 0]
+        print(f"[soak-upd] pre-compact marker hits: {len(hits)}", flush=True)
+        assert hits, "added docs must be searchable before compaction"
+
+        # compact MID-TRAFFIC (drop-mode 503 window; clients retry)
+        t1 = time.perf_counter()
+        out = post(port, {}, timeout=900, path="/compact")
+        print(f"[soak-upd] mid-traffic compact: {out} "
+              f"({time.perf_counter()-t1:.0f}s)", flush=True)
+        time.sleep(30)
+        done.set()
+        for t in threads:
+            t.join(timeout=120)
+        mt.join(timeout=120)
+        dt = time.perf_counter() - t0
+
+        # post-compact: marker docs survived the id remap and still rank
+        probe = post(port, {"queries": ["zzmarker1"], "top_k": 8},
+                     timeout=300)
+        hits = [it["doc"] for it in probe["results"][0] if it["score"] > 0]
+        texts_back = [it["text"] for it in probe["results"][0]
+                      if it["score"] > 0]
+        assert hits and all("zzmarker1" in t for t in texts_back), (
+            "marker docs lost across compaction")
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz?deep=1", timeout=300
+        ) as r:
+            h = json.loads(r.read())
+        srv.shutdown()
+        total = sum(counts)
+        print(f"[soak-upd] {total} searches over {dt:.0f}s, "
+              f"{marker_batches[0]} add batches, "
+              f"503-retries={retries_503[0]}, per-client={counts}",
+              flush=True)
+        print(f"[soak-upd] healthz: status={h['status']} "
+              f"updates={h.get('updates')} "
+              f"metrics={h.get('metrics')}", flush=True)
+        assert not errors, errors[:3]
+        assert h["status"] == "ok"
+        print("[soak-upd] OK", flush=True)
 
 
 def main() -> None:
@@ -127,4 +291,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--updates" in sys.argv:
+        soak_updates()
+    else:
+        main()

@@ -892,3 +892,38 @@ def test_updatable_with_microbatcher_concurrent(tmp_path_factory, request):
         assert docs & set(range(4, 14))  # added docs rank for their term
     finally:
         srv.shutdown()
+
+
+def test_updatable_without_corpus(tmp_path_factory, request):
+    """Index saved without texts: adds searchable with correct overlay
+    text, compact refused (base texts unrecoverable) until base docs go."""
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("upd_nocorpus_idx")
+    build_index(corpus, save_to=str(d), save_corpus=False)
+    srv = Server(str(d), port=0, updatable=True)
+    srv.start_background()
+    try:
+        out = _post_path(srv, "/add", {"docs": ["a quokka marsupial doc"]})
+        assert out["doc_ids"] == [4]
+        res = _post_path(srv, "/search",
+                         {"queries": ["quokka"], "top_k": 1})
+        top = res["results"][0][0]
+        # overlay text lands at the right global id despite no base corpus
+        assert top["doc"] == 4 and "quokka" in top["text"]
+        res = _post_path(srv, "/search", {"queries": ["cat"], "top_k": 1})
+        assert res["results"][0][0]["text"] == ""  # base text unavailable
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(srv, "/compact", {})
+        assert e.value.code == 400
+        assert "corpus" in json.loads(e.value.read())["error"]
+
+        # once every base doc is tombstoned, compaction is possible again
+        _post_path(srv, "/delete", {"doc_ids": [0, 1, 2, 3]})
+        out = _post_path(srv, "/compact", {})
+        assert out["live_docs"] == 1
+        res = _post_path(srv, "/search",
+                         {"queries": ["quokka"], "top_k": 1})
+        assert res["results"][0][0]["doc"] == 0
+    finally:
+        srv.shutdown()
