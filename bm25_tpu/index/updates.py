@@ -419,6 +419,116 @@ class UpdatableEngine:
         return ~self._state.tombs
 
 
+class UpdateLog:
+    """Append-only JSONL write-ahead log for live index updates.
+
+    Durability contract for serving: a mutation is acknowledged (HTTP 200)
+    only after its record is flushed *and fsynced* here, so every acked
+    ``/add``/``/delete``/``/compact`` survives a process kill and is
+    replayed on the next start.  A crash mid-append may leave a torn final
+    line — that op was never acked, so dropping it (with a warning) keeps
+    the at-most-once-loss guarantee.  The reference has no analog (it is
+    build-once: ``/root/reference/bm25_test.py:22-35`` refits from scratch);
+    this is the standard translog/WAL design search engines pair with a
+    segment architecture.
+
+    Record shapes (one JSON object per line)::
+
+        {"op": "add", "docs": ["text", ...]}
+        {"op": "delete", "doc_ids": [id, ...]}
+        {"op": "compact"}            # in-memory compact: replay re-runs the
+                                     # deterministic rebuild so later ops'
+                                     # doc ids line up with the remap
+
+    A compact that PERSISTS the new base to the served index dir folds all
+    prior records into the base, so the log is truncated instead.
+    """
+
+    FILENAME = "updates.wal"
+
+    def __init__(self, index_dir: str):
+        import os
+
+        self.path = os.path.join(index_dir, self.FILENAME)
+        self._lock = threading.Lock()
+        self._f = None
+
+    def read(self) -> list[dict]:
+        """Parse the log; [] if absent.  Tolerates exactly one torn line at
+        the tail (crash mid-append, never acked); garbage followed by valid
+        records means real corruption and raises."""
+        import json
+        import os
+        import warnings
+
+        if not os.path.exists(self.path):
+            return []
+        ops: list[dict] = []
+        bad_at = None
+        with open(self.path, "rb") as f:
+            for lineno, raw in enumerate(f, 1):
+                line = raw.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                    if not isinstance(rec, dict) or "op" not in rec:
+                        raise ValueError("record is not an op object")
+                except (ValueError, json.JSONDecodeError):
+                    if bad_at is None:
+                        bad_at = lineno
+                        continue
+                    raise ValueError(
+                        f"{self.path}: corrupt record at line {bad_at} "
+                        f"followed by more data — refusing to replay a log "
+                        f"with a hole (delete the file to start fresh)"
+                    ) from None
+                if bad_at is not None:
+                    raise ValueError(
+                        f"{self.path}: corrupt record at line {bad_at} "
+                        f"followed by more data — refusing to replay a log "
+                        f"with a hole (delete the file to start fresh)"
+                    )
+                ops.append(rec)
+        if bad_at is not None:
+            warnings.warn(
+                f"{self.path}: dropping torn final record at line {bad_at} "
+                "(crash mid-append; the op was never acknowledged)",
+                stacklevel=2,
+            )
+        return ops
+
+    def append(self, record: dict) -> None:
+        """Write one record; returns only after flush + fsync (ack gate)."""
+        import json
+        import os
+
+        with self._lock:
+            if self._f is None:
+                self._f = open(self.path, "a", encoding="utf-8")
+            self._f.write(json.dumps(record, ensure_ascii=False) + "\n")
+            self._f.flush()
+            os.fsync(self._f.fileno())
+
+    def truncate(self) -> None:
+        """Empty the log (its records are folded into a persisted base)."""
+        import os
+
+        with self._lock:
+            if self._f is not None:
+                self._f.close()
+                self._f = None
+            with open(self.path, "w", encoding="utf-8") as f:
+                f.flush()
+                os.fsync(f.fileno())
+
+    def close(self) -> None:
+        with self._lock:
+            if self._f is not None:
+                self._f.close()
+                self._f = None
+
+
 class UpdatableRetriever:
     """Text-level mutable retrieval: add/delete/compact + batched search.
 

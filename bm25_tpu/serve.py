@@ -22,6 +22,12 @@ Stdlib-only JSON-over-HTTP:
     POST /compact  {"save_dir": "..."} (optional) (updatable=True only)
                    rebuild one fresh base segment from the live corpus
                    (ids reassigned, scores current-corpus-exact again)
+
+Durability (updatable=True): every acked mutation is fsynced to an
+append-only write-ahead log (<index_dir>/updates.wal) before the 200, and
+replayed on the next start — a kill between compactions loses nothing
+that was acknowledged.  A compact with ``save_dir`` folds the log into
+the persisted base and truncates it (index/updates.py::UpdateLog).
     GET  /healthz  -> {"status": "ok", "num_docs": N, ...}
 
 Batched: each request's queries run as one device batch.  With
@@ -720,6 +726,7 @@ class Server:
             )
         limits = limits or ServeLimits()
 
+        self._wal = None  # UpdateLog when updatable (durable live updates)
         if device_checkpoint:
             runtime = self._runtime_from_checkpoint(
                 device_checkpoint, index_dir, batch_window_ms
@@ -730,6 +737,10 @@ class Server:
                     "provide an index dir or a device_checkpoint"
                 )
             runtime = self._build_runtime(index_dir, batch_window_ms)
+            if updatable:
+                runtime = self._open_wal_and_replay(
+                    runtime, index_dir, batch_window_ms
+                )
         handler = type("Handler", (BM25RequestHandler,), {})
         handler.runtime = runtime
         handler.limits = limits
@@ -797,6 +808,71 @@ class Server:
         index, corpus = self._load_host(index_dir)
         return self._make_runtime(index, corpus, index_dir, batch_window_ms)
 
+    # -- write-ahead log (updatable=True durability) ----------------------
+
+    def _open_wal_and_replay(self, runtime: EngineRuntime, index_dir: str,
+                             window: float) -> EngineRuntime:
+        """Open <index_dir>/updates.wal and replay any pending ops.
+
+        Every acked mutation since the last persisted compaction is in the
+        log, so restart reproduces the exact pre-kill state: same doc ids,
+        same delta segment, same tombstones (a logged in-memory compact is
+        re-run — its remap is deterministic, so later ops' ids line up).
+        """
+        from bm25_tpu.index.updates import UpdateLog
+
+        self._wal = UpdateLog(index_dir)
+        ops = self._wal.read()
+        if ops:
+            print(f"bm25-tpu: replaying {len(ops)} logged update(s) from "
+                  f"{self._wal.path}")
+            runtime = self._apply_wal_ops(runtime, ops, index_dir, window)
+            runtime.stats["wal_replayed"] = len(ops)
+        return runtime
+
+    def _apply_wal_ops(self, runtime: EngineRuntime, ops: list,
+                       index_dir: str, window: float) -> EngineRuntime:
+        """Apply logged mutations to a freshly built runtime (pre-swap: the
+        runtime is not serving yet, so a logged compact is a plain rebuild
+        with no 503 window)."""
+        from bm25_tpu.index.builder import build_index
+
+        for rec in ops:
+            op = rec.get("op")
+            if op == "add":
+                docs = list(rec["docs"])
+                tc = runtime.tokenizer.tokenize_corpus(
+                    docs, vocab=runtime.vocab
+                )
+                runtime.corpus.append_texts(docs)
+                runtime.engine.add(tc.ids)
+            elif op == "delete":
+                runtime.engine.delete(
+                    [int(i) for i in rec["doc_ids"]]
+                )
+            elif op == "compact":
+                live = runtime.engine.live_mask()
+                if runtime.corpus.base is None and bool(
+                    live[: runtime.corpus.base_len].any()
+                ):
+                    raise ValueError(
+                        "update log contains a compact but the base corpus "
+                        "texts are unavailable — cannot replay"
+                    )
+                texts = runtime.corpus.live_texts(live)
+                index, _ = build_index(
+                    texts, params=runtime.engine.stats.params,
+                    tokenizer=runtime.tokenizer,
+                )
+                runtime = self._make_runtime(
+                    index, [{"text": t} for t in texts], index_dir, window
+                )
+            else:
+                raise ValueError(
+                    f"unknown op {op!r} in update log {self._wal.path}"
+                )
+        return runtime
+
     def _runtime_from_checkpoint(
         self, path: str, index_dir: str | None,
         batch_window_ms: float = 0.0,
@@ -862,7 +938,10 @@ class Server:
         engine, so a mixed window runs two dispatches rather than mixing
         indices.
         """
-        with self._reload_lock:
+        # lock order matches compact(): update first, then reload — a
+        # concurrent mutation must not append to the outgoing dir's WAL
+        # after its records were read (or miss the new runtime entirely)
+        with self._update_lock, self._reload_lock:
             index_dir = index_dir or self._index_dir
             if index_dir is None:
                 raise FileNotFoundError(
@@ -898,6 +977,12 @@ class Server:
             # is already gone; the stub runtime stays in place (503s)
             # rather than serving wrong answers
             runtime = self._make_runtime(index, corpus, index_dir, window)
+            if self._updatable:
+                if self._wal is not None:
+                    self._wal.close()
+                runtime = self._open_wal_and_replay(
+                    runtime, index_dir, window
+                )
             if self._warmup_top_k > 0:
                 self._warmup(runtime.engine)
             self._handler.runtime = runtime  # the atomic swap
@@ -923,6 +1008,8 @@ class Server:
             tc = rt.tokenizer.tokenize_corpus(list(texts), vocab=rt.vocab)
             rt.corpus.append_texts(list(texts))
             ids = rt.engine.add(tc.ids)
+            if self._wal is not None:  # fsynced before the 200 (durability)
+                self._wal.append({"op": "add", "docs": list(texts)})
             return {
                 "status": "added",
                 "doc_ids": [int(i) for i in ids],
@@ -938,6 +1025,10 @@ class Server:
             if rt.engine is None:
                 raise RuntimeError("index rebuilding; retry shortly")
             n = rt.engine.delete(doc_ids)
+            if self._wal is not None:
+                self._wal.append(
+                    {"op": "delete", "doc_ids": [int(i) for i in doc_ids]}
+                )
             return {
                 "status": "deleted",
                 "deleted": n,
@@ -1014,6 +1105,21 @@ class Server:
             self._handler.runtime = runtime
             if self.batcher is not None:
                 self.batcher.engine = runtime.engine
+            if self._wal is not None:
+                if save_dir is None:
+                    # in-memory compact: log it so replay re-runs the
+                    # deterministic rebuild and later ops' ids line up
+                    self._wal.append({"op": "compact"})
+                else:
+                    # persisted compact: the new base folds every logged
+                    # op, so the log at the (possibly new) served dir
+                    # starts empty — also clears a stale WAL left in
+                    # save_dir by an earlier serving run
+                    from bm25_tpu.index.updates import UpdateLog
+
+                    self._wal.close()
+                    self._wal = UpdateLog(save_dir)
+                    self._wal.truncate()
             out = {
                 "status": "compacted",
                 "live_docs": runtime.engine.live_docs,
@@ -1058,3 +1164,5 @@ class Server:
         self.httpd.server_close()
         if self.batcher is not None:
             self.batcher.drain(timeout=30)
+        if self._wal is not None:
+            self._wal.close()

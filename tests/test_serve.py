@@ -927,3 +927,190 @@ def test_updatable_without_corpus(tmp_path_factory, request):
         assert res["results"][0][0]["doc"] == 0
     finally:
         srv.shutdown()
+
+
+# -- write-ahead log durability (updatable=True) --------------------------
+
+
+def _build_upd_idx(tmp_path_factory, request, name, save_corpus=True):
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp(name)
+    build_index(corpus, save_to=str(d), save_corpus=save_corpus)
+    return str(d)
+
+
+def test_wal_replays_acked_ops_after_kill(tmp_path_factory, request):
+    """Acked /add and /delete survive a restart bit-for-bit: same doc ids,
+    same scores, same texts, tombstones intact."""
+    d = _build_upd_idx(tmp_path_factory, request, "wal_idx")
+    srv = Server(d, port=0, updatable=True)
+    srv.start_background()
+    try:
+        out = _post_path(srv, "/add",
+                         {"docs": ["a quokka is a smiling marsupial",
+                                   "a wombat digs square scat burrows"]})
+        assert out["doc_ids"] == [4, 5]
+        _post_path(srv, "/delete", {"doc_ids": [1]})
+        before = _post_path(srv, "/search",
+                            {"queries": ["quokka", "dog"], "top_k": 3})
+    finally:
+        srv.shutdown()  # no compact: state lives only in the WAL
+
+    srv2 = Server(d, port=0, updatable=True)
+    srv2.start_background()
+    try:
+        assert srv2._handler.runtime.stats["wal_replayed"] == 2
+        after = _post_path(srv2, "/search",
+                           {"queries": ["quokka", "dog"], "top_k": 3})
+        assert after == before  # ids, scores, texts all reproduced
+        docs1 = [it["doc"] for it in after["results"][1] if it["score"] > 0]
+        assert 1 not in docs1  # tombstone survived the restart
+        # the replayed delta keeps accepting ops at the right ids
+        out = _post_path(srv2, "/add", {"docs": ["another marsupial doc"]})
+        assert out["doc_ids"] == [6]
+    finally:
+        srv2.shutdown()
+
+
+def test_wal_logged_compact_replays_deterministically(tmp_path_factory,
+                                                      request):
+    """In-memory compact is logged; replay re-runs the rebuild so ops
+    logged AFTER it resolve against the remapped ids."""
+    d = _build_upd_idx(tmp_path_factory, request, "wal_cpt_idx")
+    srv = Server(d, port=0, updatable=True)
+    srv.start_background()
+    try:
+        _post_path(srv, "/add", {"docs": ["a quokka is a smiling marsupial"]})
+        _post_path(srv, "/delete", {"doc_ids": [0]})
+        out = _post_path(srv, "/compact", {})  # no save_dir: logged
+        assert out["live_docs"] == 4
+        # post-compact op against REMAPPED ids (old doc 4 is now doc 3)
+        _post_path(srv, "/delete", {"doc_ids": [0]})
+        before = _post_path(srv, "/search",
+                            {"queries": ["quokka", "dog"], "top_k": 3})
+    finally:
+        srv.shutdown()
+
+    srv2 = Server(d, port=0, updatable=True)
+    srv2.start_background()
+    try:
+        assert srv2._handler.runtime.stats["wal_replayed"] == 4
+        after = _post_path(srv2, "/search",
+                           {"queries": ["quokka", "dog"], "top_k": 3})
+        assert after == before
+        assert srv2._handler.runtime.engine.live_docs == 3
+    finally:
+        srv2.shutdown()
+
+
+def test_wal_truncated_by_persisted_compact(tmp_path_factory, request):
+    """compact {"save_dir": <served dir>} folds the log into the new base:
+    the WAL is emptied and the restart does no replay."""
+    import os
+
+    d = _build_upd_idx(tmp_path_factory, request, "wal_trunc_idx")
+    srv = Server(d, port=0, updatable=True)
+    srv.start_background()
+    try:
+        _post_path(srv, "/add", {"docs": ["a quokka is a smiling marsupial"]})
+        wal = os.path.join(d, "updates.wal")
+        assert os.path.getsize(wal) > 0
+        out = _post_path(srv, "/compact", {"save_dir": d})
+        assert out["saved_to"] == d
+        assert os.path.getsize(wal) == 0
+    finally:
+        srv.shutdown()
+
+    srv2 = Server(d, port=0, updatable=True)
+    srv2.start_background()
+    try:
+        assert "wal_replayed" not in srv2._handler.runtime.stats
+        res = _post_path(srv2, "/search", {"queries": ["quokka"], "top_k": 1})
+        top = res["results"][0][0]
+        assert top["score"] > 0 and "quokka" in top["text"]  # in the base now
+    finally:
+        srv2.shutdown()
+
+
+def test_wal_torn_tail_dropped_with_warning(tmp_path_factory, request):
+    """A crash mid-append leaves a torn final line; it was never acked, so
+    startup drops it (with a warning) and replays the complete prefix."""
+    import os
+    import warnings
+
+    d = _build_upd_idx(tmp_path_factory, request, "wal_torn_idx")
+    srv = Server(d, port=0, updatable=True)
+    srv.start_background()
+    try:
+        _post_path(srv, "/add", {"docs": ["a quokka is a smiling marsupial"]})
+    finally:
+        srv.shutdown()
+    with open(os.path.join(d, "updates.wal"), "a", encoding="utf-8") as f:
+        f.write('{"op": "add", "docs": ["torn rec')  # no newline: torn
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        srv2 = Server(d, port=0, updatable=True)
+    assert any("torn" in str(x.message) for x in w)
+    srv2.start_background()
+    try:
+        assert srv2._handler.runtime.stats["wal_replayed"] == 1
+        res = _post_path(srv2, "/search", {"queries": ["quokka"], "top_k": 1})
+        assert res["results"][0][0]["doc"] == 4
+    finally:
+        srv2.shutdown()
+
+
+def test_wal_no_corpus_adds_survive_restart(tmp_path_factory, request):
+    """Index saved WITHOUT corpus texts: added docs' texts live in the WAL,
+    so a restart restores both the postings and the overlay texts."""
+    d = _build_upd_idx(tmp_path_factory, request, "wal_nc_idx",
+                       save_corpus=False)
+    srv = Server(d, port=0, updatable=True)
+    srv.start_background()
+    try:
+        _post_path(srv, "/add", {"docs": ["a quokka is a smiling marsupial"]})
+    finally:
+        srv.shutdown()
+
+    srv2 = Server(d, port=0, updatable=True)
+    srv2.start_background()
+    try:
+        res = _post_path(srv2, "/search", {"queries": ["quokka"], "top_k": 1})
+        top = res["results"][0][0]
+        assert top["doc"] == 4 and "quokka" in top["text"]
+    finally:
+        srv2.shutdown()
+
+
+def test_wal_reload_switches_log(tmp_path_factory, request):
+    """POST /reload to a different dir replays THAT dir's pending log and
+    subsequent mutations land there, not in the old dir's log."""
+    import os
+
+    d1 = _build_upd_idx(tmp_path_factory, request, "wal_rl1_idx")
+    d2 = _build_upd_idx(tmp_path_factory, request, "wal_rl2_idx")
+    # seed d2 with a pending logged add from a previous serving run
+    pre = Server(d2, port=0, updatable=True)
+    pre.start_background()
+    try:
+        _post_path(pre, "/add", {"docs": ["a quokka is a smiling marsupial"]})
+    finally:
+        pre.shutdown()
+
+    srv = Server(d1, port=0, updatable=True)
+    srv.start_background()
+    try:
+        size1 = os.path.getsize(os.path.join(d1, "updates.wal")) \
+            if os.path.exists(os.path.join(d1, "updates.wal")) else 0
+        _post_path(srv, "/reload", {"index_dir": d2})
+        res = _post_path(srv, "/search", {"queries": ["quokka"], "top_k": 1})
+        assert res["results"][0][0]["doc"] == 4  # d2's logged add replayed
+        _post_path(srv, "/delete", {"doc_ids": [4]})
+        # the delete went to d2's log, d1's untouched
+        s1 = os.path.getsize(os.path.join(d1, "updates.wal")) \
+            if os.path.exists(os.path.join(d1, "updates.wal")) else 0
+        assert s1 == size1
+        assert os.path.getsize(os.path.join(d2, "updates.wal")) > 0
+    finally:
+        srv.shutdown()

@@ -245,3 +245,59 @@ def test_device_engine_base(base_retriever):
     # delta doc contains 'kernels' too; drop it to compare base ordering
     live = [i for i, d in enumerate(d1[0]) if d < r.index.num_docs]
     np.testing.assert_array_equal(d1[0][live][:2], d0[0][:2])
+
+
+# -- UpdateLog (write-ahead log) ------------------------------------------
+
+
+def test_update_log_roundtrip_and_truncate(tmp_path):
+    from bm25_tpu.index.updates import UpdateLog
+
+    log = UpdateLog(str(tmp_path))
+    assert log.read() == []  # absent file
+    log.append({"op": "add", "docs": ["héllo wörld"]})  # non-ASCII intact
+    log.append({"op": "delete", "doc_ids": [1, 2]})
+    log.append({"op": "compact"})
+    assert UpdateLog(str(tmp_path)).read() == [
+        {"op": "add", "docs": ["héllo wörld"]},
+        {"op": "delete", "doc_ids": [1, 2]},
+        {"op": "compact"},
+    ]
+    log.truncate()
+    assert UpdateLog(str(tmp_path)).read() == []
+    log.append({"op": "compact"})  # appendable after truncation
+    assert UpdateLog(str(tmp_path)).read() == [{"op": "compact"}]
+    log.close()
+
+
+def test_update_log_corrupt_middle_raises(tmp_path):
+    """Garbage FOLLOWED by valid records is a hole, not a torn tail —
+    replaying around it would corrupt state, so it must refuse."""
+    import pytest
+
+    from bm25_tpu.index.updates import UpdateLog
+
+    log = UpdateLog(str(tmp_path))
+    with open(log.path, "w", encoding="utf-8") as f:
+        f.write('{"op": "compact"}\n')
+        f.write("not json at all\n")
+        f.write('{"op": "delete", "doc_ids": [0]}\n')
+    with pytest.raises(ValueError, match="line 2"):
+        log.read()
+
+
+def test_update_log_non_op_record_rejected(tmp_path):
+    """A valid-JSON line that isn't an op object (e.g. a stray list) at the
+    tail is treated as torn; mid-log it's corruption."""
+    import warnings
+
+    from bm25_tpu.index.updates import UpdateLog
+
+    log = UpdateLog(str(tmp_path))
+    with open(log.path, "w", encoding="utf-8") as f:
+        f.write('{"op": "compact"}\n')
+        f.write("[1, 2, 3]\n")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert log.read() == [{"op": "compact"}]
+    assert any("torn" in str(x.message) for x in w)
