@@ -195,7 +195,11 @@ def cmd_serve(args) -> int:
            warmup_top_k=args.warmup_top_k,
            engine_kwargs=engine_kwargs,
            device_checkpoint=args.device_checkpoint,
-           updatable=args.updatable).serve_forever()
+           updatable=args.updatable,
+           auto_compact=args.auto_compact,
+           auto_compact_delta_docs=args.auto_compact_delta_docs,
+           auto_compact_deleted_frac=args.auto_compact_deleted_frac,
+           ).serve_forever()
     return 0
 
 
@@ -383,7 +387,19 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--updatable", action="store_true",
                     help="enable live index mutation: POST /add, /delete, "
                          "/compact (delta segment + tombstones over the "
-                         "frozen base engine)")
+                         "frozen base engine); acked mutations are fsynced "
+                         "to <index>/updates.wal and replayed on restart")
+    ps.add_argument("--auto-compact", action="store_true",
+                    help="background compaction when the delta/tombstone "
+                         "load crosses the thresholds below; persists to "
+                         "the served index dir and folds the update log "
+                         "(requires --updatable)")
+    ps.add_argument("--auto-compact-delta-docs", type=int, default=50_000,
+                    help="auto-compact when the delta holds more docs "
+                         "than this")
+    ps.add_argument("--auto-compact-deleted-frac", type=float, default=0.2,
+                    help="auto-compact when more than this fraction of "
+                         "docs is tombstoned")
     ps.set_defaults(fn=cmd_serve)
     return p
 

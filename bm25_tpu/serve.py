@@ -152,6 +152,7 @@ class ServerMetrics:
         self.errors = 0
         self.rejected = 0  # 429s (queue full) + 504s (timeout)
         self.reloads = 0
+        self.compactions = 0  # auto-compactions (manual /compact excluded)
         self._lat = deque(maxlen=window)
 
     def record(self, n_queries: int, seconds: float) -> None:
@@ -172,6 +173,10 @@ class ServerMetrics:
         with self._lock:
             self.reloads += 1
 
+    def record_compaction(self) -> None:
+        with self._lock:
+            self.compactions += 1
+
     def snapshot(self, batcher=None) -> dict:
         with self._lock:
             lat = list(self._lat)
@@ -181,6 +186,7 @@ class ServerMetrics:
                 "errors": self.errors,
                 "rejected": self.rejected,
                 "reloads": self.reloads,
+                "compactions": self.compactions,
             }
         if lat:
             arr = np.asarray(lat)
@@ -473,11 +479,15 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             payload = {"status": "ok", **(rt.stats or {})}
             if (rt.stats or {}).get("updatable") and rt.engine is not None:
                 eng = rt.engine
+                srv = self.server_ref
                 payload["updates"] = {
                     "live_docs": eng.live_docs,
                     "delta_docs": eng.delta_docs,
                     "deleted_docs": eng.deleted_docs,
                     "needs_compaction": eng.needs_compaction(),
+                    "auto_compact": bool(
+                        srv is not None and srv._auto_compact
+                    ),
                 }
             if self.metrics is not None:
                 payload["metrics"] = self.metrics.snapshot(self.batcher)
@@ -664,6 +674,11 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         except (TypeError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
             return
+        except RuntimeError as e:
+            # "index rebuilding" raced the engine-None check above: the
+            # same retryable condition, so the same 503 (not a 500)
+            self._send(503, {"error": str(e)})
+            return
         except Exception as e:
             if self.metrics is not None:
                 self.metrics.record_error()
@@ -710,7 +725,11 @@ class Server:
                  warmup_top_k: int = 0, engine_kwargs: dict | None = None,
                  limits: ServeLimits | None = None,
                  device_checkpoint: str | None = None,
-                 updatable: bool = False):
+                 updatable: bool = False,
+                 auto_compact: bool = False,
+                 auto_compact_interval_s: float = 30.0,
+                 auto_compact_delta_docs: int = 50_000,
+                 auto_compact_deleted_frac: float = 0.2):
         self._index_dir = index_dir
         self._engine_mode = engine_mode
         self._engine_kwargs = engine_kwargs or {}
@@ -724,6 +743,14 @@ class Server:
                 "delta scoring); start from an index dir, not a device "
                 "checkpoint"
             )
+        if auto_compact and not updatable:
+            raise ValueError("auto_compact requires updatable=True")
+        self._auto_compact = auto_compact
+        self._auto_compact_interval_s = auto_compact_interval_s
+        self._auto_compact_delta_docs = auto_compact_delta_docs
+        self._auto_compact_deleted_frac = auto_compact_deleted_frac
+        self._auto_compact_stop = threading.Event()
+        self._auto_compact_thread = None
         limits = limits or ServeLimits()
 
         self._wal = None  # UpdateLog when updatable (durable live updates)
@@ -761,6 +788,12 @@ class Server:
         # drain (they hold admitted requests); per-request timeouts bound
         # how long a hung client can delay exit
         self.httpd.daemon_threads = False
+        if self._auto_compact:
+            self._auto_compact_thread = threading.Thread(
+                target=self._auto_compact_loop, daemon=True,
+                name="bm25-auto-compact",
+            )
+            self._auto_compact_thread.start()
 
     def _load_host(self, index_dir: str):
         """Host-side index load + validation (no device memory touched).
@@ -1129,6 +1162,45 @@ class Server:
                 out["saved_to"] = save_dir
             return out
 
+    def _auto_compact_loop(self):
+        """Background policy thread: compact when the delta/tombstone load
+        crosses the configured thresholds.
+
+        Compacts WITH persistence to the served index dir (folding the
+        update log) so restarts stay cheap — the whole point of compacting
+        automatically is that nobody is watching /healthz.  A failure
+        (e.g. the index was saved without corpus texts) is logged once and
+        not retried until a success clears the flag: the condition will
+        not fix itself, and retrying would spin the drop-mode 503 window.
+        """
+        warned = False
+        while not self._auto_compact_stop.wait(self._auto_compact_interval_s):
+            rt = self._handler.runtime
+            eng = rt.engine
+            if eng is None or not hasattr(eng, "needs_compaction"):
+                continue
+            if not eng.needs_compaction(self._auto_compact_delta_docs,
+                                        self._auto_compact_deleted_frac):
+                warned = False  # a manual compact cleared the condition
+                continue
+            if warned:
+                continue
+            try:
+                t0 = time.monotonic()
+                out = self.compact(save_dir=self._index_dir)
+                if self.metrics is not None:
+                    self.metrics.record_compaction()
+                print(f"bm25-tpu: auto-compacted to "
+                      f"{out['live_docs']} live docs in "
+                      f"{time.monotonic() - t0:.1f}s "
+                      f"(saved to {self._index_dir})")
+                warned = False
+            except Exception as e:  # noqa: BLE001 — policy thread must live
+                print(f"bm25-tpu: auto-compaction failed (will not retry "
+                      f"until the condition clears, e.g. via a manual "
+                      f"/compact): {e}")
+                warned = True
+
     @property
     def port(self) -> int:
         return self.httpd.server_address[1]
@@ -1160,6 +1232,7 @@ class Server:
                          name="bm25-drain").start()
 
     def shutdown(self):
+        self._auto_compact_stop.set()
         self.httpd.shutdown()
         self.httpd.server_close()
         if self.batcher is not None:

@@ -107,6 +107,9 @@ def soak_updates() -> None:
 
         added_ids: list[int] = []
         marker_batches = [0]
+        last_marker = [-1]  # latest acked batch number (never deleted: the
+        # mutator deletes OLDEST adds first, so probes must target this,
+        # not a fixed early batch the delete stream will consume)
 
         def mutator():
             n = 0
@@ -120,12 +123,21 @@ def soak_updates() -> None:
                                path="/add")
                     added_ids.extend(out["doc_ids"])
                     marker_batches[0] += 1
-                    if n % 3 == 2 and len(added_ids) > 4:
-                        # delete two of our own earlier adds
+                    last_marker[0] = n
+                    if n % 3 == 2 and len(added_ids) > 10:
+                        # delete two of our own earlier adds (keep the
+                        # freshest batch intact for the probes)
                         victims = added_ids[:2]
                         del added_ids[:2]
-                        post(port, {"doc_ids": victims}, timeout=600,
-                             path="/delete")
+                        try:
+                            post(port, {"doc_ids": victims}, timeout=600,
+                                 path="/delete")
+                        except urllib.error.HTTPError as e:
+                            # a compact can remap ids between our snapshot
+                            # and this delete; a stale-id 400 is the
+                            # documented client contract, not a failure
+                            if e.code not in (400, 503):
+                                raise
                 except urllib.error.HTTPError as e:
                     if e.code != 503:
                         errors.append(f"mutator: HTTP {e.code} "
@@ -145,41 +157,80 @@ def soak_updates() -> None:
         for t in threads:
             t.start()
         mt.start()
-        time.sleep(45)
+        try:
+            # probe only after the zzmarker1 batch is acked (under heavy
+            # search load on a 1-vCPU host the mutator may need well over
+            # the nominal 1s/batch; a fixed sleep raced this and probed a
+            # term that did not exist yet)
+            deadline = time.monotonic() + 300
+            while (marker_batches[0] < 2 and not errors
+                   and time.monotonic() < deadline):
+                time.sleep(1.0)
+            print(f"[soak-upd] {marker_batches[0]} add batches after "
+                  f"{time.perf_counter()-t0:.0f}s", flush=True)
+            if errors or marker_batches[0] < 2:
+                raise AssertionError(
+                    errors[:3] or ["mutator made no progress"])
+            time.sleep(30)
 
-        # a fresh marker term is searchable immediately (delta segment)
-        probe = post(port, {"queries": ["zzmarker1"], "top_k": 8},
-                     timeout=300)
-        hits = [it["doc"] for it in probe["results"][0] if it["score"] > 0]
-        print(f"[soak-upd] pre-compact marker hits: {len(hits)}", flush=True)
-        assert hits, "added docs must be searchable before compaction"
+            # a fresh marker term is searchable immediately (delta segment);
+            # probe the LATEST acked batch — older batches are consumed by
+            # the mutator's own delete stream
+            pre_term = f"zzmarker{last_marker[0]}"
+            probe = post(port, {"queries": [pre_term], "top_k": 8},
+                         timeout=300)
+            hits = [it["doc"] for it in probe["results"][0]
+                    if it["score"] > 0]
+            print(f"[soak-upd] pre-compact hits for {pre_term}: {len(hits)}",
+                  flush=True)
+            assert hits, "added docs must be searchable before compaction"
 
-        # compact MID-TRAFFIC (drop-mode 503 window; clients retry)
-        t1 = time.perf_counter()
-        out = post(port, {}, timeout=900, path="/compact")
-        print(f"[soak-upd] mid-traffic compact: {out} "
-              f"({time.perf_counter()-t1:.0f}s)", flush=True)
-        time.sleep(30)
-        done.set()
-        for t in threads:
-            t.join(timeout=120)
-        mt.join(timeout=120)
-        dt = time.perf_counter() - t0
+            # compact MID-TRAFFIC (drop-mode 503 window; clients retry)
+            t1 = time.perf_counter()
+            out = post(port, {}, timeout=900, path="/compact")
+            print(f"[soak-upd] mid-traffic compact: {out} "
+                  f"({time.perf_counter()-t1:.0f}s)", flush=True)
+            # compaction REASSIGNS ids (documented contract: clients
+            # re-resolve); drop the stale ids so the mutator's deletes
+            # only ever reference post-compact ids
+            added_ids.clear()
+            time.sleep(30)
+            done.set()
+            for t in threads:
+                t.join(timeout=120)
+            mt.join(timeout=120)
+            dt = time.perf_counter() - t0
 
-        # post-compact: marker docs survived the id remap and still rank
-        probe = post(port, {"queries": ["zzmarker1"], "top_k": 8},
-                     timeout=300)
-        hits = [it["doc"] for it in probe["results"][0] if it["score"] > 0]
-        texts_back = [it["text"] for it in probe["results"][0]
-                      if it["score"] > 0]
-        assert hits and all("zzmarker1" in t for t in texts_back), (
-            "marker docs lost across compaction")
+            # the pre-compact marker batch survived the id remap (it was
+            # never deleted: added_ids was cleared at the compact, so the
+            # delete stream could not touch remapped docs)
+            probe = post(port, {"queries": [pre_term], "top_k": 8},
+                         timeout=300)
+            texts_back = [it["text"] for it in probe["results"][0]
+                          if it["score"] > 0]
+            assert texts_back and all(pre_term in t for t in texts_back), (
+                f"{pre_term} docs lost across compaction")
+            # and post-compact adds are searchable too
+            post_term = f"zzmarker{last_marker[0]}"
+            probe = post(port, {"queries": [post_term], "top_k": 8},
+                         timeout=300)
+            hits = [it["doc"] for it in probe["results"][0]
+                    if it["score"] > 0]
+            assert hits, "post-compact adds must be searchable"
 
-        with urllib.request.urlopen(
-            f"http://127.0.0.1:{port}/healthz?deep=1", timeout=300
-        ) as r:
-            h = json.loads(r.read())
-        srv.shutdown()
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz?deep=1", timeout=300
+            ) as r:
+                h = json.loads(r.read())
+        finally:
+            # on any failure stop traffic BEFORE the temp index dir is
+            # deleted, or the still-running clients spray corpus-read
+            # tracebacks over the real error
+            done.set()
+            for t in threads:
+                t.join(timeout=30)
+            mt.join(timeout=30)
+            srv.shutdown()
         total = sum(counts)
         print(f"[soak-upd] {total} searches over {dt:.0f}s, "
               f"{marker_batches[0]} add batches, "

@@ -1114,3 +1114,85 @@ def test_wal_reload_switches_log(tmp_path_factory, request):
         assert os.path.getsize(os.path.join(d2, "updates.wal")) > 0
     finally:
         srv.shutdown()
+
+
+# -- auto-compaction --------------------------------------------------------
+
+
+def test_auto_compact_requires_updatable(tmp_path_factory, request):
+    d = _build_upd_idx(tmp_path_factory, request, "ac_req_idx")
+    with pytest.raises(ValueError, match="updatable"):
+        Server(d, port=0, auto_compact=True)
+
+
+def test_auto_compact_folds_delta(tmp_path_factory, request):
+    """Crossing the delta threshold triggers a background compact that
+    persists to the served dir and truncates the WAL."""
+    import os
+    import time
+
+    d = _build_upd_idx(tmp_path_factory, request, "ac_idx")
+    srv = Server(d, port=0, updatable=True, auto_compact=True,
+                 auto_compact_interval_s=0.2, auto_compact_delta_docs=2)
+    srv.start_background()
+    try:
+        _post_path(srv, "/add",
+                   {"docs": ["a quokka is a smiling marsupial",
+                             "a wombat digs square scat burrows",
+                             "a numbat eats termites all day"]})
+        deadline = time.monotonic() + 60
+        h = None
+        while time.monotonic() < deadline:
+            h = _healthz(srv)
+            # "updates" is absent for the instant of the drop-mode swap
+            # (stub runtime has no engine)
+            if h.get("updates", {}).get("delta_docs") == 0:
+                break
+            time.sleep(0.2)
+        assert h is not None and h["updates"]["delta_docs"] == 0, h
+        assert h["updates"]["live_docs"] == 7
+        assert h["updates"]["auto_compact"] is True
+        assert h["metrics"]["compactions"] >= 1
+        # persisted: WAL folded into the base on disk
+        assert os.path.getsize(os.path.join(d, "updates.wal")) == 0
+        res = _post_path(srv, "/search", {"queries": ["numbat"], "top_k": 1})
+        top = res["results"][0][0]
+        assert top["score"] > 0 and "termites" in top["text"]
+    finally:
+        srv.shutdown()
+
+    # restart finds the compacted base, nothing to replay
+    srv2 = Server(d, port=0, updatable=True)
+    srv2.start_background()
+    try:
+        assert "wal_replayed" not in srv2._handler.runtime.stats
+        assert _healthz(srv2)["updates"]["live_docs"] == 7
+    finally:
+        srv2.shutdown()
+
+
+def test_auto_compact_failure_warns_once_and_serving_survives(
+        tmp_path_factory, request, capsys):
+    """Auto-compact on a no-corpus index cannot rebuild base texts: it
+    must log, not crash the policy thread, and not spin the 503 window."""
+    import time
+
+    d = _build_upd_idx(tmp_path_factory, request, "ac_fail_idx",
+                       save_corpus=False)
+    srv = Server(d, port=0, updatable=True, auto_compact=True,
+                 auto_compact_interval_s=0.1, auto_compact_delta_docs=1)
+    srv.start_background()
+    try:
+        _post_path(srv, "/add",
+                   {"docs": ["a quokka is a smiling marsupial",
+                             "a wombat digs square scat burrows"]})
+        time.sleep(1.5)  # several intervals: must attempt once, then hold
+        h = _healthz(srv)
+        assert h["updates"]["delta_docs"] == 2  # compaction never succeeded
+        assert h["metrics"]["compactions"] == 0
+        res = _post_path(srv, "/search", {"queries": ["quokka"], "top_k": 1})
+        assert res["results"][0][0]["score"] > 0  # serving unaffected
+    finally:
+        srv.shutdown()
+    out = capsys.readouterr().out
+    assert out.count("auto-compaction failed") == 1  # warned once, no spin
