@@ -301,3 +301,40 @@ def test_update_log_non_op_record_rejected(tmp_path):
         warnings.simplefilter("always")
         assert log.read() == [{"op": "compact"}]
     assert any("torn" in str(x.message) for x in w)
+
+
+# -- composition with the sharded engines (CPU mesh) ------------------------
+
+
+def test_updatable_over_sharded_sparse_engine():
+    """UpdatableEngine wraps a doc-sharded device engine: base scores come
+    off the mesh, delta/tombstone merging on host — add/delete/search all
+    follow the single-chip contract."""
+    texts = _corpus(n=48, seed=3)
+    r = _fresh(texts, engine_mode="sharded_sparse")
+    single = _fresh(texts, engine_mode="sparse")
+
+    new_doc = "sharded zzshardmark doc about meshes"
+    ids = r.add_documents([new_doc])
+    ids1 = single.add_documents([new_doc])
+    np.testing.assert_array_equal(ids, ids1)
+
+    r.delete_documents([3])
+    single.delete_documents([3])
+
+    q = ["zzshardmark meshes", "w1 w2 w3"]
+    d0, s0 = r.retrieve(q, k=8)
+    d1, s1 = single.retrieve(q, k=8)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_allclose(s0, s1, rtol=2e-5, atol=2e-6)
+    assert d0[0][0] == ids[0]  # the added doc tops its marker query
+    assert 3 not in set(np.asarray(d0).ravel().tolist())
+
+    # compaction over the sharded base rebuilds and stays oracle-exact
+    remap = r.compact()
+    single.compact()
+    d2, s2 = r.retrieve(q, k=8)
+    d3, s3 = single.retrieve(q, k=8)
+    np.testing.assert_array_equal(d2, d3)
+    np.testing.assert_allclose(s2, s3, rtol=2e-5, atol=2e-6)
+    assert d2[0][0] == remap[ids[0]]
