@@ -77,11 +77,19 @@ class StatsSnapshot:
 class DeltaSegment:
     """Host-scored segment of recently added docs (frozen-stats scoring).
 
-    Rebuilt from the raw per-doc token ids on every ``add`` batch — new
-    terms' df grows as docs arrive, and the segment is small by contract
-    (compaction caps it), so the O(delta nnz) NumPy rebuild is cheap.
-    Scoring mirrors ``build_scored_index_flat`` exactly (same f32 rounding
-    points), so a delta doc identical to a base doc scores identically.
+    LSM-style layout so ``add`` cost does not grow with the delta size
+    (a naive full rebuild measured ~3 s/add at the 50K-doc compaction
+    cap): snapshot-era terms' IDF is FROZEN, so each add batch's postings
+    for them become an immutable pre-scored block, merged geometrically
+    (amortized O(nnz log n) total, O(log n) blocks).  Only post-snapshot
+    terms' df legitimately grows as docs arrive — their postings live in
+    one small matrix rebuilt per add over new-term nnz only.
+
+    Scoring keeps the per-nnz f32 rounding points of
+    ``build_scored_index_flat`` (scoring.py), so a delta doc identical to
+    a base doc scores identically; per-doc accumulation groups
+    snapshot-era terms before new terms (the same tier-order summation
+    the device engines use across hot/cold/tail).
     """
 
     def __init__(self, stats: StatsSnapshot, vocab_size: int):
@@ -89,70 +97,77 @@ class DeltaSegment:
         self.base_vocab_size = vocab_size
         self.doc_token_ids: list[np.ndarray] = []
         self.vocab_size = vocab_size
-        self._csc: sp.csc_matrix | None = None
-        self._token_offsets: np.ndarray | None = None
+        # snapshot-era terms: immutable pre-scored blocks (frozen idf)
+        self._blocks: list[sp.csc_matrix] = []   # each (rows_b, base_vocab)
+        self._block_starts: list[int] = []       # row offset per block
+        self._idf_old: np.ndarray | None = None  # (base_vocab,) frozen
+        # new terms (id >= base_vocab): COO postings accumulated per add
+        # batch + one small matrix rebuilt per add (df grows with the
+        # delta); per-batch arrays keep add cost O(new-term nnz), not O(m)
+        self._new_rows: list[np.ndarray] = []    # per batch: doc indices
+        self._new_cols: list[np.ndarray] = []    # per batch: ids - bv
+        self._dl: list[int] = []                 # full doc lengths
+        self._new_csc: sp.csc_matrix | None = None  # (m, v - base_vocab)
+        self._token_offsets: np.ndarray | None = None  # (vocab,) idf*base
 
     def __len__(self) -> int:
         return len(self.doc_token_ids)
 
     def clone(self) -> "DeltaSegment":
         """Copy for copy-on-write mutation: concurrent readers keep scoring
-        the old segment while ``add`` rebuilds the new one (the _State swap
+        the old segment while ``add`` updates the new one (the _State swap
         is what publishes it — mutating a published segment in place would
         let ``score_all`` see the grown ``vocab_size`` next to the old,
-        narrower CSC and index out of bounds)."""
+        narrower matrices and index out of bounds).  Blocks are immutable,
+        so the copy shares them."""
         c = DeltaSegment(self.stats, self.base_vocab_size)
         c.doc_token_ids = list(self.doc_token_ids)
         c.vocab_size = self.vocab_size
-        c._csc = self._csc
+        c._blocks = list(self._blocks)
+        c._block_starts = list(self._block_starts)
+        c._idf_old = self._idf_old
+        c._new_rows = list(self._new_rows)
+        c._new_cols = list(self._new_cols)
+        c._dl = list(self._dl)
+        c._new_csc = self._new_csc
         c._token_offsets = self._token_offsets
         return c
 
     def add(self, doc_token_ids: list[np.ndarray]) -> None:
-        self.doc_token_ids.extend(
-            np.asarray(t, dtype=np.int32) for t in doc_token_ids
-        )
-        for t in self.doc_token_ids[-len(doc_token_ids):]:
+        batch = [np.asarray(t, dtype=np.int32) for t in doc_token_ids]
+        row0 = len(self.doc_token_ids)
+        self.doc_token_ids.extend(batch)
+        for t in batch:
             if len(t):
                 self.vocab_size = max(self.vocab_size, int(t.max()) + 1)
-        self._rebuild()
+        self._dl.extend(len(t) for t in batch)
+        bv = self.base_vocab_size
+        rows, cols = [], []
+        for j, t in enumerate(batch):
+            new = t[t >= bv]
+            if len(new):
+                rows.append(np.full(len(new), row0 + j, dtype=np.int64))
+                cols.append((new - bv).astype(np.int64))
+        if rows:
+            self._new_rows.append(np.concatenate(rows))
+            self._new_cols.append(np.concatenate(cols))
+        self._append_old_block(batch)
+        self._rebuild_new()
 
-    def _rebuild(self) -> None:
-        stats, params = self.stats, self.stats.params
-        m = len(self.doc_token_ids)
-        v = self.vocab_size
-        dl = np.array([len(t) for t in self.doc_token_ids], dtype=np.int32)
-        flat = (np.concatenate(self.doc_token_ids)
-                if m else np.zeros(0, np.int32))
-        # (doc, token) -> tf via one sparse sum
-        rows = np.repeat(np.arange(m, dtype=np.int64), dl)
-        tf_mat = sp.csc_matrix(
-            (np.ones(len(flat), np.float32), (rows, flat)), shape=(m, v)
-        )
-        tf_mat.sum_duplicates()
-        tf_mat.sort_indices()
-
-        # frozen-stats scoring: snapshot df for snapshot-era terms, delta df
-        # for new terms (they did not exist at snapshot time)
-        df_full = np.zeros(v, dtype=np.int64)
-        v0 = min(len(stats.df), v)
-        df_full[:v0] = stats.df[:v0]
-        if v > self.base_vocab_size:
-            new_df = np.diff(tf_mat.indptr)[self.base_vocab_size:]
-            df_full[self.base_vocab_size:] = new_df
-        idf_low = idf(
-            params.effective_idf_method, stats.num_docs, df_full
-        ).astype(np.float32)
-
-        avgdl = stats.avgdl
+    def _dl_norm(self, dl: np.ndarray) -> np.ndarray:
+        params, avgdl = self.stats.params, self.stats.avgdl
         if avgdl > 0:
-            dl_norm = (1.0 - params.b + params.b
-                       * (dl.astype(np.float64) / avgdl)).astype(np.float32)
-        else:
-            dl_norm = np.full(m, 1.0 - params.b, dtype=np.float32)
+            return (1.0 - params.b + params.b
+                    * (dl.astype(np.float64) / avgdl)).astype(np.float32)
+        return np.full(len(dl), 1.0 - params.b, dtype=np.float32)
 
-        # per-nnz transform at the SAME f32 rounding points as
-        # build_scored_index_flat (scoring.py) for bitwise consistency
+    def _transform(self, tf_mat: sp.csc_matrix, dl: np.ndarray,
+                   idf_vec: np.ndarray) -> sp.csc_matrix:
+        """tf -> pre-scored values at the SAME f32 rounding points as
+        build_scored_index_flat (scoring.py) for bitwise consistency."""
+        params = self.stats.params
+        v = tf_mat.shape[1]
+        dl_norm = self._dl_norm(dl)
         col_of = np.repeat(
             np.arange(v, dtype=np.int64), np.diff(tf_mat.indptr)
         )
@@ -163,16 +178,92 @@ class DeltaSegment:
         )
         base = np.float32(zero_tf_offset(params.method, params.k1,
                                          params.delta))
-        scored = sp.csc_matrix(
-            ((idf_low[col_of] * (sat - base)).astype(np.float32),
+        return sp.csc_matrix(
+            ((idf_vec[col_of] * (sat - base)).astype(np.float32),
              tf_mat.indices, tf_mat.indptr),
-            shape=(m, v),
+            shape=tf_mat.shape,
         )
-        self._csc = scored
-        self._token_offsets = (
-            (idf_low * base).astype(np.float32) if base != 0.0
-            else np.zeros(v, dtype=np.float32)
+
+    @staticmethod
+    def _tf_matrix(per_doc: list[np.ndarray], v: int) -> sp.csc_matrix:
+        dl = np.array([len(t) for t in per_doc], dtype=np.int64)
+        flat = (np.concatenate(per_doc) if per_doc
+                else np.zeros(0, np.int32))
+        rows = np.repeat(np.arange(len(per_doc), dtype=np.int64), dl)
+        tf_mat = sp.csc_matrix(
+            (np.ones(len(flat), np.float32), (rows, flat)),
+            shape=(len(per_doc), v),
         )
+        tf_mat.sum_duplicates()
+        tf_mat.sort_indices()
+        return tf_mat
+
+    def _append_old_block(self, batch: list[np.ndarray]) -> None:
+        stats, params = self.stats, self.stats.params
+        bv = self.base_vocab_size
+        if self._idf_old is None:
+            df_old = np.zeros(bv, dtype=np.int64)
+            v0 = min(len(stats.df), bv)
+            df_old[:v0] = stats.df[:v0]
+            self._idf_old = idf(
+                params.effective_idf_method, stats.num_docs, df_old
+            ).astype(np.float32)
+        # full doc lengths (dl_norm counts new-term occurrences too)
+        dl = np.array([len(t) for t in batch], dtype=np.int32)
+        tf_mat = self._tf_matrix([t[t < bv] for t in batch], bv)
+        blk = self._transform(tf_mat, dl, self._idf_old)
+        self._blocks.append(blk)
+        # geometric merge keeps the block count O(log n); values are
+        # final (frozen idf), so a merge is a pure row concatenation
+        while (len(self._blocks) >= 2
+               and self._blocks[-1].shape[0] >= self._blocks[-2].shape[0]):
+            b = self._blocks.pop()
+            a = self._blocks.pop()
+            self._blocks.append(sp.vstack([a, b], format="csc"))
+        starts, s = [], 0
+        for blk in self._blocks:
+            starts.append(s)
+            s += blk.shape[0]
+        self._block_starts = starts
+
+    def _rebuild_new(self) -> None:
+        stats, params = self.stats, self.stats.params
+        bv = self.base_vocab_size
+        v_new = self.vocab_size - bv
+        base = np.float32(zero_tf_offset(params.method, params.k1,
+                                         params.delta))
+        offs_old = (
+            (self._idf_old * base).astype(np.float32) if base != 0.0
+            else np.zeros(bv, dtype=np.float32)
+        )
+        if v_new <= 0:
+            self._new_csc = None
+            self._token_offsets = offs_old
+            return
+        m = len(self.doc_token_ids)
+        dl = np.asarray(self._dl, dtype=np.int32)
+        rows = (np.concatenate(self._new_rows) if self._new_rows
+                else np.zeros(0, np.int64))
+        cols = (np.concatenate(self._new_cols) if self._new_cols
+                else np.zeros(0, np.int64))
+        tf_mat = sp.csc_matrix(
+            (np.ones(len(rows), np.float32), (rows, cols)),
+            shape=(m, v_new),
+        )
+        tf_mat.sum_duplicates()
+        tf_mat.sort_indices()
+        # new terms did not exist at snapshot time: their df is the delta
+        # document frequency, growing as docs arrive
+        df_new = np.diff(tf_mat.indptr)
+        idf_new = idf(
+            params.effective_idf_method, stats.num_docs, df_new
+        ).astype(np.float32)
+        self._new_csc = self._transform(tf_mat, dl, idf_new)
+        offs_new = (
+            (idf_new * base).astype(np.float32) if base != 0.0
+            else np.zeros(v_new, dtype=np.float32)
+        )
+        self._token_offsets = np.concatenate([offs_old, offs_new])
 
     def score_all(
         self, queries: np.ndarray, weights: np.ndarray | None = None
@@ -183,19 +274,44 @@ class DeltaSegment:
         out = np.zeros((q_n, m), dtype=np.float32)
         if m == 0 or q_n == 0:
             return out
-        csc, offs = self._csc, self._token_offsets
+        bv = self.base_vocab_size
+        offs = self._token_offsets
         for i in range(q_n):
             q = queries[i]
             keep = (q >= 0) & (q < self.vocab_size)
             q_i = q[keep]
             if not len(q_i):
                 continue
-            if weights is None:
-                out[i] = np.asarray(csc[:, q_i].sum(axis=1)).ravel()
+            w = (None if weights is None
+                 else weights[i][keep].astype(np.float64))
+            is_new = q_i >= bv
+            q_old = q_i[~is_new]
+            if len(q_old):
+                w_old = None if w is None else w[~is_new]
+                for start, blk in zip(self._block_starts, self._blocks):
+                    sl = slice(start, start + blk.shape[0])
+                    if w is None:
+                        out[i, sl] += np.asarray(
+                            blk[:, q_old].sum(axis=1)
+                        ).ravel()
+                    else:
+                        out[i, sl] += np.asarray(
+                            blk[:, q_old] @ w_old
+                        ).ravel()
+            if is_new.any() and self._new_csc is not None:
+                qn = q_i[is_new] - bv
+                if w is None:
+                    out[i] += np.asarray(
+                        self._new_csc[:, qn].sum(axis=1)
+                    ).ravel()
+                else:
+                    out[i] += np.asarray(
+                        self._new_csc[:, qn] @ w[is_new]
+                    ).ravel()
+            # zero-tf offsets (bm25l/bm25+): doc-independent constants
+            if w is None:
                 out[i] += np.float32(offs[q_i].sum())
             else:
-                w = weights[i][keep].astype(np.float64)
-                out[i] = np.asarray(csc[:, q_i] @ w).ravel()
                 out[i] += np.float32(offs[q_i] @ w)
         return out
 
