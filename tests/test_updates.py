@@ -338,3 +338,44 @@ def test_updatable_over_sharded_sparse_engine():
     np.testing.assert_array_equal(d2, d3)
     np.testing.assert_allclose(s2, s3, rtol=2e-5, atol=2e-6)
     assert d2[0][0] == remap[ids[0]]
+
+
+def test_delta_incremental_matches_single_batch_bitwise():
+    """LSM layout invariant: any partition of the same docs into add
+    batches produces bit-identical scores (blocks hold final frozen-idf
+    values; per-doc sums take the same per-token order), including new
+    terms whose df only settles at the end, weighted and unweighted."""
+    from bm25_tpu.index.updates import DeltaSegment, StatsSnapshot
+
+    rng = np.random.default_rng(7)
+    vocab = 64
+    base_tok = [rng.integers(0, vocab, size=rng.integers(3, 12)).astype(np.int32)
+                for _ in range(30)]
+    idx = build_scored_index(base_tok, vocab_size=vocab,
+                             params=BM25Params(method="bm25+"))
+    stats = StatsSnapshot.from_index(idx)
+    # delta docs mixing base-vocab and new terms (ids 64..79)
+    docs = [np.concatenate([
+        rng.integers(0, vocab, size=rng.integers(2, 10)),
+        rng.integers(vocab, vocab + 16, size=rng.integers(0, 4)),
+    ]).astype(np.int32) for _ in range(200)]
+
+    one = DeltaSegment(stats, vocab)
+    one.add([d.copy() for d in docs])
+
+    inc = DeltaSegment(stats, vocab)
+    i = 0
+    while i < len(docs):
+        b = int(rng.integers(1, 17))
+        inc.add([d.copy() for d in docs[i:i + b]])
+        i += b
+    assert len(inc._blocks) < 8  # geometric merge bounds the block count
+
+    q = np.concatenate([
+        rng.integers(-1, vocab, size=(16, 6)),
+        rng.integers(vocab, vocab + 16, size=(16, 2)),
+    ], axis=1).astype(np.int32)
+    np.testing.assert_array_equal(one.score_all(q), inc.score_all(q))
+    w = rng.uniform(0.1, 3.0, size=q.shape).astype(np.float32)
+    np.testing.assert_array_equal(one.score_all(q, w), inc.score_all(q, w))
+    np.testing.assert_array_equal(one._token_offsets, inc._token_offsets)
