@@ -52,7 +52,7 @@ def make_query_step(num_docs: int, k: int, scoring: str = "gather"):
     """
 
     def step(st: jax.Array, offsets: jax.Array, ids: jax.Array,
-             st_pair=None, w=None):
+             st_pair=None, w=None, dmask=None):
         from bm25_tpu.ops.gather_rows import gather_add_rows
 
         q, t = ids.shape
@@ -103,11 +103,22 @@ def make_query_step(num_docs: int, k: int, scoring: str = "gather"):
             )
 
         doc_ids = lax.broadcasted_iota(jnp.int32, (1, d_pad), 1)
-        masked = jnp.where(doc_ids < num_docs, scores, NEG_INF)
+        elig = doc_ids < num_docs
+        if dmask is not None:
+            # filtered search: (num_docs,) bool, True = eligible
+            elig = elig & jnp.pad(dmask, (0, d_pad - num_docs))[None, :]
+        masked = jnp.where(elig, scores, NEG_INF)
         from bm25_tpu.ops.topk import select_top_k
 
         top_scores, top_docs = select_top_k(masked, k)
-        return top_scores + qoff[:, None], top_docs.astype(jnp.int32)
+        top_docs = top_docs.astype(jnp.int32)
+        final = top_scores + qoff[:, None]
+        if dmask is not None:
+            # slots beyond the eligible count: doc -1 / score 0
+            ok = top_scores > NEG_INF
+            top_docs = jnp.where(ok, top_docs, -1)
+            final = jnp.where(ok, final, 0.0)
+        return final, top_docs
 
     return step
 
@@ -179,11 +190,14 @@ class DenseEngine:
     def search(
         self, queries: np.ndarray, top_k: int = 100,
         weights: np.ndarray | None = None,
+        doc_mask: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k: (Q, T) int32 (-1 = pad) -> (docs (Q,k), scores (Q,k)).
 
         ``weights`` (same shape, float) scales each token's contribution
-        (pad entries ignored).
+        (pad entries ignored).  ``doc_mask`` ((num_docs,) bool, True =
+        eligible) restricts results to a doc subset; slots beyond the
+        eligible count come back as doc -1 / score 0.
         """
         queries = self._prepare(queries)
         if weights is not None:
@@ -193,9 +207,15 @@ class DenseEngine:
                     f"weights shape {weights.shape} != queries shape "
                     f"{queries.shape}"
                 )
+        dmask = None
+        if doc_mask is not None:
+            from bm25_tpu.models.sparse import prepare_doc_mask
+
+            dmask = prepare_doc_mask(doc_mask, self.num_docs, self.session)
         if len(queries) == 0:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
-        top_scores, top_docs = self._dispatch(queries, top_k, weights)
+        top_scores, top_docs = self._dispatch(queries, top_k, weights,
+                                              dmask=dmask)
         q_real = len(queries)
         return np.asarray(top_docs)[:q_real], np.asarray(top_scores)[:q_real]
 
@@ -223,7 +243,7 @@ class DenseEngine:
         return docs, scores
 
     def _dispatch(self, queries: np.ndarray, top_k: int,
-                  weights: np.ndarray | None = None):
+                  weights: np.ndarray | None = None, dmask=None):
         """Enqueue one padded sub-batch; returns unfetched device arrays."""
         k = min(top_k, self.num_docs)
         q_real, t_real = queries.shape
@@ -234,7 +254,7 @@ class DenseEngine:
         weighted = weights is not None
         step = self.session.compile(
             ("dense_query", self.num_docs, k, q_pad, t_pad, self.st.shape,
-             self.scoring, weighted),
+             self.scoring, weighted, dmask is not None),
             lambda: jax.jit(make_query_step(self.num_docs, k, self.scoring)),
         )
         st_pair = None
@@ -252,7 +272,7 @@ class DenseEngine:
             wp[:q_real, :t_real] = weights
             wpadded = self.session.put(wp)
         return step(self.st, self.offsets, self.session.put(padded), st_pair,
-                    wpadded)
+                    wpadded, dmask)
 
     def get_scores(self, query_ids) -> np.ndarray:
         """Dense (D,) scores for a single query (reference bm25.py:124)."""

@@ -28,7 +28,7 @@ NEG_INF = float("-inf")
 
 
 def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int,
-                            weighted: bool = False):
+                            weighted: bool = False, masked: bool = False):
     """Build the pjit-able sharded (st, offsets, ids) -> (scores, docs) step.
 
     st: (V_pad, D_pad) sharded P(None, 'docs');  ids: (Q, T) sharded
@@ -40,7 +40,10 @@ def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int,
     def local_step(st_l, offsets, ids, *rest):
         from bm25_tpu.ops.gather_rows import gather_add_rows
 
-        w = rest[0] if weighted else None
+        rest = list(rest)
+        w = rest.pop(0) if weighted else None
+        # filtered search: (D_pad,) bool sharded over docs like st columns
+        mask_l = rest.pop(0) if masked else None
         # st_l: (V_pad, D_pad / n_doc_shards) — this shard's doc slice
         q, t = ids.shape
         d_local = st_l.shape[1]
@@ -66,12 +69,15 @@ def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int,
         shard = lax.axis_index(DOC_AXIS)
         doc_base = shard * d_local
         local_ids = lax.broadcasted_iota(jnp.int32, (1, d_local), 1)
-        masked = jnp.where(doc_base + local_ids < num_docs, scores, NEG_INF)
+        elig = doc_base + local_ids < num_docs
+        if mask_l is not None:
+            elig = elig & mask_l[None, :]
+        scores_m = jnp.where(elig, scores, NEG_INF)
 
         from bm25_tpu.ops.topk import select_top_k
 
         k_local = min(k, d_local)
-        top_s, top_i = select_top_k(masked, k_local)  # stage 1: local
+        top_s, top_i = select_top_k(scores_m, k_local)  # stage 1: local
         top_i = top_i.astype(jnp.int32) + doc_base
 
         # stage 2: all-gather (shards, q, k_local) candidates over ICI, merge
@@ -83,11 +89,19 @@ def make_sharded_query_step(mesh: Mesh, num_docs: int, k: int,
         kk = min(k, cand_s.shape[1])
         merged_s, merged_pos = lax.top_k(cand_s, kk)
         merged_i = jnp.take_along_axis(cand_i, merged_pos, axis=1)
-        return merged_s + qoff[:, None], merged_i
+        final_s = merged_s + qoff[:, None]
+        if mask_l is not None:
+            # slots beyond the eligible count: doc -1 / score 0
+            ok = merged_s > NEG_INF
+            merged_i = jnp.where(ok, merged_i, -1)
+            final_s = jnp.where(ok, final_s, 0.0)
+        return final_s, merged_i
 
     in_specs = (P(None, DOC_AXIS), P(), P(DATA_AXIS, None))
     if weighted:
         in_specs += (P(DATA_AXIS, None),)
+    if masked:
+        in_specs += (P(DOC_AXIS),)
     return jax.shard_map(
         local_step,
         mesh=mesh,
@@ -198,6 +212,7 @@ class ShardedEngine:
     def search(
         self, queries: np.ndarray, top_k: int = 100,
         weights: np.ndarray | None = None,
+        doc_mask: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         queries = np.asarray(queries)
         if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
@@ -214,6 +229,19 @@ class ShardedEngine:
                     f"weights shape {weights.shape} != queries shape "
                     f"{queries.shape}"
                 )
+        dmask = None
+        if doc_mask is not None:
+            m = np.asarray(doc_mask)
+            if m.shape != (self.num_docs,):
+                raise ValueError(
+                    f"doc_mask shape {m.shape} != ({self.num_docs},)"
+                )
+            d_pad = self.st.shape[1]
+            mp = np.zeros(d_pad, dtype=bool)
+            mp[: self.num_docs] = m.astype(bool)
+            dmask = jax.device_put(
+                mp, NamedSharding(self.mesh, P(DOC_AXIS))
+            )
         if len(queries) == 0:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         k = min(top_k, self.num_docs)
@@ -221,6 +249,7 @@ class ShardedEngine:
         q_real, t_real = queries.shape
         t_pad = next_pow2_at_least(max(t_real, 8))
         weighted = weights is not None
+        masked = dmask is not None
         qsh = NamedSharding(self.mesh, P(DATA_AXIS, None))
         max_q = self._max_chunk()
         futures = []
@@ -230,11 +259,13 @@ class ShardedEngine:
             q_pad = next_multiple(cq, 8 * n_data)
             padded = np.full((q_pad, t_pad), -1, dtype=np.int32)
             padded[:cq, :t_real] = chunk.astype(np.int32)
-            key = (self.num_docs, k, q_pad, t_pad, self.st.shape, weighted)
+            key = (self.num_docs, k, q_pad, t_pad, self.st.shape, weighted,
+                   masked)
             fn = self._cache.get(key)
             if fn is None:
                 fn = jax.jit(make_sharded_query_step(
-                    self.mesh, self.num_docs, k, weighted=weighted
+                    self.mesh, self.num_docs, k, weighted=weighted,
+                    masked=masked
                 ))
                 self._cache[key] = fn
             args = [self.st, self.offsets, jax.device_put(padded, qsh)]
@@ -242,6 +273,8 @@ class ShardedEngine:
                 wp = np.zeros((q_pad, t_pad), dtype=np.float32)
                 wp[:cq, :t_real] = weights[i : i + max_q]
                 args.append(jax.device_put(wp, qsh))
+            if masked:
+                args.append(dmask)
             scores, docs = fn(*args)
             futures.append((cq, docs, scores))
         # one batched fetch of every chunk's results (1.5x the serial rate
@@ -290,7 +323,8 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
                           buckets: list[dict], weighted: bool = False,
                           split_cold: bool = False, score_dtype=None,
                           ids_only: bool = False,
-                          k_local: int | None = None):
+                          k_local: int | None = None,
+                          masked: bool = False):
     """Doc-sharded multi-bucket ELL scoring + all-gather top-k merge.
 
     Per bucket: tokT/valT/hotT/hotLo (rows axis) shard P(None, 'docs') and
@@ -316,6 +350,10 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
             w_cold = rest.pop(0) if split_cold else None
         else:
             w = w_cold = None
+        # filtered search: replicated (num_docs,) bool gathered by each
+        # shard's global doc ids (bucket row order is not a contiguous
+        # global id range, so the mask cannot shard over the doc axis)
+        mask = rest.pop(0) if masked else None
         bucket_arrays = rest
         q = ids.shape[0]
         valid = ids >= 0
@@ -388,6 +426,18 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
                     scores = jnp.zeros((q, did_l.shape[0]), jnp.float32)
                 scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
                 gmax = None
+            if mask is not None:
+                from bm25_tpu.ops.ell_score import GROUP
+
+                elig = mask[jnp.maximum(did_l, 0)] & (did_l >= 0)
+                scores = jnp.where(elig[None, :], scores, NEG_INF)
+                rows_b = scores.shape[1]
+                # the fused kernel's group maxima were emitted pre-mask
+                gmax = None
+                if rows_b % GROUP == 0:
+                    gmax = jnp.max(
+                        scores.reshape(q, rows_b // GROUP, GROUP), axis=-1
+                    )
             # NB: named kk_b, NOT k_local — that name is the enclosing
             # step factory's trim parameter and assigning it here would
             # shadow it for the whole function (a real bug caught in the
@@ -444,6 +494,12 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
             out_s, out_i = lax.cond(ok, lambda: (t_s, t_i), full)
         else:
             out_s, out_i, _ = gather_merge(ls, li)
+        if masked:
+            # slots beyond the eligible count: doc -1 / score 0 (same
+            # contract as the single-chip engines' filtered search)
+            elig_out = out_s > NEG_INF
+            out_i = jnp.where(elig_out, out_i, -1)
+            out_s = jnp.where(elig_out, out_s, 0.0)
         if ids_only:
             # rankings-only: selection already ran in f32; skip the score
             # transfer entirely (same contract as SparseEngine.search_ids)
@@ -460,6 +516,8 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
         in_specs += (P(DATA_AXIS, None),)
         if split_cold:
             in_specs += (P(DATA_AXIS, None),)
+    if masked:
+        in_specs += (P(),)  # replicated eligibility mask
     out_specs = (
         P(DATA_AXIS, None)
         if ids_only
@@ -644,12 +702,15 @@ class ShardedSparseEngine:
     def search(
         self, queries: np.ndarray, top_k: int = 100,
         weights: np.ndarray | None = None,
+        doc_mask: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        return self._dispatch(queries, top_k, weights, ids_only=False)
+        return self._dispatch(queries, top_k, weights, ids_only=False,
+                              doc_mask=doc_mask)
 
     def search_ids(
         self, queries: np.ndarray, top_k: int = 100,
         weights: np.ndarray | None = None,
+        doc_mask: np.ndarray | None = None,
     ) -> np.ndarray:
         """Rankings only: skip the device->host score transfer entirely.
 
@@ -657,9 +718,11 @@ class ShardedSparseEngine:
         device — only the returned payload shrinks.  Same contract as
         ``SparseEngine.search_ids``.
         """
-        return self._dispatch(queries, top_k, weights, ids_only=True)
+        return self._dispatch(queries, top_k, weights, ids_only=True,
+                              doc_mask=doc_mask)
 
-    def _dispatch(self, queries, top_k, weights, ids_only: bool):
+    def _dispatch(self, queries, top_k, weights, ids_only: bool,
+                  doc_mask=None):
         queries = np.asarray(queries)
         if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
             raise ValueError("queries must be a 2-D integer array of token ids")
@@ -675,6 +738,19 @@ class ShardedSparseEngine:
                     f"weights shape {weights.shape} != queries shape "
                     f"{queries.shape}"
                 )
+        dmask = None
+        if doc_mask is not None:
+            m = np.asarray(doc_mask)
+            if m.shape != (self.num_docs,):
+                raise ValueError(
+                    f"doc_mask shape {m.shape} != ({self.num_docs},)"
+                )
+            # replicated: bucket rows interleave global ids, so the mask
+            # cannot shard over the doc axis (gathered by did per shard)
+            dmask = jax.device_put(
+                m.astype(bool), NamedSharding(self.mesh, P())
+            )
+        masked = dmask is not None
         if len(queries) == 0:
             empty_docs = np.zeros((0, 0), np.int32)
             if ids_only:
@@ -721,14 +797,14 @@ class ShardedSparseEngine:
             else:
                 kl = self.k_local
             key = (k, self.hot_h, q_pad, t_pad, shapes, weighted, split,
-                   t_pad_c, ids_only, self.score_dtype, kl)
+                   t_pad_c, ids_only, self.score_dtype, kl, masked)
             fn = self._cache.get(key)
             if fn is None:
                 fn = jax.jit(make_sharded_ell_step(
                     self.mesh, k, self.hot_h, self.buckets,
                     weighted=weighted, split_cold=split,
                     score_dtype=None if ids_only else sdt,
-                    ids_only=ids_only, k_local=kl,
+                    ids_only=ids_only, k_local=kl, masked=masked,
                 ))
                 self._cache[key] = fn
             qsh = NamedSharding(self.mesh, P(DATA_AXIS, None))
@@ -739,6 +815,8 @@ class ShardedSparseEngine:
                 args.append(jax.device_put(wpadded, qsh))
                 if split:
                     args.append(jax.device_put(wc_padded, qsh))
+            if masked:
+                args.append(dmask)
             out = fn(*args, *self.buckets)
             if ids_only:
                 futures.append((cq, None, out))
@@ -774,11 +852,15 @@ class ShardedSparseEngine:
         )
         out_docs, out_scores = [], []
         for (cq, qoff, _), di, si in zip(futures, flat[0::2], flat[1::2]):
-            out_docs.append(np.asarray(di)[:cq])
-            out_scores.append(
-                (np.asarray(si).astype(np.float32)[:cq] + qoff[:, None])
-                .astype(np.float32)
-            )
+            d = np.asarray(di)[:cq]
+            s = (np.asarray(si).astype(np.float32)[:cq]
+                 + qoff[:, None]).astype(np.float32)
+            if masked:
+                # qoff is doc-independent and was just added to the doc -1
+                # shortfall slots too; restore their score-0 contract
+                s[d == -1] = 0.0
+            out_docs.append(d)
+            out_scores.append(s)
         return unpermute(np.concatenate(out_docs)), unpermute(
             np.concatenate(out_scores)
         )

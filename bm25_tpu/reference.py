@@ -93,6 +93,7 @@ class ReferenceEngine:
     def search(
         self, queries: np.ndarray, top_k: int = 100,
         weights: np.ndarray | None = None,
+        doc_mask: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k search over padded query-token-id rows.
 
@@ -101,6 +102,9 @@ class ReferenceEngine:
             top_k: number of results per query.
             weights: optional (Q, T) float per-token weights (pad entries
                 ignored); scores become weighted column sums.
+            doc_mask: optional (num_docs,) bool, True = eligible (filtered
+                search); slots beyond the eligible count come back as
+                doc -1 / score 0.
 
         Returns:
             (top_docs (Q, k) int32, top_scores (Q, k) float32), each row sorted
@@ -123,6 +127,12 @@ class ReferenceEngine:
                     f"weights shape {weights.shape} != queries shape "
                     f"{queries.shape}"
                 )
+        if doc_mask is not None:
+            doc_mask = np.asarray(doc_mask).astype(bool)
+            if doc_mask.shape != (self.num_docs,):
+                raise ValueError(
+                    f"doc_mask shape {doc_mask.shape} != ({self.num_docs},)"
+                )
         if len(queries) == 0:
             return (np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32))
 
@@ -142,9 +152,16 @@ class ReferenceEngine:
                 scores = np.asarray(self.doc_toks[:, q] @ w).ravel()
                 if self.token_offsets is not None and len(q):
                     scores = scores + float(self.token_offsets[q] @ w)
-            top_docs[i], top_scores[i] = topk_descending(
-                scores.astype(np.float32), k
-            )
+            scores = scores.astype(np.float32)
+            if doc_mask is not None:
+                scores = np.where(doc_mask, scores, -np.inf)
+            top_docs[i], top_scores[i] = topk_descending(scores, k)
+        if doc_mask is not None:
+            # slots beyond the eligible count: doc -1 / score 0 (matches
+            # the device engines' filtered-search contract)
+            bad = ~np.isfinite(top_scores)
+            top_docs[bad] = -1
+            top_scores[bad] = 0.0
         return top_docs, top_scores
 
     def get_scores(self, query_ids: np.ndarray) -> np.ndarray:

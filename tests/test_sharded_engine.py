@@ -310,3 +310,61 @@ def test_k_local_trim_actually_engages(zipf_corpus_small):
 
     assert "cond" in jaxpr_of(8)       # trim active -> fallback cond
     assert "cond" not in jaxpr_of(None)  # full k -> no trim machinery
+
+
+# -- filtered search (doc_mask) over the mesh --------------------------------
+
+
+def test_sharded_dense_doc_mask_matches_oracle(setup):
+    idx, oracle = setup
+    mesh = make_mesh(8, data=2)
+    eng = ShardedEngine.from_scored_index(idx, mesh=mesh)
+    rng = np.random.default_rng(21)
+    queries = rng.integers(-1, idx.vocab_size, size=(16, 6), dtype=np.int32)
+    mask = rng.random(idx.num_docs) < 0.4
+    dd, ds = eng.search(queries, top_k=12, doc_mask=mask)
+    od, os_ = oracle.search(queries, top_k=12, doc_mask=mask)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+    real = dd >= 0
+    assert mask[dd[real]].all()
+
+
+def test_sharded_sparse_doc_mask_matches_oracle(setup):
+    """Mask through the sharded ELL step: fused kernel buckets, hot tier,
+    weighted variant, and the shortfall sentinel after the host qoff add."""
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    idx, oracle = setup
+    mesh = make_mesh(8, data=2)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh, hot_tokens=8)
+    rng = np.random.default_rng(22)
+    queries = rng.integers(-1, idx.vocab_size, size=(16, 6), dtype=np.int32)
+    mask = rng.random(idx.num_docs) < 0.4
+    dd, ds = eng.search(queries, top_k=12, doc_mask=mask)
+    od, os_ = oracle.search(queries, top_k=12, doc_mask=mask)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+    real = dd >= 0
+    assert mask[dd[real]].all()
+
+    w = rng.uniform(0.2, 3.0, size=queries.shape).astype(np.float32)
+    dd, ds = eng.search(queries, top_k=12, weights=w, doc_mask=mask)
+    od, os_ = oracle.search(queries, top_k=12, weights=w, doc_mask=mask)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=2e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+
+    # shortfall: only 3 eligible docs, k=8 -> sentinel tail, scores exactly
+    # 0 despite the host-side token-offset add
+    tiny = np.zeros(idx.num_docs, bool)
+    tiny[rng.choice(idx.num_docs, size=3, replace=False)] = True
+    dd, ds = eng.search(queries[:4], top_k=8, doc_mask=tiny)
+    od, os_ = oracle.search(queries[:4], top_k=8, doc_mask=tiny)
+    np.testing.assert_array_equal(dd == -1, od == -1)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    # ids_only path returns the same sentinels device-side
+    di = eng.search_ids(queries[:4], top_k=8, doc_mask=tiny)
+    np.testing.assert_array_equal(di == -1, od == -1)

@@ -616,3 +616,106 @@ def test_routed_q_pad_respects_budget():
     assert _routed_q_pad(5, max_q=8, q_align=8) == 8
     assert _routed_q_pad(20, max_q=24, q_align=8) == 24
     assert _routed_q_pad(16, max_q=24, q_align=8) == 16
+
+
+# -- filtered search (doc_mask) ---------------------------------------------
+
+
+def _mask_check(eng, oracle, idx, density, seed=11, k=10, q_n=12,
+                weighted=False, **search_kw):
+    rng = np.random.default_rng(seed)
+    queries = rng.integers(-1, idx.vocab_size, size=(q_n, 6), dtype=np.int32)
+    mask = rng.random(idx.num_docs) < density
+    w = (rng.uniform(0.2, 3.0, size=queries.shape).astype(np.float32)
+         if weighted else None)
+    dd, ds = eng.search(queries, top_k=k, weights=w, doc_mask=mask,
+                        **search_kw)
+    od, os_ = oracle.search(queries, top_k=k, weights=w, doc_mask=mask)
+    # weighted paths carry the usual split-bf16 reconstruction noise
+    tol = dict(rtol=2e-5, atol=2e-5) if weighted else dict(rtol=1e-5,
+                                                           atol=1e-6)
+    np.testing.assert_allclose(ds, os_, **tol)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+    # every returned doc is eligible (or the -1 shortfall sentinel)
+    real = dd >= 0
+    assert mask[dd[real]].all()
+    # the -1/-0 sentinel appears exactly when eligibility runs out
+    if not mask.any():
+        assert (dd == -1).all() and (ds == 0.0).all()
+    return dd, ds
+
+
+@pytest.mark.parametrize("max_buckets", [1, 4])
+def test_sparse_doc_mask_matches_oracle(setup, max_buckets):
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, max_buckets=max_buckets)
+    _mask_check(eng, oracle, idx, density=0.5)
+    _mask_check(eng, oracle, idx, density=0.5, weighted=True)
+
+
+def test_sparse_doc_mask_sparse_eligibility(setup):
+    """Fewer eligible docs than k: the tail of each row is doc -1/score 0
+    on every transfer path (plain, packed runs under 2^24 docs)."""
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx)
+    rng = np.random.default_rng(3)
+    mask = np.zeros(idx.num_docs, bool)
+    mask[rng.choice(idx.num_docs, size=4, replace=False)] = True
+    queries = rng.integers(0, idx.vocab_size, size=(6, 6), dtype=np.int32)
+    dd, ds = eng.search(queries, top_k=10, doc_mask=mask)
+    od, os_ = oracle.search(queries, top_k=10, doc_mask=mask)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(dd == -1, od == -1)
+    real = dd >= 0
+    assert mask[dd[real]].all()
+    # all-False mask: every slot is the sentinel
+    dd, ds = eng.search(queries[:2], top_k=5,
+                        doc_mask=np.zeros(idx.num_docs, bool))
+    assert (dd == -1).all() and (ds == 0.0).all()
+
+
+def test_sparse_doc_mask_with_hot_tier_and_tail(setup):
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=8, tail_cap=2)
+    _mask_check(eng, oracle, idx, density=0.4, seed=7)
+
+
+def test_sparse_doc_mask_ids_only_and_routing(setup):
+    """search_ids under a mask returns -1 sentinels device-side; a 40-query
+    batch also exercises cold-width routed chunks with the mask."""
+    idx, oracle = setup
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=8)
+    rng = np.random.default_rng(13)
+    queries = rng.integers(-1, idx.vocab_size, size=(40, 6), dtype=np.int32)
+    mask = rng.random(idx.num_docs) < 0.3
+    dd = eng.search_ids(queries, top_k=8, doc_mask=mask)
+    od, os_ = oracle.search(queries, top_k=8, doc_mask=mask)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+    np.testing.assert_array_equal(dd == -1, od == -1)
+
+
+def test_sparse_doc_mask_bad_shape_raises(setup):
+    idx, _ = setup
+    eng = SparseEngine.from_scored_index(idx)
+    q = np.zeros((1, 4), np.int32)
+    with pytest.raises(ValueError, match="doc_mask shape"):
+        eng.search(q, top_k=3, doc_mask=np.ones(idx.num_docs + 1, bool))
+
+
+def test_dense_doc_mask_matches_oracle(setup):
+    from bm25_tpu.models.dense import DenseEngine
+
+    idx, oracle = setup
+    eng = DenseEngine.from_scored_index(idx)
+    rng = np.random.default_rng(4)
+    queries = rng.integers(-1, idx.vocab_size, size=(9, 5), dtype=np.int32)
+    mask = rng.random(idx.num_docs) < 0.4
+    dd, ds = eng.search(queries, top_k=12, doc_mask=mask)
+    od, os_ = oracle.search(queries, top_k=12, doc_mask=mask)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
+    real = dd >= 0
+    assert mask[dd[real]].all()
