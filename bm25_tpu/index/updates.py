@@ -432,12 +432,26 @@ class UpdatableEngine:
     def search(
         self, queries: np.ndarray, top_k: int = 100,
         weights: np.ndarray | None = None,
+        doc_mask: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Batched top-k over the LIVE corpus (tombstones never returned)."""
+        """Batched top-k over the LIVE corpus (tombstones never returned).
+
+        ``doc_mask`` ((num_docs,) bool over GLOBAL ids, True = eligible)
+        composes with tombstones: the base engine masks on device, delta
+        docs filter in the merge; shortfall slots are doc -1 / score 0
+        (the engines' shared filtered-search contract).
+        """
         st = self._state  # one snapshot: delta + tombs stay coherent
         queries = np.asarray(queries)
         if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
             raise ValueError("queries must be a 2-D integer array of token ids")
+        if doc_mask is not None:
+            doc_mask = np.asarray(doc_mask).astype(bool)
+            if doc_mask.shape != (st.num_total,):
+                raise ValueError(
+                    f"doc_mask shape {doc_mask.shape} != ({st.num_total},) "
+                    "(current base + delta doc count)"
+                )
         vmax = (self.base_vocab_size if st.delta is None
                 else st.delta.vocab_size)
         if queries.size and int(queries.max()) >= vmax:
@@ -462,8 +476,11 @@ class UpdatableEngine:
             stripped = queries >= self.base_vocab_size
             base_q = np.where(stripped, np.int32(-1), queries)
         k_base = min(k + _round_up_k(st.tomb_base), self.base_num_docs)
+        base_kw = {}
+        if doc_mask is not None:
+            base_kw["doc_mask"] = doc_mask[: self.base_num_docs]
         docs_b, scores_b = self.base.search(base_q, top_k=k_base,
-                                            weights=weights)
+                                            weights=weights, **base_kw)
         docs_b = np.asarray(docs_b, dtype=np.int64)
         scores_b = np.asarray(scores_b, dtype=np.float32)
         if stripped is not None and st.delta is not None:
@@ -478,10 +495,10 @@ class UpdatableEngine:
             scores_b = scores_b + corr[:, None]
 
         if st.delta is None or len(st.delta) == 0:
-            if st.tomb_base == 0:
+            if st.tomb_base == 0 and doc_mask is None:
                 return docs_b[:, :k].astype(np.int32), scores_b[:, :k]
             return self._filter_merge(
-                docs_b, scores_b, None, None, st.tombs, k
+                docs_b, scores_b, None, None, st.tombs, k, elig=doc_mask
             )
 
         # delta candidates: score EVERY delta doc (the segment is small by
@@ -491,19 +508,25 @@ class UpdatableEngine:
                   + self.base_num_docs)
         docs_d = np.broadcast_to(docs_d, scores_d_all.shape)
         return self._filter_merge(
-            docs_b, scores_b, docs_d, scores_d_all, st.tombs, k
+            docs_b, scores_b, docs_d, scores_d_all, st.tombs, k,
+            elig=doc_mask,
         )
 
     def search_ids(
         self, queries: np.ndarray, top_k: int = 100,
         weights: np.ndarray | None = None,
+        doc_mask: np.ndarray | None = None,
     ) -> np.ndarray:
         """Rankings only (docs matrix)."""
-        return self.search(queries, top_k=top_k, weights=weights)[0]
+        return self.search(queries, top_k=top_k, weights=weights,
+                           doc_mask=doc_mask)[0]
 
     @staticmethod
-    def _filter_merge(docs_b, scores_b, docs_d, scores_d, tombs, k):
-        """Per-query: drop tombstones, two-key merge (score desc, id asc)."""
+    def _filter_merge(docs_b, scores_b, docs_d, scores_d, tombs, k,
+                      elig=None):
+        """Per-query: drop tombstones (and mask-ineligible docs), two-key
+        merge (score desc, id asc); under a mask, shortfall slots are
+        doc -1 / score 0."""
         q_n = len(docs_b)
         out_docs = np.zeros((q_n, k), dtype=np.int32)
         out_scores = np.zeros((q_n, k), dtype=np.float32)
@@ -512,12 +535,21 @@ class UpdatableEngine:
             if docs_d is not None:
                 d = np.concatenate([d, docs_d[i]])
                 s = np.concatenate([s, scores_d[i]])
-            keep = ~tombs[d]
+            if elig is None:
+                keep = ~tombs[d]
+            else:
+                # the masked base engine pads shortfalls with doc -1;
+                # np.maximum keeps the lookups in bounds, `valid` drops them
+                valid = d >= 0
+                safe = np.maximum(d, 0)
+                keep = valid & ~tombs[safe] & elig[safe]
             d, s = d[keep], s[keep]
             order = np.lexsort((d, -s))[:k]
             n = len(order)
             out_docs[i, :n] = d[order]
             out_scores[i, :n] = s[order]
+            if elig is not None and n < k:
+                out_docs[i, n:] = -1  # scores already 0
         return out_docs, out_scores
 
     # -- compaction hooks ---------------------------------------------------

@@ -72,26 +72,32 @@ class Retriever:
     # -- retrieval -----------------------------------------------------------
 
     def retrieve(
-        self, queries: Sequence, k: int = 10, return_text: bool = False
+        self, queries: Sequence, k: int = 10, return_text: bool = False,
+        doc_mask=None,
     ):
         """Batched text retrieval -> (docs (Q,k), scores (Q,k) [, texts]).
 
         Each query is a plain string, or a ``{term: weight}`` mapping for
         weighted retrieval (query expansion etc.) — weighted terms scale
-        their tokens' score contributions on device.
+        their tokens' score contributions on device.  ``doc_mask``
+        ((num_docs,) bool, True = eligible) restricts results to a doc
+        subset; shortfall slots are doc -1 / score 0 (their texts come
+        back empty).
         """
         queries = list(queries)
+        kw = {} if doc_mask is None else {"doc_mask": doc_mask}
         if any(isinstance(q, dict) for q in queries):
             ids, wts = self.tokenizer.tokenize_weighted_queries(
                 queries, self.index.vocab
             )
-            docs, scores = self.engine.search(ids, top_k=k, weights=wts)
+            docs, scores = self.engine.search(ids, top_k=k, weights=wts, **kw)
         else:
             ids = self.tokenizer.tokenize_queries(queries, self.index.vocab)
-            docs, scores = self.engine.search(ids, top_k=k)
+            docs, scores = self.engine.search(ids, top_k=k, **kw)
         if not return_text:
             return docs, scores
-        texts = [[self.text(int(d)) for d in row] for row in docs]
+        texts = [[self.text(int(d)) if int(d) >= 0 else "" for d in row]
+                 for row in docs]
         return docs, scores, texts
 
     def text(self, doc_id: int) -> str:

@@ -9,7 +9,10 @@ Stdlib-only JSON-over-HTTP:
                    a query may also be a {term: weight, ...} object —
                    weighted retrieval (query expansion), scored on device;
                    "include_scores": false returns rankings only (skips
-                   the device->host score transfer where supported)
+                   the device->host score transfer where supported);
+                   "filter_ids": [id, ...] restricts results to that doc
+                   allowlist (filtered search, exact on-device masking;
+                   rows end early when fewer docs are eligible than top_k)
     POST /reload   {"index_dir": "..."} (optional; defaults to the served
                    dir) — load the index fresh and swap the engine
                    atomically; in-flight requests finish on the old engine
@@ -70,6 +73,7 @@ class ServeLimits:
     max_pending_rows: int = 8192           # bounded batcher queue -> 429
     max_add_docs: int = 1024               # docs per /add request
     max_doc_chars: int = 1 << 20           # chars per added doc
+    max_filter_ids: int = 1 << 20          # allowlist ids per /search
 
 
 @dataclass
@@ -543,6 +547,27 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             queries, top_k, include_scores = _validate_request(
                 req, self.limits
             )
+            fmask = None
+            filter_ids = req.get("filter_ids")
+            if filter_ids is not None:
+                if (not isinstance(filter_ids, list) or not filter_ids
+                        or not all(isinstance(i, int) for i in filter_ids)):
+                    raise ValueError(
+                        "'filter_ids' must be a non-empty list of doc ids"
+                    )
+                if len(filter_ids) > self.limits.max_filter_ids:
+                    raise ValueError(
+                        f"{len(filter_ids)} filter ids exceeds the cap of "
+                        f"{self.limits.max_filter_ids}"
+                    )
+                n = rt.engine.num_docs
+                ids_arr = np.asarray(filter_ids, dtype=np.int64)
+                if int(ids_arr.min()) < 0 or int(ids_arr.max()) >= n:
+                    raise ValueError(
+                        f"filter id out of range [0, {n})"
+                    )
+                fmask = np.zeros(n, dtype=bool)
+                fmask[ids_arr] = True
         except (TypeError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
             return
@@ -568,7 +593,19 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
                     if wts is not None:
                         wts = np.where(oov, np.float32(0.0), wts)
             search_ids = getattr(rt.engine, "search_ids", None)
-            if self.batcher is not None:
+            if fmask is not None:
+                # per-request masks cannot co-batch (the mask would apply
+                # to the neighbors too): dispatch directly, not via the
+                # micro-batcher
+                if not include_scores and search_ids is not None:
+                    docs = search_ids(ids, top_k=top_k, weights=wts,
+                                      doc_mask=fmask)
+                    scores = None
+                else:
+                    docs, scores = rt.engine.search(
+                        ids, top_k=top_k, weights=wts, doc_mask=fmask
+                    )
+            elif self.batcher is not None:
                 docs, scores = self.batcher.search(
                     ids, top_k=top_k, weights=wts, engine=rt.engine,
                     timeout=self.limits.request_timeout_s,
@@ -614,6 +651,10 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         for qi in range(len(queries)):
             row = []
             for ri, d in enumerate(docs[qi]):
+                if int(d) < 0:
+                    # filtered search with fewer eligible docs than top_k:
+                    # the row just ends early
+                    continue
                 item = {"doc": int(d)}
                 if scores is not None and include_scores:
                     item["score"] = float(scores[qi][ri])

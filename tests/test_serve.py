@@ -1196,3 +1196,59 @@ def test_auto_compact_failure_warns_once_and_serving_survives(
         srv.shutdown()
     out = capsys.readouterr().out
     assert out.count("auto-compaction failed") == 1  # warned once, no spin
+
+
+# -- filtered search over HTTP (filter_ids) ---------------------------------
+
+
+def test_search_filter_ids(server):
+    """Allowlist restricts results; rows end early on shortfall."""
+    out = _post(server, {"queries": ["does the fish purr like a cat?"],
+                         "top_k": 3, "filter_ids": [1, 3]})
+    row = out["results"][0]
+    assert [it["doc"] for it in row] == [3, 1]  # fish doc wins, cat excluded
+    assert all(it["score"] >= 0 for it in row)
+    # single-doc allowlist: the row has exactly one entry despite top_k=3
+    out = _post(server, {"queries": ["cat"], "top_k": 3, "filter_ids": [2]})
+    assert [it["doc"] for it in out["results"][0]] == [2]
+
+
+def test_search_filter_ids_validation(server):
+    for bad, msg in [
+        ([], "non-empty"),
+        (["x"], "non-empty list of doc ids"),
+        ([99], "out of range"),
+        ([-1], "out of range"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, {"queries": ["cat"], "top_k": 2,
+                           "filter_ids": bad})
+        assert e.value.code == 400
+        assert msg in json.loads(e.value.read())["error"]
+
+
+def test_search_filter_ids_with_batcher_and_updatable(tmp_path_factory,
+                                                      request):
+    """Masked requests bypass the micro-batcher (per-request mask) and
+    compose with live adds on an updatable server."""
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("filter_upd_idx")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0, updatable=True, batch_window_ms=5.0)
+    srv.start_background()
+    try:
+        out = _post_path(srv, "/add", {"docs": ["a quokka cat marsupial"]})
+        new_id = out["doc_ids"][0]
+        res = _post_path(srv, "/search",
+                         {"queries": ["cat"], "top_k": 3,
+                          "filter_ids": [new_id]})
+        row = res["results"][0]
+        assert [it["doc"] for it in row] == [new_id]
+        assert "quokka" in row[0]["text"]
+        # weighted query + filter together
+        res = _post_path(srv, "/search",
+                         {"queries": [{"cat": 2.0, "dog": 1.0}], "top_k": 2,
+                          "filter_ids": [1]})
+        assert [it["doc"] for it in res["results"][0]] == [1]
+    finally:
+        srv.shutdown()

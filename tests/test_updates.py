@@ -379,3 +379,46 @@ def test_delta_incremental_matches_single_batch_bitwise():
     w = rng.uniform(0.1, 3.0, size=q.shape).astype(np.float32)
     np.testing.assert_array_equal(one.score_all(q, w), inc.score_all(q, w))
     np.testing.assert_array_equal(one._token_offsets, inc._token_offsets)
+
+
+def test_doc_mask_composes_with_tombstones_and_delta():
+    """Filtered search over an updatable engine: the mask spans base +
+    delta global ids, composes with tombstones, and shortfalls pad -1."""
+    docs_tok = [np.array([0, 1, 2], np.int32), np.array([1, 2], np.int32),
+                np.array([0, 2], np.int32)]
+    idx = build_scored_index(docs_tok, vocab_size=3)
+    upd = UpdatableEngine(ReferenceEngine.from_scored_index(idx), idx)
+    upd.add([np.array([0, 1], np.int32), np.array([2, 2], np.int32)])  # 3, 4
+    upd.delete([1])
+    q = np.array([[0, 1, 2]], np.int32)
+
+    # mask allows base 0 (live), base 1 (tombstoned!), delta 4
+    mask = np.array([True, True, False, False, True])
+    docs, scores = upd.search(q, top_k=5, doc_mask=mask)
+    assert docs.shape[1] == 4  # k clamps to the live count (5 - 1 tomb)
+    assert set(docs[0][docs[0] >= 0].tolist()) == {0, 4}  # 1 stays deleted
+    n_real = int((docs[0] >= 0).sum())
+    assert list(docs[0][n_real:]) == [-1] * (docs.shape[1] - n_real)
+    assert (scores[0][n_real:] == 0.0).all()
+
+    # mask must cover the grown corpus, not just the base
+    with pytest.raises(ValueError, match="doc_mask shape"):
+        upd.search(q, top_k=3, doc_mask=np.ones(3, bool))
+
+    # delta-only allowlist: results come purely from the delta segment
+    only_delta = np.zeros(5, bool)
+    only_delta[3] = True
+    docs, scores = upd.search(q, top_k=2, doc_mask=only_delta)
+    assert docs[0][0] == 3 and scores[0][0] > 0
+    assert docs[0][1] == -1
+
+    # parity with an unmasked search over an engine where the same docs
+    # are deleted instead
+    upd2 = UpdatableEngine(ReferenceEngine.from_scored_index(idx), idx)
+    upd2.add([np.array([0, 1], np.int32), np.array([2, 2], np.int32)])
+    upd2.delete([1, 2, 3])
+    d2, s2 = upd2.search(q, top_k=2)
+    mask_equiv = np.array([True, False, False, False, True])
+    d1, s1 = upd.search(q, top_k=2, doc_mask=mask_equiv)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
