@@ -911,3 +911,16 @@ def dryrun_sharded_step(n_devices: int) -> None:
                                rtol=1e-5, atol=1e-6)
     ids_only = sp.search_ids(queries, top_k=7)
     np.testing.assert_array_equal(ids_only, docs2)
+
+    # filtered search over both sharded engines (replicated mask on the
+    # ELL path, doc-sharded mask on the dense path)
+    mask = rng.random(index.num_docs) < 0.5
+    om, _ = ReferenceEngine.from_scored_index(index).search(
+        queries, top_k=7, doc_mask=mask
+    )
+    dm, _ = engine.search(queries, top_k=7, doc_mask=mask)
+    np.testing.assert_array_equal(dm == -1, om == -1)
+    assert mask[dm[dm >= 0]].all()
+    dm2, _ = sp.search(queries, top_k=7, doc_mask=mask)
+    np.testing.assert_array_equal(dm2 == -1, om == -1)
+    assert mask[dm2[dm2 >= 0]].all()
