@@ -240,6 +240,7 @@ def cmd_warm(args) -> int:
         cold_classes=ints(args.cold_classes),
         weighted=args.weighted,
         ids_only=args.ids_only,
+        filtered=args.filtered,
         log=lambda *a: print(*a, file=sys.stderr),
     )
     print(json.dumps({
@@ -358,6 +359,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also warm the weighted-query path")
     pw.add_argument("--ids-only", action="store_true",
                     help="also warm the rankings-only (search_ids) path")
+    pw.add_argument("--filtered", action="store_true",
+                    help="also warm the filtered-search (doc_mask / "
+                         "filter_ids) path — it bypasses the batcher, so "
+                         "its first production request pays any cold "
+                         "compile directly")
     pw.add_argument("--score-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     pw.set_defaults(fn=cmd_warm)

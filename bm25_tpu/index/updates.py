@@ -447,10 +447,18 @@ class UpdatableEngine:
             raise ValueError("queries must be a 2-D integer array of token ids")
         if doc_mask is not None:
             doc_mask = np.asarray(doc_mask).astype(bool)
-            if doc_mask.shape != (st.num_total,):
+            if doc_mask.ndim != 1 or doc_mask.shape[0] > st.num_total:
                 raise ValueError(
                     f"doc_mask shape {doc_mask.shape} != ({st.num_total},) "
                     "(current base + delta doc count)"
+                )
+            if doc_mask.shape[0] < st.num_total:
+                # a mask built from a num_docs snapshot that a concurrent
+                # add outgrew: docs newer than the snapshot are simply
+                # ineligible (the same tolerance the serving layer gives
+                # racing queries' grown-vocab token ids)
+                doc_mask = np.pad(
+                    doc_mask, (0, st.num_total - doc_mask.shape[0])
                 )
         vmax = (self.base_vocab_size if st.delta is None
                 else st.delta.vocab_size)
@@ -589,7 +597,17 @@ class UpdateLog:
                                      # doc ids line up with the remap
 
     A compact that PERSISTS the new base to the served index dir folds all
-    prior records into the base, so the log is truncated instead.
+    prior records into the base, so the log is reset instead.
+
+    Base-generation fencing: the first record is a signature of the base
+    artifacts (``{"op": "base", "sig": [...]}``).  Replay compares it to
+    the current base — a mismatch means the base changed under the log
+    (a persisted compact crashed between ``save_index`` and the log
+    reset, or the index was rebuilt out-of-band), so replaying would
+    re-apply folded ops (duplicate docs, deletes landing on remapped
+    ids).  Mismatched logs are discarded with a warning, never replayed.
+    The reset itself is a single atomic ``os.replace`` of a fresh
+    sig-only file, so there is no torn-truncation window.
     """
 
     FILENAME = "updates.wal"
@@ -597,9 +615,22 @@ class UpdateLog:
     def __init__(self, index_dir: str):
         import os
 
-        self.path = os.path.join(index_dir, self.FILENAME)
+        self.index_dir = os.fspath(index_dir)
+        self.path = os.path.join(self.index_dir, self.FILENAME)
         self._lock = threading.Lock()
         self._f = None
+
+    def base_sig(self) -> list:
+        """Fingerprint of the base artifact generation: (size, mtime_ns)
+        of the postings data file — ``save_index`` rewrites it on every
+        persisted compact, so any fold-in changes the signature."""
+        import os
+
+        try:
+            st = os.stat(os.path.join(self.index_dir, "data.csc.index.npy"))
+        except FileNotFoundError:
+            return [0, 0]
+        return [int(st.st_size), int(st.st_mtime_ns)]
 
     def read(self) -> list[dict]:
         """Parse the log; [] if absent.  Tolerates exactly one torn line at
@@ -646,6 +677,37 @@ class UpdateLog:
             )
         return ops
 
+    def read_pending(self) -> list[dict]:
+        """Ops safe to replay against the CURRENT base.
+
+        Parses the log and checks the base-generation signature; a
+        mismatch (base changed under the log) discards the records with
+        a warning and resets the log — replaying them would corrupt the
+        index.  Logs written before the signature header existed replay
+        as-is (their base cannot have been fold-compacted, since that
+        code path always writes the header).
+        """
+        import warnings
+
+        records = self.read()
+        if not records:
+            return []
+        if records[0].get("op") != "base":
+            return records  # legacy header-less log
+        head, ops = records[0], records[1:]
+        if head.get("sig") != self.base_sig():
+            if ops:
+                warnings.warn(
+                    f"{self.path}: base artifacts changed under the "
+                    f"update log ({len(ops)} record(s) discarded) — a "
+                    "persisted compaction folded them, or the index was "
+                    "rebuilt out-of-band",
+                    stacklevel=2,
+                )
+            self.reset()
+            return []
+        return ops
+
     def append(self, record: dict) -> None:
         """Write one record; returns only after flush + fsync (ack gate)."""
         import json
@@ -653,22 +715,41 @@ class UpdateLog:
 
         with self._lock:
             if self._f is None:
+                fresh = (not os.path.exists(self.path)
+                         or os.path.getsize(self.path) == 0)
                 self._f = open(self.path, "a", encoding="utf-8")
+                if fresh:  # new log: lead with the base-generation sig
+                    self._f.write(json.dumps(
+                        {"op": "base", "sig": self.base_sig()}
+                    ) + "\n")
             self._f.write(json.dumps(record, ensure_ascii=False) + "\n")
             self._f.flush()
             os.fsync(self._f.fileno())
 
-    def truncate(self) -> None:
-        """Empty the log (its records are folded into a persisted base)."""
+    def reset(self) -> None:
+        """Atomically replace the log with a sig-only header (its records
+        are folded into a persisted base, or discarded as stale).  One
+        ``os.replace`` — no torn-truncation window."""
+        import json
         import os
 
         with self._lock:
             if self._f is not None:
                 self._f.close()
                 self._f = None
-            with open(self.path, "w", encoding="utf-8") as f:
+            tmp = self.path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(json.dumps(
+                    {"op": "base", "sig": self.base_sig()}
+                ) + "\n")
                 f.flush()
                 os.fsync(f.fileno())
+            os.replace(tmp, self.path)
+            dfd = os.open(self.index_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)  # make the rename itself durable
+            finally:
+                os.close(dfd)
 
     def close(self) -> None:
         with self._lock:

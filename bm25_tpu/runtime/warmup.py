@@ -62,6 +62,7 @@ def default_plan(
     cold_classes=(2, 4, 8),
     weighted: bool = False,
     ids_only: bool = False,
+    filtered: bool = False,
 ) -> list[dict]:
     """Enumerate the warm tasks for a serving deployment.
 
@@ -75,8 +76,11 @@ def default_plan(
     size appended to ``batch_sizes``.  Engines without a hot tier warm
     every size unrouted (routing never engages for them).
 
-    ``weighted=True`` / ``ids_only=True`` add those path variants (each
-    is its own compiled family).  Returns plain dicts so callers (CLI,
+    ``weighted=True`` / ``ids_only=True`` / ``filtered=True`` add those
+    path variants (each is its own compiled family; ``filtered`` covers
+    ``doc_mask`` / HTTP ``filter_ids`` requests, which bypass the
+    micro-batcher and would otherwise pay their cold compile on the
+    first production request).  Returns plain dicts so callers (CLI,
     tests) can inspect or edit the plan before running it.
     """
     route_min = int(getattr(engine, "route_min_queries", 32) or 32)
@@ -87,27 +91,29 @@ def default_plan(
     sizes = sorted(set(batch_sizes) | {routed_batch})
     tasks: list[dict] = []
 
-    def add(q, t, c, k, w, io):
+    def add(q, t, c, k, w, io, f=False):
         tasks.append({
             "q": int(q), "t": int(t), "cold": c, "top_k": int(k),
-            "weighted": bool(w), "ids_only": bool(io),
+            "weighted": bool(w), "ids_only": bool(io), "filtered": bool(f),
         })
 
-    variants = [(False, False)]
+    variants = [(False, False, False)]
     if weighted:
-        variants.append((True, False))
+        variants.append((True, False, False))
     if ids_only and getattr(engine, "search_ids", None) is not None:
-        variants.append((False, True))
+        variants.append((False, True, False))
+    if filtered:
+        variants.append((False, False, True))
     for k in top_ks:
         for t in widths:
-            for w, io in variants:
+            for w, io, f in variants:
                 for q in sizes:
                     if has_routing and q >= route_min:
                         for c in cold_classes:
                             if c <= t:
-                                add(q, t, int(c), k, w, io)
+                                add(q, t, int(c), k, w, io, f)
                     else:
-                        add(q, t, None, k, w, io)
+                        add(q, t, None, k, w, io, f)
     return tasks
 
 
@@ -136,20 +142,30 @@ def warm_engine(
         if task["weighted"]:
             # unit weights: tail-tier engines require non-negative weights
             weights = np.ones_like(ids, dtype=np.float32)
+        kw = {}
+        if task.get("filtered"):
+            # any mask hits the same compiled shape; half density keeps
+            # the selection inputs realistic
+            kw["doc_mask"] = (
+                np.arange(int(engine.num_docs)) % 2 == 0
+            )
         t0 = time.monotonic()
         if task["ids_only"]:
-            engine.search_ids(ids, top_k=task["top_k"], weights=weights)
+            engine.search_ids(ids, top_k=task["top_k"], weights=weights,
+                              **kw)
         elif weights is not None:
-            engine.search(ids, top_k=task["top_k"], weights=weights)
+            engine.search(ids, top_k=task["top_k"], weights=weights, **kw)
         else:
-            engine.search(ids, top_k=task["top_k"])
+            engine.search(ids, top_k=task["top_k"], **kw)
         entry = dict(task, seconds=round(time.monotonic() - t0, 3))
         report.append(entry)
         if log is not None:
             c = "-" if entry["cold"] is None else entry["cold"]
             flags = "".join(
                 f" {name}" for name, on in
-                (("weighted", entry["weighted"]), ("ids_only", entry["ids_only"]))
+                (("weighted", entry["weighted"]),
+                 ("ids_only", entry["ids_only"]),
+                 ("filtered", entry.get("filtered", False)))
                 if on
             )
             log(

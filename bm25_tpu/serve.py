@@ -413,6 +413,36 @@ class MicroBatcher:
             item["ev"].set()
 
 
+def _call_with_timeout(fn, timeout_s: float, what: str):
+    """Run ``fn`` in a worker thread, bounded by ``timeout_s`` wall clock.
+
+    On timeout the worker keeps running to completion (its compile/search
+    work is not abandonable mid-dispatch — same semantics as a timed-out
+    micro-batcher waiter) but the request answers 504 instead of hanging
+    a handler thread for an unbounded cold compile.
+    """
+    out: list = [None]
+    err: list = [None]
+
+    def run():
+        try:
+            out[0] = fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised in caller
+            err[0] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if t.is_alive():
+        raise TimeoutError(
+            f"{what} exceeded the {timeout_s:.0f}s request timeout (a "
+            "first-use shape compile may still be in progress; retry)"
+        )
+    if err[0] is not None:
+        raise err[0]
+    return out[0]
+
+
 def _validate_request(req: dict, limits: ServeLimits):
     """Parse + bound-check one /search body; returns (queries, top_k, incl)."""
     queries = req.get("queries")
@@ -551,7 +581,11 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             filter_ids = req.get("filter_ids")
             if filter_ids is not None:
                 if (not isinstance(filter_ids, list) or not filter_ids
-                        or not all(isinstance(i, int) for i in filter_ids)):
+                        or not all(isinstance(i, int)
+                                   and not isinstance(i, bool)
+                                   for i in filter_ids)):
+                    # NB bool: isinstance(True, int) is True in Python —
+                    # [true, false] would silently filter to docs 1 and 0
                     raise ValueError(
                         "'filter_ids' must be a non-empty list of doc ids"
                     )
@@ -596,15 +630,20 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             if fmask is not None:
                 # per-request masks cannot co-batch (the mask would apply
                 # to the neighbors too): dispatch directly, not via the
-                # micro-batcher
-                if not include_scores and search_ids is not None:
-                    docs = search_ids(ids, top_k=top_k, weights=wts,
-                                      doc_mask=fmask)
-                    scores = None
-                else:
-                    docs, scores = rt.engine.search(
-                        ids, top_k=top_k, weights=wts, doc_mask=fmask
-                    )
+                # micro-batcher — but under the same wall-clock bound (the
+                # first masked request per shape class pays a cold
+                # compile, minutes through a remote-compile relay)
+                def _masked():
+                    if not include_scores and search_ids is not None:
+                        return search_ids(ids, top_k=top_k, weights=wts,
+                                          doc_mask=fmask), None
+                    return rt.engine.search(ids, top_k=top_k, weights=wts,
+                                            doc_mask=fmask)
+
+                docs, scores = _call_with_timeout(
+                    _masked, self.limits.request_timeout_s,
+                    "filtered search",
+                )
             elif self.batcher is not None:
                 docs, scores = self.batcher.search(
                     ids, top_k=top_k, weights=wts, engine=rt.engine,
@@ -716,9 +755,18 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             self._send(400, {"error": str(e)})
             return
         except RuntimeError as e:
-            # "index rebuilding" raced the engine-None check above: the
-            # same retryable condition, so the same 503 (not a 500)
-            self._send(503, {"error": str(e)})
+            if "rebuilding" in str(e):
+                # raced the engine-None check above: the same retryable
+                # condition, so the same 503 (not a 500)
+                self._send(503, {"error": str(e)})
+                return
+            # any other RuntimeError (XlaRuntimeError subclasses it: HBM
+            # OOM during a compact rebuild, a broken update log, ...) is
+            # NOT retryable — a 503 here would put contract-following
+            # clients into an infinite retry loop with silent metrics
+            if self.metrics is not None:
+                self.metrics.record_error()
+            self._send(500, {"error": str(e)})
             return
         except Exception as e:
             if self.metrics is not None:
@@ -795,6 +843,7 @@ class Server:
         limits = limits or ServeLimits()
 
         self._wal = None  # UpdateLog when updatable (durable live updates)
+        self._wal_broken = False  # a failed append poisons updatability
         if device_checkpoint:
             runtime = self._runtime_from_checkpoint(
                 device_checkpoint, index_dir, batch_window_ms
@@ -806,7 +855,7 @@ class Server:
                 )
             runtime = self._build_runtime(index_dir, batch_window_ms)
             if updatable:
-                runtime = self._open_wal_and_replay(
+                runtime, self._wal = self._open_wal_and_replay(
                     runtime, index_dir, batch_window_ms
                 )
         handler = type("Handler", (BM25RequestHandler,), {})
@@ -885,27 +934,36 @@ class Server:
     # -- write-ahead log (updatable=True durability) ----------------------
 
     def _open_wal_and_replay(self, runtime: EngineRuntime, index_dir: str,
-                             window: float) -> EngineRuntime:
+                             window: float):
         """Open <index_dir>/updates.wal and replay any pending ops.
 
         Every acked mutation since the last persisted compaction is in the
         log, so restart reproduces the exact pre-kill state: same doc ids,
         same delta segment, same tombstones (a logged in-memory compact is
         re-run — its remap is deterministic, so later ops' ids line up).
+        Records whose base-generation signature no longer matches the
+        artifacts (a persisted compact folded them before its log reset
+        landed) are discarded by ``read_pending``, never replayed.
+
+        Returns ``(runtime, wal)`` WITHOUT touching ``self._wal`` — the
+        caller installs the log only after the whole switch succeeds, so
+        a failed reload can't leave mutations logging to the wrong dir.
         """
         from bm25_tpu.index.updates import UpdateLog
 
-        self._wal = UpdateLog(index_dir)
-        ops = self._wal.read()
+        wal = UpdateLog(index_dir)
+        ops = wal.read_pending()
         if ops:
             print(f"bm25-tpu: replaying {len(ops)} logged update(s) from "
-                  f"{self._wal.path}")
-            runtime = self._apply_wal_ops(runtime, ops, index_dir, window)
+                  f"{wal.path}")
+            runtime = self._apply_wal_ops(runtime, ops, index_dir, window,
+                                          wal)
             runtime.stats["wal_replayed"] = len(ops)
-        return runtime
+        return runtime, wal
 
     def _apply_wal_ops(self, runtime: EngineRuntime, ops: list,
-                       index_dir: str, window: float) -> EngineRuntime:
+                       index_dir: str, window: float,
+                       wal=None) -> EngineRuntime:
         """Apply logged mutations to a freshly built runtime (pre-swap: the
         runtime is not serving yet, so a logged compact is a plain rebuild
         with no 503 window)."""
@@ -942,9 +1000,8 @@ class Server:
                     index, [{"text": t} for t in texts], index_dir, window
                 )
             else:
-                raise ValueError(
-                    f"unknown op {op!r} in update log {self._wal.path}"
-                )
+                path = wal.path if wal is not None else "updates.wal"
+                raise ValueError(f"unknown op {op!r} in update log {path}")
         return runtime
 
     def _runtime_from_checkpoint(
@@ -1028,6 +1085,13 @@ class Server:
             # validate the new index on the HOST before touching the old
             # engine: a bad path must leave the old index serving
             index, corpus = self._load_host(index_dir)
+            if self._updatable:
+                # ... and the target dir's update log too: a corrupt log
+                # surfacing only after the drop window below would strand
+                # the server on the 503 stub with the old engine gone
+                from bm25_tpu.index.updates import UpdateLog
+
+                UpdateLog(index_dir).read_pending()
             if mode == "drop":
                 # release the old engine before building: serve 503 from
                 # a stub runtime, wait for admitted work to finish, drop
@@ -1051,10 +1115,12 @@ class Server:
             # is already gone; the stub runtime stays in place (503s)
             # rather than serving wrong answers
             runtime = self._make_runtime(index, corpus, index_dir, window)
+            new_wal = None
             if self._updatable:
-                if self._wal is not None:
-                    self._wal.close()
-                runtime = self._open_wal_and_replay(
+                # the new dir's log replays into the not-yet-swapped
+                # runtime; on any failure self._wal still points at the
+                # OLD dir, so acked mutations keep logging consistently
+                runtime, new_wal = self._open_wal_and_replay(
                     runtime, index_dir, window
                 )
             if self._warmup_top_k > 0:
@@ -1062,10 +1128,39 @@ class Server:
             self._handler.runtime = runtime  # the atomic swap
             if self.batcher is not None:
                 self.batcher.engine = runtime.engine
+            if self._updatable:
+                if self._wal is not None and self._wal is not new_wal:
+                    self._wal.close()
+                self._wal = new_wal
             self._index_dir = index_dir
             return dict(runtime.stats)
 
     # -- live updates (updatable=True) -----------------------------------
+
+    def _wal_log(self, record: dict) -> None:
+        """Fsync a mutation record BEFORE applying it (true write-ahead).
+
+        An append failure (disk full, EIO) poisons updatability: applying
+        further mutations after a lost record would let in-memory state
+        and the log diverge — replay after the next restart would then
+        resolve later logged ops against the wrong doc ids.  Mutations
+        answer 500 until a restart; searches are unaffected.
+        """
+        if self._wal is None:
+            return
+        if self._wal_broken:
+            raise RuntimeError(
+                "update log unavailable (a previous append failed); "
+                "mutations are disabled until the server restarts"
+            )
+        try:
+            self._wal.append(record)
+        except Exception as e:
+            self._wal_broken = True
+            raise RuntimeError(
+                f"update log append failed ({e}); mutations are disabled "
+                "until the server restarts"
+            ) from e
 
     def add_documents(self, texts: list[str]) -> dict:
         """Tokenize + add texts to the live delta segment; returns ids.
@@ -1079,11 +1174,12 @@ class Server:
             # swaps the runtime and also takes this lock, so rt stays valid
             if rt.engine is None:
                 raise RuntimeError("index rebuilding; retry shortly")
+            # validate (tokenize) BEFORE the log write; the apply below is
+            # pure in-memory appends, so log-then-apply cannot diverge
             tc = rt.tokenizer.tokenize_corpus(list(texts), vocab=rt.vocab)
+            self._wal_log({"op": "add", "docs": list(texts)})
             rt.corpus.append_texts(list(texts))
             ids = rt.engine.add(tc.ids)
-            if self._wal is not None:  # fsynced before the 200 (durability)
-                self._wal.append({"op": "add", "docs": list(texts)})
             return {
                 "status": "added",
                 "doc_ids": [int(i) for i in ids],
@@ -1098,11 +1194,21 @@ class Server:
             rt = self._handler.runtime
             if rt.engine is None:
                 raise RuntimeError("index rebuilding; retry shortly")
-            n = rt.engine.delete(doc_ids)
-            if self._wal is not None:
-                self._wal.append(
-                    {"op": "delete", "doc_ids": [int(i) for i in doc_ids]}
+            # pre-validate so the write-ahead record can't name an op the
+            # (infallible-after-validation) apply would reject
+            ids_arr = np.atleast_1d(np.asarray(doc_ids, dtype=np.int64))
+            if ids_arr.size and (
+                int(ids_arr.min()) < 0
+                or int(ids_arr.max()) >= rt.engine.num_docs
+            ):
+                raise ValueError(
+                    f"doc id out of range [0, {rt.engine.num_docs}) in "
+                    "delete"
                 )
+            self._wal_log(
+                {"op": "delete", "doc_ids": [int(i) for i in doc_ids]}
+            )
+            n = rt.engine.delete(doc_ids)
             return {
                 "status": "deleted",
                 "deleted": n,
@@ -1183,17 +1289,21 @@ class Server:
                 if save_dir is None:
                     # in-memory compact: log it so replay re-runs the
                     # deterministic rebuild and later ops' ids line up
-                    self._wal.append({"op": "compact"})
+                    self._wal_log({"op": "compact"})
                 else:
                     # persisted compact: the new base folds every logged
-                    # op, so the log at the (possibly new) served dir
-                    # starts empty — also clears a stale WAL left in
-                    # save_dir by an earlier serving run
+                    # op — reset the (possibly new) served dir's log to a
+                    # sig-only header.  save_index already changed the
+                    # base signature, so a crash BEFORE this reset leaves
+                    # a mismatched log that read_pending discards rather
+                    # than replaying folded ops
                     from bm25_tpu.index.updates import UpdateLog
 
-                    self._wal.close()
+                    old_wal = self._wal
                     self._wal = UpdateLog(save_dir)
-                    self._wal.truncate()
+                    self._wal.reset()
+                    old_wal.close()  # same-dir: its fd points at the
+                    # inode reset just replaced; other-dir: done with it
             out = {
                 "status": "compacted",
                 "live_docs": runtime.engine.live_docs,
@@ -1274,6 +1384,11 @@ class Server:
 
     def shutdown(self):
         self._auto_compact_stop.set()
+        if self._auto_compact_thread is not None:
+            # wait out an in-flight auto-compaction: killing it mid
+            # save_index would leave torn base artifacts in the served
+            # dir (and it may still touch the WAL we close below)
+            self._auto_compact_thread.join(timeout=600)
         self.httpd.shutdown()
         self.httpd.server_close()
         if self.batcher is not None:

@@ -1013,11 +1013,13 @@ def test_wal_truncated_by_persisted_compact(tmp_path_factory, request):
     srv.start_background()
     try:
         _post_path(srv, "/add", {"docs": ["a quokka is a smiling marsupial"]})
-        wal = os.path.join(d, "updates.wal")
-        assert os.path.getsize(wal) > 0
+        from bm25_tpu.index.updates import UpdateLog
+
+        assert len(UpdateLog(d).read_pending()) == 1
         out = _post_path(srv, "/compact", {"save_dir": d})
         assert out["saved_to"] == d
-        assert os.path.getsize(wal) == 0
+        # folded: the log is reset to a sig-only header for the NEW base
+        assert UpdateLog(d).read_pending() == []
     finally:
         srv.shutdown()
 
@@ -1153,8 +1155,10 @@ def test_auto_compact_folds_delta(tmp_path_factory, request):
         assert h["updates"]["live_docs"] == 7
         assert h["updates"]["auto_compact"] is True
         assert h["metrics"]["compactions"] >= 1
-        # persisted: WAL folded into the base on disk
-        assert os.path.getsize(os.path.join(d, "updates.wal")) == 0
+        # persisted: WAL folded into the base on disk (sig-only header)
+        from bm25_tpu.index.updates import UpdateLog
+
+        assert UpdateLog(d).read_pending() == []
         res = _post_path(srv, "/search", {"queries": ["numbat"], "top_k": 1})
         top = res["results"][0][0]
         assert top["score"] > 0 and "termites" in top["text"]
@@ -1252,3 +1256,119 @@ def test_search_filter_ids_with_batcher_and_updatable(tmp_path_factory,
         assert [it["doc"] for it in res["results"][0]] == [1]
     finally:
         srv.shutdown()
+
+
+def test_wal_stale_generation_discarded_on_restart(tmp_path_factory,
+                                                   request):
+    """Simulates a crash between a persisted compact's save_index and its
+    log reset: pending ops + a rebuilt base. Restart must NOT replay the
+    (folded) ops — base-generation fencing discards them."""
+    import warnings
+
+    corpus = request.getfixturevalue("animal_corpus")
+    d = _build_upd_idx(tmp_path_factory, request, "wal_stale_idx")
+    srv = Server(d, port=0, updatable=True)
+    srv.start_background()
+    try:
+        _post_path(srv, "/add", {"docs": ["a quokka is a smiling marsupial"]})
+    finally:
+        srv.shutdown()
+    # the base is rebuilt under the log (as a crashed fold would leave it)
+    build_index(corpus + ["a quokka is a smiling marsupial"],
+                save_to=d, save_corpus=True)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        srv2 = Server(d, port=0, updatable=True)
+    assert any("base artifacts changed" in str(x.message) for x in w)
+    srv2.start_background()
+    try:
+        assert "wal_replayed" not in srv2._handler.runtime.stats
+        res = _post_path(srv2, "/search", {"queries": ["quokka"], "top_k": 1})
+        top = res["results"][0][0]
+        # exactly one quokka doc: the folded one, not a replayed duplicate
+        assert top["doc"] == 4 and srv2._handler.runtime.engine.num_docs == 5
+    finally:
+        srv2.shutdown()
+
+
+def test_reload_failure_keeps_old_wal(tmp_path_factory, request):
+    """A reload whose target WAL is corrupt must fail WITHOUT repointing
+    the live log: later acked mutations keep logging to the served dir."""
+    import os
+
+    d1 = _build_upd_idx(tmp_path_factory, request, "wal_rlf1_idx")
+    d2 = _build_upd_idx(tmp_path_factory, request, "wal_rlf2_idx")
+    with open(os.path.join(d2, "updates.wal"), "w", encoding="utf-8") as f:
+        f.write("garbage line\n")
+        f.write('{"op": "delete", "doc_ids": [0]}\n')  # hole -> read raises
+
+    srv = Server(d1, port=0, updatable=True)
+    srv.start_background()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(srv, "/reload", {"index_dir": d2})
+        assert e.value.code == 500
+        # old index still serves, and a new acked add lands in d1's log
+        _post_path(srv, "/add", {"docs": ["a quokka is a smiling marsupial"]})
+    finally:
+        srv.shutdown()
+    from bm25_tpu.index.updates import UpdateLog
+
+    assert len(UpdateLog(d1).read_pending()) == 1
+    srv2 = Server(d1, port=0, updatable=True)
+    srv2.start_background()
+    try:
+        res = _post_path(srv2, "/search", {"queries": ["quokka"], "top_k": 1})
+        assert res["results"][0][0]["doc"] == 4  # the add survived
+    finally:
+        srv2.shutdown()
+
+
+def test_wal_poison_disables_mutations_not_search(tmp_path_factory,
+                                                  request):
+    """After a failed log append, mutations 500 (never silently diverge
+    from the log) while searches keep serving."""
+    d = _build_upd_idx(tmp_path_factory, request, "wal_poison_idx")
+    srv = Server(d, port=0, updatable=True)
+    srv.start_background()
+    try:
+        srv._wal_broken = True  # as a failed fsync would leave it
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(srv, "/add", {"docs": ["doomed doc"]})
+        assert e.value.code == 500
+        assert "update log" in json.loads(e.value.read())["error"]
+        assert srv._handler.runtime.engine.num_docs == 4  # nothing applied
+        res = _post_path(srv, "/search", {"queries": ["cat"], "top_k": 1})
+        assert res["results"][0][0]["doc"] == 0  # searches unaffected
+    finally:
+        srv.shutdown()
+
+
+def test_filter_ids_rejects_booleans(server):
+    """isinstance(True, int) is True: [true, false] must 400, not filter
+    to docs 1 and 0."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"queries": ["cat"], "top_k": 2,
+                       "filter_ids": [True, False]})
+    assert e.value.code == 400
+
+
+def test_doc_mask_tolerates_racing_add():
+    """A mask built from a num_docs snapshot that a concurrent add outgrew
+    is padded False (newer docs ineligible), not rejected."""
+    import numpy as np
+
+    from bm25_tpu.index.updates import UpdatableEngine
+    from bm25_tpu.reference import ReferenceEngine
+    from bm25_tpu.scoring import build_scored_index
+
+    docs_tok = [np.array([0, 1], np.int32), np.array([1, 2], np.int32)]
+    idx = build_scored_index(docs_tok, vocab_size=3)
+    upd = UpdatableEngine(ReferenceEngine.from_scored_index(idx), idx)
+    snapshot_mask = np.ones(upd.num_docs, bool)  # built pre-add
+    upd.add([np.array([0, 1, 2], np.int32)])  # the race
+    docs, scores = upd.search(np.array([[0, 1, 2]], np.int32), top_k=3,
+                              doc_mask=snapshot_mask)
+    real = docs[0][docs[0] >= 0]
+    assert set(real.tolist()) == {0, 1}  # the post-snapshot doc is excluded

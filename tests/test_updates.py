@@ -250,24 +250,56 @@ def test_device_engine_base(base_retriever):
 # -- UpdateLog (write-ahead log) ------------------------------------------
 
 
-def test_update_log_roundtrip_and_truncate(tmp_path):
+def test_update_log_roundtrip_and_reset(tmp_path):
     from bm25_tpu.index.updates import UpdateLog
 
     log = UpdateLog(str(tmp_path))
     assert log.read() == []  # absent file
+    assert log.read_pending() == []
     log.append({"op": "add", "docs": ["héllo wörld"]})  # non-ASCII intact
     log.append({"op": "delete", "doc_ids": [1, 2]})
     log.append({"op": "compact"})
-    assert UpdateLog(str(tmp_path)).read() == [
+    # the first append leads with a base-generation signature record
+    assert UpdateLog(str(tmp_path)).read_pending() == [
         {"op": "add", "docs": ["héllo wörld"]},
         {"op": "delete", "doc_ids": [1, 2]},
         {"op": "compact"},
     ]
-    log.truncate()
-    assert UpdateLog(str(tmp_path)).read() == []
-    log.append({"op": "compact"})  # appendable after truncation
-    assert UpdateLog(str(tmp_path)).read() == [{"op": "compact"}]
+    log.reset()
+    assert UpdateLog(str(tmp_path)).read_pending() == []
+    log.append({"op": "compact"})  # appendable after a reset
+    assert UpdateLog(str(tmp_path)).read_pending() == [{"op": "compact"}]
     log.close()
+
+
+def test_update_log_base_generation_fencing(tmp_path):
+    """Records logged against one base generation must never replay
+    against another (a persisted compact that crashed before its log
+    reset, or an out-of-band rebuild): read_pending discards them."""
+    import warnings
+
+    import numpy as np
+
+    from bm25_tpu.index.updates import UpdateLog
+
+    # a stand-in base artifact the signature covers
+    np.save(tmp_path / "data.csc.index.npy", np.arange(4, dtype=np.float32))
+    log = UpdateLog(str(tmp_path))
+    log.append({"op": "add", "docs": ["pending doc"]})
+    log.close()
+    assert UpdateLog(str(tmp_path)).read_pending() == [
+        {"op": "add", "docs": ["pending doc"]}
+    ]
+    # the base changes under the log (rewrite the artifact)
+    np.save(tmp_path / "data.csc.index.npy",
+            np.arange(8, dtype=np.float32))
+    fresh = UpdateLog(str(tmp_path))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert fresh.read_pending() == []
+    assert any("base artifacts changed" in str(x.message) for x in w)
+    # the discard also reset the log to the NEW generation
+    assert UpdateLog(str(tmp_path)).read_pending() == []
 
 
 def test_update_log_corrupt_middle_raises(tmp_path):
@@ -401,9 +433,14 @@ def test_doc_mask_composes_with_tombstones_and_delta():
     assert list(docs[0][n_real:]) == [-1] * (docs.shape[1] - n_real)
     assert (scores[0][n_real:] == 0.0).all()
 
-    # mask must cover the grown corpus, not just the base
+    # a SHORT mask (stale num_docs snapshot) pads False — newer docs are
+    # ineligible, not an error (racing-add tolerance); a too-LONG mask
+    # is structurally wrong and raises
+    docs, _ = upd.search(q, top_k=3, doc_mask=np.ones(3, bool))
+    real = docs[0][docs[0] >= 0]
+    assert set(real.tolist()) <= {0, 2}  # base-only (1 tombstoned)
     with pytest.raises(ValueError, match="doc_mask shape"):
-        upd.search(q, top_k=3, doc_mask=np.ones(3, bool))
+        upd.search(q, top_k=3, doc_mask=np.ones(9, bool))
 
     # delta-only allowlist: results come purely from the delta segment
     only_delta = np.zeros(5, bool)
