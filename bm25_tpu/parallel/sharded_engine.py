@@ -445,7 +445,10 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
             kk_b = min(k, scores.shape[1])
             if (gmax is not None and scores.shape[1] > max(2 * kk_b, 4096)
                     and gmax.shape[1] >= kk_b):
-                ls, lpos = top_k_tree_with_maxes(scores, gmax, kk_b)
+                from bm25_tpu.ops.ell_score import GROUP as _group
+
+                ls, lpos = top_k_tree_with_maxes(scores, gmax, kk_b,
+                                                 branch=_group)
             else:
                 ls, lpos = select_top_k(scores, kk_b)
             cand_s.append(ls)

@@ -353,3 +353,55 @@ def test_top_k_tree_with_maxes_validates_shape():
     x = jnp.zeros((2, 64))
     with pytest.raises(ValueError):
         top_k_tree_with_maxes(x, jnp.zeros((2, 7)), 3)
+
+
+def test_top_k_tree_with_maxes_deeper_branch():
+    """branch=16/32 group maxima stay exact with the same tie contract.
+
+    Pins the GROUP-parametric wiring (ops.ell_score.GROUP feeds the
+    tree's branch at every call site) so depth experiments can't silently
+    break exactness.
+    """
+    from bm25_tpu.ops.topk import top_k_tree, top_k_tree_with_maxes
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((5, 16384)).astype(np.float32).round(1)
+    x[:, 128:192] = 3.0  # tie block straddling group boundaries
+    for branch in (16, 32):
+        maxes = x.reshape(5, -1, branch).max(-1)
+        for k in (10, 500):
+            v0, i0 = top_k_tree(jnp.asarray(x), k)
+            v1, i1 = top_k_tree_with_maxes(
+                jnp.asarray(x), jnp.asarray(maxes), k, branch=branch
+            )
+            np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_sparse_engine_group16_exact(monkeypatch):
+    """The full engine stays oracle-exact with GROUP=16 fused maxima."""
+    import sys
+
+    import bm25_tpu.ops.ell_score  # noqa: F401 — ensure module registered
+
+    # bm25_tpu.ops.__init__ rebinds the name `ell_score` to the FUNCTION,
+    # so attribute-style imports resolve to it; go through sys.modules
+    es = sys.modules["bm25_tpu.ops.ell_score"]
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.reference import ReferenceEngine
+    from bm25_tpu.scoring import build_scored_index
+
+    monkeypatch.setattr(es, "GROUP", 16)
+    rng = np.random.default_rng(3)
+    docs = [
+        rng.integers(0, 900, size=rng.integers(5, 40)).astype(np.int32)
+        for _ in range(9000)  # > max(2k, 4096) rows: tree path engages
+    ]
+    idx = build_scored_index(docs, vocab_size=900)
+    eng = SparseEngine.from_scored_index(idx)
+    ref = ReferenceEngine.from_scored_index(idx)
+    q = rng.integers(0, 900, size=(8, 6)).astype(np.int32)
+    dd, ss = eng.search(q, top_k=64)
+    rd, rs = ref.search(q, top_k=64)
+    np.testing.assert_array_equal(np.asarray(dd), rd)
+    np.testing.assert_allclose(np.asarray(ss), rs, rtol=1e-5, atol=1e-5)
