@@ -640,12 +640,16 @@ class UpdateLog:
         import os
         import warnings
 
+        self._torn_at = None  # byte offset of a dropped torn tail, if any
         if not os.path.exists(self.path):
             return []
         ops: list[dict] = []
         bad_at = None
+        bad_off = None
         with open(self.path, "rb") as f:
+            offset = 0
             for lineno, raw in enumerate(f, 1):
+                start, offset = offset, offset + len(raw)
                 line = raw.strip()
                 if not line:
                     continue
@@ -655,7 +659,7 @@ class UpdateLog:
                         raise ValueError("record is not an op object")
                 except (ValueError, json.JSONDecodeError):
                     if bad_at is None:
-                        bad_at = lineno
+                        bad_at, bad_off = lineno, start
                         continue
                     raise ValueError(
                         f"{self.path}: corrupt record at line {bad_at} "
@@ -670,12 +674,35 @@ class UpdateLog:
                     )
                 ops.append(rec)
         if bad_at is not None:
+            self._torn_at = bad_off
             warnings.warn(
                 f"{self.path}: dropping torn final record at line {bad_at} "
                 "(crash mid-append; the op was never acknowledged)",
                 stacklevel=2,
             )
         return ops
+
+    def _repair_tail(self) -> None:
+        """Physically drop a torn tail so later appends start on a clean
+        line.  Without this, a record appended after tolerated torn bytes
+        glues onto them — the NEXT restart then sees garbage followed by
+        valid data and refuses the whole log (acked ops unrecoverable).
+        Only bytes ``read()`` judged unparseable are cut; the op they
+        belonged to was never acknowledged."""
+        import os
+
+        off = getattr(self, "_torn_at", None)
+        if off is None:
+            return
+        with self._lock:
+            if self._f is not None:  # keep any append fd consistent
+                self._f.close()
+                self._f = None
+            with open(self.path, "rb+") as f:
+                f.truncate(off)
+                f.flush()
+                os.fsync(f.fileno())
+        self._torn_at = None
 
     def read_pending(self) -> list[dict]:
         """Ops safe to replay against the CURRENT base.
@@ -690,6 +717,7 @@ class UpdateLog:
         import warnings
 
         records = self.read()
+        self._repair_tail()  # cut tolerated torn bytes before any append
         if not records:
             return []
         if records[0].get("op") != "base":
@@ -715,6 +743,7 @@ class UpdateLog:
 
         with self._lock:
             if self._f is None:
+                self._close_tail_unlocked()
                 fresh = (not os.path.exists(self.path)
                          or os.path.getsize(self.path) == 0)
                 self._f = open(self.path, "a", encoding="utf-8")
@@ -725,6 +754,56 @@ class UpdateLog:
             self._f.write(json.dumps(record, ensure_ascii=False) + "\n")
             self._f.flush()
             os.fsync(self._f.fileno())
+
+    def _close_tail_unlocked(self) -> None:
+        """Before the first append: make sure the log ends on a newline.
+
+        Applies ``read()``'s own judgment to an unterminated final line so
+        the logical log is unchanged: a parseable record (the crash lost
+        only its newline — ``read`` replays such a tail) is terminated in
+        place; unparseable bytes (``read`` drops them) are truncated.
+        Callers that went through ``read_pending`` already got the repair;
+        this covers direct ``append`` use on a dirty log."""
+        import json
+        import os
+
+        try:
+            size = os.path.getsize(self.path)
+        except OSError:
+            return
+        if size == 0:
+            return
+        with open(self.path, "rb+") as f:
+            f.seek(size - 1)
+            if f.read(1) == b"\n":
+                return
+            # find the start of the unterminated final line
+            pos = size - 1
+            chunk = 4096
+            start = 0
+            while pos > 0:
+                lo = max(0, pos - chunk)
+                f.seek(lo)
+                buf = f.read(pos - lo)
+                nl = buf.rfind(b"\n")
+                if nl >= 0:
+                    start = lo + nl + 1
+                    break
+                pos = lo
+            f.seek(start)
+            tail = f.read()
+            try:
+                rec = json.loads(tail)
+                ok = isinstance(rec, dict) and "op" in rec
+            except ValueError:
+                ok = False
+            if ok:
+                f.seek(0, os.SEEK_END)
+                f.write(b"\n")
+            else:
+                f.truncate(start)
+            f.flush()
+            os.fsync(f.fileno())
 
     def reset(self) -> None:
         """Atomically replace the log with a sig-only header (its records

@@ -1372,3 +1372,82 @@ def test_doc_mask_tolerates_racing_add():
                               doc_mask=snapshot_mask)
     real = docs[0][docs[0] >= 0]
     assert set(real.tolist()) == {0, 1}  # the post-snapshot doc is excluded
+
+
+def test_wal_crash_replay_fuzz(tmp_path_factory, request):
+    """Randomized kill/replay cycles: every acked mutation survives, no
+    unacked record resurfaces.
+
+    A client-side model tracks acked marker docs (alive/dead by unique
+    token) through random add/delete/in-memory-compact/persisted-compact
+    sequences across 3 restart cycles; one cycle also plants a torn
+    unacked tail record.  After every restart each marker's visibility
+    must match the model exactly — this pins the WAL ordering, the
+    logged-compact deterministic replay, the persisted-compact fold +
+    base-generation reset, and torn-tail tolerance in one state machine.
+    """
+    import os
+    import random
+    import warnings
+
+    rng = random.Random(20260817)
+    d = _build_upd_idx(tmp_path_factory, request, "wal_fuzz_idx")
+    model: dict[str, bool] = {}  # unique token -> alive
+    texts: dict[str, str] = {}
+    n = 0
+
+    def check(srv):
+        for tok, alive in model.items():
+            out = _post_path(srv, "/search", {"queries": [tok], "top_k": 1})
+            hits = [it for it in out["results"][0] if it["score"] > 0]
+            if alive:
+                assert hits and hits[0]["text"] == texts[tok], (
+                    f"alive doc {tok!r} lost")
+            else:
+                assert not hits or hits[0]["text"] != texts[tok], (
+                    f"deleted doc {tok!r} resurfaced")
+
+    for cycle in range(3):
+        srv = Server(d, port=0, updatable=True)
+        srv.start_background()
+        try:
+            check(srv)  # state from prior cycles replayed intact
+            for _ in range(10):
+                r = rng.random()
+                eng = srv._handler.runtime.engine
+                if r < 0.5 or not any(model.values()):
+                    tok = f"zq{n}x"
+                    text = f"{tok} fuzz marker document number {n}"
+                    n += 1
+                    _post_path(srv, "/add", {"docs": [text]})
+                    model[tok], texts[tok] = True, text
+                elif r < 0.8 and eng.live_docs > 3:
+                    tok = rng.choice([t for t, a in model.items() if a])
+                    out = _post_path(srv, "/search",
+                                     {"queries": [tok], "top_k": 1})
+                    doc_id = out["results"][0][0]["doc"]
+                    _post_path(srv, "/delete", {"doc_ids": [doc_id]})
+                    model[tok] = False
+                elif r < 0.92:
+                    _post_path(srv, "/compact", {})  # in-memory: logged
+                else:
+                    _post_path(srv, "/compact", {"save_dir": d})  # fold
+            check(srv)
+        finally:
+            srv.shutdown()  # kill: un-compacted state lives only in the WAL
+        if cycle == 1:
+            # torn tail = a crash mid-append of an op that was never acked:
+            # it must be dropped with a warning and everything before kept
+            with open(os.path.join(d, "updates.wal"), "a") as f:
+                f.write('{"op": "add", "docs": ["never ack')
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the torn-tail warning
+        srv = Server(d, port=0, updatable=True)
+    srv.start_background()
+    try:
+        check(srv)
+        assert any(model.values())  # the fuzz actually left live markers
+        assert not all(model.values())  # ... and dead ones
+    finally:
+        srv.shutdown()
