@@ -335,6 +335,77 @@ def test_update_log_non_op_record_rejected(tmp_path):
     assert any("torn" in str(x.message) for x in w)
 
 
+def test_update_log_append_after_torn_tail(tmp_path):
+    """Direct append on a log whose final line is torn garbage must cut
+    the torn bytes first — otherwise the new record glues onto them and
+    the NEXT restart refuses the whole log (acked ops unrecoverable)."""
+    import warnings
+
+    from bm25_tpu.index.updates import UpdateLog
+
+    log = UpdateLog(str(tmp_path))
+    log.append({"op": "compact"})
+    log.close()
+    with open(log.path, "a", encoding="utf-8") as f:
+        f.write('{"op": "add", "docs": ["never ack')  # crash mid-append
+    fresh = UpdateLog(str(tmp_path))
+    fresh.append({"op": "delete", "doc_ids": [0]})  # no read_pending first
+    fresh.close()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # clean log: no torn warning
+        assert UpdateLog(str(tmp_path)).read_pending() == [
+            {"op": "compact"},
+            {"op": "delete", "doc_ids": [0]},
+        ]
+
+
+def test_update_log_append_after_newline_lost_tail(tmp_path):
+    """A crash that lost only the final newline leaves a PARSEABLE tail —
+    read() replays such a record, so direct append must terminate it in
+    place (not truncate it) to keep the logical log unchanged."""
+    import warnings
+
+    from bm25_tpu.index.updates import UpdateLog
+
+    log = UpdateLog(str(tmp_path))
+    log.append({"op": "compact"})
+    log.close()
+    with open(log.path, "a", encoding="utf-8") as f:
+        f.write('{"op": "add", "docs": ["acked doc"]}')  # no newline
+    fresh = UpdateLog(str(tmp_path))
+    fresh.append({"op": "delete", "doc_ids": [1]})
+    fresh.close()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert UpdateLog(str(tmp_path)).read_pending() == [
+            {"op": "compact"},
+            {"op": "add", "docs": ["acked doc"]},
+            {"op": "delete", "doc_ids": [1]},
+        ]
+
+
+def test_update_log_read_pending_truncates_torn_bytes(tmp_path):
+    """read_pending doesn't just tolerate a torn tail — it physically
+    removes the bytes so later appends start on a clean line."""
+    import warnings
+
+    from bm25_tpu.index.updates import UpdateLog
+
+    log = UpdateLog(str(tmp_path))
+    log.append({"op": "compact"})
+    log.close()
+    with open(log.path, "a", encoding="utf-8") as f:
+        f.write('{"op": "add", "docs": ["never ack')
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert UpdateLog(str(tmp_path)).read_pending() == [{"op": "compact"}]
+    assert any("torn" in str(x.message) for x in w)
+    with open(log.path, "rb") as f:
+        data = f.read()
+    assert b"never ack" not in data
+    assert data.endswith(b"\n")
+
+
 # -- composition with the sharded engines (CPU mesh) ------------------------
 
 
