@@ -30,6 +30,8 @@ BLOCK_ROWS = 512
 # (512K docs, 4 buckets, T=8): TQ=128 runs ~5% faster than 256 (60.1 vs
 # 63.4 ms/512-query batch), 512 is slower; BR=1024/2048 don't beat 512
 BLOCK_Q = 128
+# postings slots per scan-loop iteration (see _ell_accumulate)
+UNROLL = 2
 
 
 def _ell_accumulate(ids, tokT_ref, valT_ref, t_count: int, l_count: int,
@@ -40,11 +42,13 @@ def _ell_accumulate(ids, tokT_ref, valT_ref, t_count: int, l_count: int,
     (3T+2 VPU ops per slot instead of 2T+2) — the mechanism behind both
     weighted queries and long-query dedup (unique tokens x counts).
     """
-    # process 2 postings slots per loop iteration: measured 1.19x on v5e
-    # (19.75 -> 16.57 ms per 48x131072 bucket call) — enough ILP to cover
-    # the loop-carried accumulator dependency without the register
-    # pressure of a full unroll (which measured SLOWER in round 1)
-    unroll = 2 if l_count % 2 == 0 else 1
+    # process UNROLL postings slots per loop iteration: 2 measured 1.19x
+    # over 1 on v5e (19.75 -> 16.57 ms per 48x131072 bucket call) — enough
+    # ILP to cover the loop-carried accumulator dependency without the
+    # register pressure of a full unroll (which measured SLOWER in round 1);
+    # deeper static unrolls measured neutral-to-worse (scripts/exp_unroll.py)
+    unroll = UNROLL if l_count % UNROLL == 0 else (
+        2 if l_count % 2 == 0 else 1)
 
     def per_iter(l0, acc):
         for dl in range(unroll):

@@ -340,7 +340,7 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
     """
 
     def local_step(hot_table, ids, *rest):
-        from bm25_tpu.ops.ell_score import ell_score_fused
+        from bm25_tpu.ops.ell_score import GROUP, ell_score_fused
         from bm25_tpu.ops.topk import select_top_k, top_k_tree_with_maxes
 
         rest = list(rest)
@@ -392,17 +392,26 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
             else:
                 ids_in = ids
             did_l = b["doc_ids"]
+            # filtered search folds into the kernel's pad-row mask: the
+            # scoring copy of the doc-id row marks ineligible rows -1, so
+            # the fused epilogue's base and group maxima come out
+            # post-mask with no extra (Q, rows) rewrite; candidate ids
+            # still come from the real did_l
+            did_s = did_l
+            if mask is not None:
+                elig = mask[jnp.maximum(did_l, 0)] & (did_l >= 0)
+                did_s = jnp.where(elig, did_l, -1)
             if "tokT" in b:
                 if hot_counts is not None:
                     scores, gmax = ell_score_fused(
-                        ids_in, b["tokT"], b["valT"], did_l,
+                        ids_in, b["tokT"], b["valT"], did_s,
                         hot_counts, b["hotT"], b["hotLo"],
                         weights=w, hot_counts_lo=hot_counts_lo,
                         interpret=interpret,
                     )
                 else:
                     scores, gmax = ell_score_fused(
-                        ids_in, b["tokT"], b["valT"], did_l, weights=w,
+                        ids_in, b["tokT"], b["valT"], did_s, weights=w,
                         interpret=interpret,
                     )
             else:
@@ -424,19 +433,12 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
                     scores = sum_split_products(*parts)
                 if scores is None:
                     scores = jnp.zeros((q, did_l.shape[0]), jnp.float32)
-                scores = jnp.where(did_l[None, :] >= 0, scores, NEG_INF)
+                scores = jnp.where(did_s[None, :] >= 0, scores, NEG_INF)
                 gmax = None
-            if mask is not None:
-                from bm25_tpu.ops.ell_score import GROUP
-
-                elig = mask[jnp.maximum(did_l, 0)] & (did_l >= 0)
-                scores = jnp.where(elig[None, :], scores, NEG_INF)
-                rows_b = scores.shape[1]
-                # the fused kernel's group maxima were emitted pre-mask
-                gmax = None
-                if rows_b % GROUP == 0:
+                if mask is not None and scores.shape[1] % GROUP == 0:
                     gmax = jnp.max(
-                        scores.reshape(q, rows_b // GROUP, GROUP), axis=-1
+                        scores.reshape(
+                            q, scores.shape[1] // GROUP, GROUP), axis=-1
                     )
             # NB: named kk_b, NOT k_local — that name is the enclosing
             # step factory's trim parameter and assigning it here would

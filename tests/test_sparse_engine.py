@@ -719,3 +719,24 @@ def test_dense_doc_mask_matches_oracle(setup):
     np.testing.assert_array_equal(dd[strict], od[strict])
     real = dd >= 0
     assert mask[dd[real]].all()
+
+
+def test_sparse_doc_mask_tree_selection_path():
+    """Masked search through the TREE selection path (bucket rows > 4096):
+    the fused kernel's group maxima are emitted post-mask (the mask folds
+    into the pad-row mask via a scoring copy of doc_ids), so
+    top_k_tree_with_maxes must stay exact under a mask.  The shared small
+    fixture (300 docs) only ever hits select_top_k."""
+    from conftest import make_zipf_corpus
+
+    corpus = make_zipf_corpus(6000, vocab=900, avg_len=8, seed=21)
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(corpus)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    oracle = ReferenceEngine.from_scored_index(idx)
+    eng = SparseEngine.from_scored_index(idx, max_buckets=1)
+    rows = eng.buckets[0]["doc_ids"].shape[0]
+    k = 12
+    assert rows > max(2 * k, 4096), "shape must engage the tree path"
+    _mask_check(eng, oracle, idx, density=0.5, seed=17, k=k, q_n=8)
+    _mask_check(eng, oracle, idx, density=0.02, seed=18, k=k, q_n=8)
