@@ -844,6 +844,14 @@ class UpdatableRetriever:
     compaction so global doc ids remain stable between compactions).  The
     vocab grows in place as added docs introduce new terms; queries always
     tokenize against the full live vocab.
+
+    Thread safety: mutators serialize on an internal lock and publish
+    texts before their doc ids, so concurrent ``retrieve`` calls always
+    resolve returned ids to the right texts between compactions.  A
+    retrieve racing a COMPACTION may still observe mixed pre/post-remap
+    state (ids are reassigned); serving deployments that need an atomic
+    swap should use :class:`bm25_tpu.serve.Server`, which snapshots one
+    runtime reference per request.
     """
 
     def __init__(self, index: ScoredIndex, engine, tokenizer, corpus,
@@ -862,6 +870,10 @@ class UpdatableRetriever:
         self.max_delta_docs = max_delta_docs
         self.max_deleted_frac = max_deleted_frac
         self.engine_kwargs = engine_kwargs or {}
+        # serializes mutators: two concurrent add_documents calls could
+        # otherwise interleave their corpus.extend and engine.add in
+        # different orders, permanently misaligning doc ids and texts
+        self._lock = threading.Lock()
 
     # -- construction --------------------------------------------------------
 
@@ -888,21 +900,30 @@ class UpdatableRetriever:
         texts = list(texts)
         if not texts:
             return np.zeros(0, dtype=np.int64)
-        tc = self.tokenizer.tokenize_corpus(texts, vocab=self.vocab)
-        ids = self.engine.add(tc.ids)
-        self.corpus.extend(texts)
-        if self.engine.needs_compaction(self.max_delta_docs,
-                                        self.max_deleted_frac):
-            remap = self.compact()
-            ids = remap[ids]
-        return ids
+        with self._lock:
+            tc = self.tokenizer.tokenize_corpus(texts, vocab=self.vocab)
+            # texts land in the corpus BEFORE the engine publishes their
+            # ids: a racing retrieve(return_text=True) must never see a
+            # doc id whose text lookup would fall off the corpus end
+            self.corpus.extend(texts)
+            try:
+                ids = self.engine.add(tc.ids)
+            except BaseException:
+                del self.corpus[len(self.corpus) - len(texts):]
+                raise
+            if self.engine.needs_compaction(self.max_delta_docs,
+                                            self.max_deleted_frac):
+                remap = self._compact_locked()
+                ids = remap[ids]
+            return ids
 
     def delete_documents(self, doc_ids) -> int:
-        n = self.engine.delete(doc_ids)
-        if self.engine.needs_compaction(self.max_delta_docs,
-                                        self.max_deleted_frac):
-            self.compact()
-        return n
+        with self._lock:
+            n = self.engine.delete(doc_ids)
+            if self.engine.needs_compaction(self.max_delta_docs,
+                                            self.max_deleted_frac):
+                self._compact_locked()
+            return n
 
     def compact(self) -> np.ndarray:
         """Rebuild one fresh base segment from the live corpus.
@@ -911,6 +932,10 @@ class UpdatableRetriever:
         docs).  After compaction scores are exact for the current corpus —
         bit-identical to ``UpdatableRetriever.fit`` on the live texts.
         """
+        with self._lock:
+            return self._compact_locked()
+
+    def _compact_locked(self) -> np.ndarray:
         from bm25_tpu.index.builder import build_index
         from bm25_tpu.models.auto import create_engine
 

@@ -74,6 +74,7 @@ class ServeLimits:
     max_add_docs: int = 1024               # docs per /add request
     max_doc_chars: int = 1 << 20           # chars per added doc
     max_filter_ids: int = 1 << 20          # allowlist ids per /search
+    socket_timeout_s: float = 75.0         # per-connection socket I/O bound
 
 
 @dataclass
@@ -281,6 +282,25 @@ class MicroBatcher:
         if isinstance(item["out"], Exception):
             raise item["out"]
         return item["out"]
+
+    def admit_rows(self, n: int) -> None:
+        """Reserve ``n`` rows of device capacity for a DIRECT dispatch
+        (filtered searches bypass the batch queue but must share its
+        admission cap, or a burst of per-request-mask searches queues
+        unbounded concurrent device work the plain path would 429)."""
+        if self._draining.is_set():
+            raise QueueFullError("server is draining")
+        with self._pending_lock:
+            if self.pending_rows + n > self.max_pending_rows:
+                raise QueueFullError(
+                    f"{self.pending_rows} queries already pending "
+                    f"(cap {self.max_pending_rows})"
+                )
+            self.pending_rows += n
+
+    def release_rows(self, n: int) -> None:
+        with self._pending_lock:
+            self.pending_rows -= n
 
     def drain(self, timeout: float = 30.0) -> None:
         """Stop admitting, finish everything queued, stop the collector."""
@@ -518,7 +538,14 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
                     "live_docs": eng.live_docs,
                     "delta_docs": eng.delta_docs,
                     "deleted_docs": eng.deleted_docs,
-                    "needs_compaction": eng.needs_compaction(),
+                    # judged against the server's CONFIGURED thresholds —
+                    # the hard-coded defaults would tell an operator
+                    # "needs_compaction: false" while a tightly-configured
+                    # auto-compact loop is churning
+                    "needs_compaction": (
+                        srv._needs_compaction(eng) if srv is not None
+                        else eng.needs_compaction()
+                    ),
                     "auto_compact": bool(
                         srv is not None and srv._auto_compact
                     ),
@@ -567,6 +594,19 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         if self.path != "/search":
             self._send(404, {"error": "not found"})
             return
+        srv = self.server_ref
+        if srv is not None:
+            # count this thread against drop-mode quiescence: it is about
+            # to snapshot the runtime, and that local reference keeps the
+            # old engine's device buffers alive until the handler returns
+            srv._inflight_enter()
+        try:
+            self._do_search()
+        finally:
+            if srv is not None:
+                srv._inflight_exit()
+
+    def _do_search(self):
         rt = self.runtime  # one snapshot: engine+vocab+corpus stay coherent
         if rt.engine is None:
             # a mode="drop" reload is rebuilding the engine
@@ -632,13 +672,31 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
                 # to the neighbors too): dispatch directly, not via the
                 # micro-batcher — but under the same wall-clock bound (the
                 # first masked request per shape class pays a cold
-                # compile, minutes through a remote-compile relay)
+                # compile, minutes through a remote-compile relay) and the
+                # same admission cap (a timed-out worker keeps running, so
+                # its rows stay reserved until the device work finishes)
+                batcher = self.batcher
+                srv = self.server_ref
+                if batcher is not None:
+                    batcher.admit_rows(len(ids))
+                if srv is not None:
+                    # the worker outlives a timed-out handler and keeps a
+                    # runtime reference; count it against quiescence until
+                    # the device work actually finishes
+                    srv._inflight_enter()
+
                 def _masked():
-                    if not include_scores and search_ids is not None:
-                        return search_ids(ids, top_k=top_k, weights=wts,
-                                          doc_mask=fmask), None
-                    return rt.engine.search(ids, top_k=top_k, weights=wts,
-                                            doc_mask=fmask)
+                    try:
+                        if not include_scores and search_ids is not None:
+                            return search_ids(ids, top_k=top_k, weights=wts,
+                                              doc_mask=fmask), None
+                        return rt.engine.search(ids, top_k=top_k,
+                                                weights=wts, doc_mask=fmask)
+                    finally:
+                        if batcher is not None:
+                            batcher.release_rows(len(ids))
+                        if srv is not None:
+                            srv._inflight_exit()
 
                 docs, scores = _call_with_timeout(
                     _masked, self.limits.request_timeout_s,
@@ -741,7 +799,11 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             elif self.path == "/delete":
                 ids = req.get("doc_ids")
                 if (not isinstance(ids, list) or not ids
-                        or not all(isinstance(i, int) for i in ids)):
+                        or not all(isinstance(i, int)
+                                   and not isinstance(i, bool)
+                                   for i in ids)):
+                    # NB bool: isinstance(True, int) is True in Python —
+                    # [true, false] would silently tombstone docs 1 and 0
                     raise ValueError(
                         "'doc_ids' must be a non-empty list of integers"
                     )
@@ -840,6 +902,12 @@ class Server:
         self._auto_compact_deleted_frac = auto_compact_deleted_frac
         self._auto_compact_stop = threading.Event()
         self._auto_compact_thread = None
+        # handler threads currently holding a runtime snapshot: drop-mode
+        # reload/compact must wait these out (not just the batcher queue)
+        # before releasing the old engine, or its device buffers stay alive
+        # through local references while the new engine builds
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         limits = limits or ServeLimits()
 
         self._wal = None  # UpdateLog when updatable (durable live updates)
@@ -861,6 +929,11 @@ class Server:
         handler = type("Handler", (BM25RequestHandler,), {})
         handler.runtime = runtime
         handler.limits = limits
+        # bound per-connection socket I/O: without this a client that
+        # stalls mid-body (Content-Length promised, bytes never sent) or
+        # stops reading the response parks a non-daemon handler thread in
+        # rfile.read/wfile.write forever and blocks graceful shutdown
+        handler.timeout = limits.socket_timeout_s
         self.batcher = (
             MicroBatcher(runtime.engine, window_ms=batch_window_ms,
                          max_pending_rows=limits.max_pending_rows)
@@ -1052,6 +1125,33 @@ class Server:
         print(f"bm25-tpu warmup (top_k={self._warmup_top_k}): "
               f"{time.monotonic() - t0:.1f}s")
 
+    def _needs_compaction(self, engine) -> bool:
+        """Compaction pressure judged against the CONFIGURED thresholds."""
+        return engine.needs_compaction(self._auto_compact_delta_docs,
+                                       self._auto_compact_deleted_frac)
+
+    def _inflight_enter(self) -> None:
+        with self._inflight_lock:
+            self._inflight += 1
+
+    def _inflight_exit(self) -> None:
+        with self._inflight_lock:
+            self._inflight -= 1
+
+    def _wait_quiesce(self, timeout_s: float = 60.0) -> None:
+        """Wait until no admitted work can still reference the old runtime:
+        the batcher queue is empty AND no handler thread holds a snapshot.
+        Bounded — a hung client can delay but not block a drop-mode swap."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            pending = (self.batcher.pending_rows
+                       if self.batcher is not None else 0)
+            with self._inflight_lock:
+                inflight = self._inflight
+            if pending == 0 and inflight == 0:
+                return
+            time.sleep(0.05)
+
     def reload(self, index_dir: str | None = None,
                mode: str = "drop") -> dict:
         """Load the index fresh and swap the runtime atomically.
@@ -1101,11 +1201,8 @@ class Server:
                     vocab=old_rt.vocab, corpus=old_rt.corpus,
                     stats=dict(old_stats, reloading=True),
                 )
+                self._wait_quiesce()
                 if self.batcher is not None:
-                    deadline = time.monotonic() + 60
-                    while (self.batcher.pending_rows > 0
-                           and time.monotonic() < deadline):
-                        time.sleep(0.05)
                     self.batcher.engine = None
                 del old_rt
                 import gc
@@ -1132,6 +1229,11 @@ class Server:
                 if self._wal is not None and self._wal is not new_wal:
                     self._wal.close()
                 self._wal = new_wal
+                # a reload is a soft restart: the runtime was rebuilt from
+                # the target dir's base + replayed log, so in-memory state
+                # and the log are consistent again — clear any poison from
+                # a failed apply/append
+                self._wal_broken = False
             self._index_dir = index_dir
             return dict(runtime.stats)
 
@@ -1185,7 +1287,7 @@ class Server:
                 "doc_ids": [int(i) for i in ids],
                 "live_docs": rt.engine.live_docs,
                 "delta_docs": rt.engine.delta_docs,
-                "needs_compaction": rt.engine.needs_compaction(),
+                "needs_compaction": self._needs_compaction(rt.engine),
             }
 
     def delete_documents(self, doc_ids) -> dict:
@@ -1214,7 +1316,7 @@ class Server:
                 "deleted": n,
                 "live_docs": rt.engine.live_docs,
                 "deleted_docs": rt.engine.deleted_docs,
-                "needs_compaction": rt.engine.needs_compaction(),
+                "needs_compaction": self._needs_compaction(rt.engine),
             }
 
     def compact(self, save_dir: str | None = None) -> dict:
@@ -1255,12 +1357,35 @@ class Server:
             window = rt.stats.get("batch_window_ms", 0.0)
             index_dir = rt.stats.get("index_dir")
             tokenizer = rt.tokenizer
+            # three WAL cases, keyed on where the compacted base persists:
+            #   in-memory (save_dir None): the compact is WRITE-AHEAD
+            #     logged to the served dir so replay re-runs it;
+            #   fold (save_dir == served dir): the persisted base subsumes
+            #     the log, which resets after the swap;
+            #   export (save_dir elsewhere): the SERVED dir keeps its WAL
+            #     and logs the compact like the in-memory case (restart
+            #     from the served dir must reproduce acked post-compact
+            #     state — re-homing the WAL to the export dir would strand
+            #     those ops where a restart never looks); the export dir
+            #     gets its own sig-only log so it also restarts clean.
+            import os as _os
+
+            same_dir = (
+                save_dir is not None and self._index_dir is not None
+                and _os.path.realpath(save_dir)
+                == _os.path.realpath(self._index_dir)
+            )
             # host rebuild FIRST — a failure here leaves the old engine
             # serving untouched
             index, _ = build_index(texts, params=params, tokenizer=tokenizer)
             if save_dir is not None:
                 save_index(save_dir, index, corpus=texts)
-                index_dir = save_dir
+                if same_dir:
+                    index_dir = save_dir
+            if self._wal is not None and not same_dir:
+                # write-ahead: the record lands before any state changes;
+                # an append failure answers 500 with the old engine intact
+                self._wal_log({"op": "compact"})
             corpus_list = [{"text": t} for t in texts]
             # drop-mode swap: stub 503s, wait out admitted work, release
             # the old engine's device buffers, then build the new one
@@ -1268,42 +1393,29 @@ class Server:
                 engine=None, tokenizer=tokenizer, vocab=rt.vocab,
                 corpus=rt.corpus, stats=dict(rt.stats, reloading=True),
             )
+            self._wait_quiesce()
             if self.batcher is not None:
-                deadline = time.monotonic() + 60
-                while (self.batcher.pending_rows > 0
-                       and time.monotonic() < deadline):
-                    time.sleep(0.05)
                 self.batcher.engine = None
             del rt
             import gc
 
             gc.collect()
-            runtime = self._make_runtime(index, corpus_list, index_dir,
-                                         window)
-            if self._warmup_top_k > 0:
-                self._warmup(runtime.engine)
+            try:
+                runtime = self._make_runtime(index, corpus_list, index_dir,
+                                             window)
+                if self._warmup_top_k > 0:
+                    self._warmup(runtime.engine)
+            except Exception:
+                if self._wal is not None and not same_dir:
+                    # the compact record is already durable but was never
+                    # applied: later mutations would log against diverged
+                    # ids, so disable them — a restart replays the log and
+                    # converges to the logged (compacted) state
+                    self._wal_broken = True
+                raise
             self._handler.runtime = runtime
             if self.batcher is not None:
                 self.batcher.engine = runtime.engine
-            if self._wal is not None:
-                if save_dir is None:
-                    # in-memory compact: log it so replay re-runs the
-                    # deterministic rebuild and later ops' ids line up
-                    self._wal_log({"op": "compact"})
-                else:
-                    # persisted compact: the new base folds every logged
-                    # op — reset the (possibly new) served dir's log to a
-                    # sig-only header.  save_index already changed the
-                    # base signature, so a crash BEFORE this reset leaves
-                    # a mismatched log that read_pending discards rather
-                    # than replaying folded ops
-                    from bm25_tpu.index.updates import UpdateLog
-
-                    old_wal = self._wal
-                    self._wal = UpdateLog(save_dir)
-                    self._wal.reset()
-                    old_wal.close()  # same-dir: its fd points at the
-                    # inode reset just replaced; other-dir: done with it
             out = {
                 "status": "compacted",
                 "live_docs": runtime.engine.live_docs,
@@ -1311,6 +1423,45 @@ class Server:
             }
             if save_dir is not None:
                 out["saved_to"] = save_dir
+            if self._wal is not None and save_dir is not None:
+                from bm25_tpu.index.updates import UpdateLog
+
+                if same_dir:
+                    # fold: the persisted base subsumes the log — reset it
+                    # to a sig-only header.  save_index already changed the
+                    # base signature, so a crash (or failure) BEFORE the
+                    # reset leaves a mismatched log that read_pending
+                    # discards rather than replaying folded ops.  Rebind
+                    # self._wal only after the reset succeeds: appends
+                    # through the OLD object would carry the stale
+                    # signature and be discarded wholesale on restart
+                    new_wal = UpdateLog(save_dir)
+                    try:
+                        new_wal.reset()
+                    except Exception as e:  # noqa: BLE001 — degrade, warn
+                        self._wal_broken = True
+                        out["wal_warning"] = (
+                            f"update-log reset failed ({e}); mutations are "
+                            "disabled until the server restarts"
+                        )
+                    else:
+                        old_wal = self._wal
+                        self._wal = new_wal
+                        old_wal.close()  # its fd points at the inode the
+                        # reset just replaced
+                else:
+                    # export: the served dir keeps its WAL (the compact is
+                    # already logged there); give the export dir a clean
+                    # sig-only log.  Best-effort — a stale or missing log
+                    # at the export is harmless (sig fencing discards it)
+                    try:
+                        UpdateLog(save_dir).reset()
+                    except Exception as e:  # noqa: BLE001
+                        out["wal_warning"] = (
+                            f"export-dir update-log reset failed ({e}); "
+                            "the export's stale log will be discarded by "
+                            "signature fencing on load"
+                        )
             return out
 
     def _auto_compact_loop(self):

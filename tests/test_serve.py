@@ -1451,3 +1451,185 @@ def test_wal_crash_replay_fuzz(tmp_path_factory, request):
         assert not all(model.values())  # ... and dead ones
     finally:
         srv.shutdown()
+
+
+def test_delete_rejects_booleans(upd_server):
+    """isinstance(True, int) is True: {"doc_ids": [true, false]} must 400,
+    not silently tombstone docs 1 and 0."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_path(upd_server, "/delete", {"doc_ids": [True, False]})
+    assert e.value.code == 400
+    # nothing was deleted
+    assert _healthz(upd_server)["updates"]["deleted_docs"] == 0
+
+
+def test_needs_compaction_reports_configured_thresholds(tmp_path_factory,
+                                                        request):
+    """/healthz and mutation responses judge compaction pressure against
+    the server's CONFIGURED thresholds, not the hard-coded defaults."""
+    d = _build_upd_idx(tmp_path_factory, request, "thresh_idx")
+    srv = Server(d, port=0, updatable=True, auto_compact_delta_docs=1)
+    srv.start_background()
+    try:
+        out = _post_path(srv, "/add", {"docs": ["doc one here",
+                                                "doc two here"]})
+        # 2 delta docs > the configured cap of 1; the default cap (50_000)
+        # would report False
+        assert out["needs_compaction"] is True
+        assert _healthz(srv)["updates"]["needs_compaction"] is True
+    finally:
+        srv.shutdown()
+
+
+def test_filtered_search_shares_admission_cap(tmp_path_factory, request):
+    """filter_ids requests bypass the micro-batch QUEUE but must count
+    against its pending-row cap: a burst can't queue unbounded device
+    work the plain path would 429."""
+    from bm25_tpu.serve import ServeLimits
+
+    d = _build_upd_idx(tmp_path_factory, request, "fadm_idx")
+    srv = Server(d, port=0, batch_window_ms=2.0,
+                 limits=ServeLimits(max_pending_rows=2))
+    srv.start_background()
+    try:
+        # 3 queries > cap of 2 -> immediate 429 on the filtered path
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, {"queries": ["cat", "dog", "bird"], "top_k": 1,
+                        "filter_ids": [0, 1]})
+        assert e.value.code == 429
+        # within the cap: served, and the reservation is released after
+        out = _post(srv, {"queries": ["cat", "dog"], "top_k": 1,
+                          "filter_ids": [0, 1]})
+        assert len(out["results"]) == 2
+        assert srv.batcher.pending_rows == 0
+    finally:
+        srv.shutdown()
+
+
+def test_socket_timeout_closes_stalled_connection(tmp_path_factory, request):
+    """A client that promises a body and never sends it must not park a
+    handler thread forever: the per-connection socket timeout closes it."""
+    import socket
+    import time
+
+    from bm25_tpu.serve import ServeLimits
+
+    d = _build_upd_idx(tmp_path_factory, request, "sockto_idx")
+    srv = Server(d, port=0, limits=ServeLimits(socket_timeout_s=1.0))
+    srv.start_background()
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s.sendall(b"POST /search HTTP/1.1\r\nHost: x\r\n"
+                  b"Content-Length: 100\r\n\r\n{\"partial")  # ... and stall
+        s.settimeout(10)
+        t0 = time.monotonic()
+        data = b""
+        try:
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                data += chunk
+        except (ConnectionResetError, TimeoutError, socket.timeout):
+            pass
+        # the server gave up on the stalled read well under the probe's
+        # own 10 s guard (socket_timeout_s=1), instead of hanging forever
+        assert time.monotonic() - t0 < 8
+        s.close()
+        # ... and keeps serving others
+        out = _post(srv, {"queries": ["cat"], "top_k": 1})
+        assert out["results"][0][0]["doc"] == 0
+    finally:
+        srv.shutdown()
+
+
+def test_compact_export_dir_keeps_served_wal(tmp_path_factory, request):
+    """compact {"save_dir": <other dir>} is an EXPORT: the served dir keeps
+    logging (the compact itself is write-ahead logged there), so a restart
+    from the served dir reproduces acked post-compact mutations; the export
+    dir restarts standalone at the compacted state."""
+    d = _build_upd_idx(tmp_path_factory, request, "exp_src_idx")
+    exp = str(tmp_path_factory.mktemp("exp_dst_idx"))
+    srv = Server(d, port=0, updatable=True)
+    srv.start_background()
+    try:
+        _post_path(srv, "/add", {"docs": ["a quokka is a smiling marsupial"]})
+        out = _post_path(srv, "/compact", {"save_dir": exp})
+        assert out["saved_to"] == exp
+        # the server still serves (and logs to) the ORIGINAL dir
+        assert srv._index_dir == d and srv._wal.index_dir == d
+        _post_path(srv, "/add", {"docs": ["a wombat digs square burrows"]})
+        before = _post_path(srv, "/search",
+                            {"queries": ["quokka", "wombat"], "top_k": 1})
+    finally:
+        srv.shutdown()  # kill: post-compact state lives only in d's WAL
+
+    # restart from the SERVED dir: compact + post-compact add replayed
+    srv2 = Server(d, port=0, updatable=True)
+    srv2.start_background()
+    try:
+        after = _post_path(srv2, "/search",
+                           {"queries": ["quokka", "wombat"], "top_k": 1})
+        assert after == before
+    finally:
+        srv2.shutdown()
+
+    # the export restarts standalone at the compacted state (no replay)
+    srv3 = Server(exp, port=0, updatable=True)
+    srv3.start_background()
+    try:
+        assert "wal_replayed" not in srv3._handler.runtime.stats
+        out = _post_path(srv3, "/search", {"queries": ["quokka"], "top_k": 1})
+        assert out["results"][0][0]["score"] > 0
+        assert srv3._handler.runtime.engine.live_docs == 5
+    finally:
+        srv3.shutdown()
+
+
+def test_compact_apply_failure_poisons_mutations(tmp_path_factory, request):
+    """An in-memory compact whose record is durable but whose apply fails
+    must disable further mutations (they would log against diverged ids);
+    a restart replays the log and converges to the compacted state."""
+    d = _build_upd_idx(tmp_path_factory, request, "cfail_idx")
+    srv = Server(d, port=0, updatable=True)
+    srv.start_background()
+    try:
+        _post_path(srv, "/add", {"docs": ["a quokka is a smiling marsupial"]})
+
+        def boom(*a, **k):
+            raise RuntimeError("injected device build failure")
+
+        orig = srv._make_runtime
+        srv._make_runtime = boom
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(srv, "/compact", {})
+        assert e.value.code == 500
+        srv._make_runtime = orig
+        # the WAL is poisoned (later mutations would log against ids the
+        # in-memory state never remapped); the stub runtime 503s them
+        assert srv._wal_broken is True
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(srv, "/add", {"docs": ["nope"]})
+        assert e.value.code == 503
+        # a /reload replays the log into a fresh runtime (compact included),
+        # restoring log/state consistency — updatability comes back
+        _post_path(srv, "/reload", {})
+        assert srv._wal_broken is False
+        out = _post_path(srv, "/add", {"docs": ["a numbat eats termites"]})
+        assert out["status"] == "added"
+        assert srv._handler.runtime.engine.delta_docs == 1  # compact folded
+    finally:
+        srv.shutdown()
+
+    # ... and a full restart converges to the LOGGED state: the compact
+    # replayed (quokka folded into the base) plus the post-reload add
+    srv2 = Server(d, port=0, updatable=True)
+    srv2.start_background()
+    try:
+        out = _post_path(srv2, "/search",
+                         {"queries": ["quokka", "numbat"], "top_k": 1})
+        assert out["results"][0][0]["score"] > 0
+        assert out["results"][1][0]["score"] > 0
+        assert srv2._handler.runtime.engine.delta_docs == 1
+    finally:
+        srv2.shutdown()

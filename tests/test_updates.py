@@ -530,3 +530,55 @@ def test_doc_mask_composes_with_tombstones_and_delta():
     d1, s1 = upd.search(q, top_k=2, doc_mask=mask_equiv)
     np.testing.assert_array_equal(d1, d2)
     np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_retriever_concurrent_add_and_retrieve_text_alignment():
+    """Concurrent add_documents + retrieve(return_text=True) must never
+    IndexError and every returned id's text must carry its own marker:
+    texts publish BEFORE ids and mutators serialize on a lock (unlocked,
+    two adds could interleave corpus.extend/engine.add in different
+    orders, permanently misaligning ids and texts)."""
+    import threading
+
+    from bm25_tpu.index.updates import UpdatableRetriever
+
+    base = [f"seed document number {i} alpha beta" for i in range(4)]
+    r = UpdatableRetriever.fit(base, engine_mode="dense")
+    errors: list = []
+    stop = threading.Event()
+
+    def adder(tid):
+        try:
+            for j in range(25):
+                tok = f"marker{tid}x{j}"
+                r.add_documents([f"{tok} fresh content {tid} {j}"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def reader():
+        try:
+            while not stop.is_set():
+                docs, scores, texts = r.retrieve(
+                    ["alpha beta"], k=3, return_text=True
+                )
+                assert len(texts[0]) == 3
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=adder, args=(t,)) for t in range(3)]
+    readers = [threading.Thread(target=reader) for _ in range(2)]
+    for t in readers + threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    for t in readers:
+        t.join()
+    assert not errors, errors
+    # every added id resolves to a text containing its own marker
+    for tid in range(3):
+        for j in range(25):
+            tok = f"marker{tid}x{j}"
+            docs, scores = r.retrieve([tok], k=1)
+            assert scores[0][0] > 0
+            assert tok in r.text(int(docs[0][0]))
