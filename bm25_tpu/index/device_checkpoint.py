@@ -129,6 +129,13 @@ def _engine_meta(engine, state: dict | None = None) -> dict:
             lambda x: [list(x.shape), str(x.dtype)], state
         ),
     }
+    mesh = getattr(engine, "mesh", None)
+    if mesh is not None:
+        # sharded bucket rows are aligned to BLOCK_ROWS * doc-axis size at
+        # build time; restoring onto a mesh with a different doc axis would
+        # fail deep inside the Pallas kernel — record the topology so load
+        # can fail with a message instead
+        meta["mesh_shape"] = {str(k): int(v) for k, v in mesh.shape.items()}
     return meta
 
 
@@ -344,6 +351,19 @@ def load_device_checkpoint(
             from bm25_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh()
+        saved_mesh = meta.get("mesh_shape")
+        if saved_mesh is not None:
+            from bm25_tpu.parallel.mesh import DOC_AXIS as _DOC
+
+            live_docs_axis = int(mesh.shape[_DOC])
+            if int(saved_mesh.get(_DOC, live_docs_axis)) != live_docs_axis:
+                raise ValueError(
+                    f"{path}: checkpoint was saved on a mesh with "
+                    f"{saved_mesh.get(_DOC)} doc shards but the restore "
+                    f"mesh has {live_docs_axis} — bucket row alignment is "
+                    "fixed at build time; restore on a matching mesh or "
+                    "rebuild the engine from the host index"
+                )
         state = _restore_state(path, meta, _mesh_shardings(meta, mesh))
         if name == "ShardedEngine":
             from bm25_tpu.parallel.sharded_engine import ShardedEngine
@@ -403,6 +423,28 @@ def restore_device_checkpoint(path: str | os.PathLike, engine) -> None:
     if os.path.exists(_meta_path(path)):
         with open(_meta_path(path)) as f:
             meta = json.load(f)
+        # refuse mismatched restores up front: a wrong-engine or
+        # wrong-corpus checkpoint whose array shapes happen to line up
+        # would otherwise setattr cleanly and serve wrong results with no
+        # error (e.g. a 1000-doc checkpoint into a 1010-doc engine whose
+        # padded shapes agree leaves 10 doc ids ranking on zero columns)
+        live_name = type(engine).__name__
+        if meta.get("engine") not in (None, live_name):
+            raise ValueError(
+                f"{path}: checkpoint holds {meta['engine']} state; the "
+                f"live engine is a {live_name}"
+            )
+        for field in ("num_docs", "vocab_size", "hot_h"):
+            saved = meta.get(field)
+            live = getattr(engine, field, None)
+            if (saved is not None and live is not None
+                    and int(saved) != int(live)):
+                raise ValueError(
+                    f"{path}: checkpoint {field}={saved} != live engine "
+                    f"{field}={live}; restore into a matching engine or "
+                    "use load_device_checkpoint (which rebuilds the "
+                    "engine object from the checkpoint metadata)"
+                )
         # shardings derive from the META tree (v4 trees carry sparse hot
         # leaves the live engine doesn't have), placed on the live
         # engine's device or mesh
@@ -428,8 +470,19 @@ def restore_device_checkpoint(path: str | os.PathLike, engine) -> None:
                                            sharding=x.sharding),
             state,
         )
-        with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(path, targets)
+        try:
+            with ocp.StandardCheckpointer() as ckptr:
+                restored = ckptr.restore(path, targets)
+        except Exception as e:
+            # the most likely cause is a v4 checkpoint (sparse hotNz*
+            # leaves) whose sidecar was lost — the legacy target tree can
+            # never match it, and Orbax's structure error doesn't say why
+            raise ValueError(
+                f"{path}: restore without the metadata sidecar failed — "
+                "pre-sidecar checkpoints must match the live engine's "
+                f"array tree exactly; if this checkpoint was saved with "
+                f"one, put '{_meta_path(path)}' back alongside it"
+            ) from e
     for key, val in restored.items():
         setattr(engine, key, val)
     # keep the host routing copy coherent with the restored device table:

@@ -198,14 +198,19 @@ class ShardedEngine:
         )
 
     def _max_chunk(self) -> int:
-        """Queries per dispatch bounded by the per-chip transient budget."""
+        """Queries per dispatch bounded by the per-chip transient budget.
+
+        Queries shard over the data axis, so each chip's transient score
+        tile is (q/n_data, d_local) — the budget buys n_data times more
+        GLOBAL query rows than a single-chip tile would."""
         n_doc = self.mesh.shape[DOC_AXIS]
         n_data = self.mesh.shape[DATA_AXIS]
         d_local = self.st.shape[1] // n_doc
         align = 8 * n_data
         max_q = max(
             align,
-            (self.score_buffer_budget // (4 * d_local)) // align * align,
+            (self.score_buffer_budget // (4 * d_local) * n_data)
+            // align * align,
         )
         return min(max_q, self.chunk_queries)
 
@@ -236,14 +241,15 @@ class ShardedEngine:
                 raise ValueError(
                     f"doc_mask shape {m.shape} != ({self.num_docs},)"
                 )
+        if len(queries) == 0:
+            return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
+        if doc_mask is not None:
             d_pad = self.st.shape[1]
             mp = np.zeros(d_pad, dtype=bool)
             mp[: self.num_docs] = m.astype(bool)
             dmask = jax.device_put(
                 mp, NamedSharding(self.mesh, P(DOC_AXIS))
             )
-        if len(queries) == 0:
-            return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         k = min(top_k, self.num_docs)
         n_data = self.mesh.shape[DATA_AXIS]
         q_real, t_real = queries.shape
@@ -340,7 +346,7 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
     """
 
     def local_step(hot_table, ids, *rest):
-        from bm25_tpu.ops.ell_score import GROUP, ell_score_fused
+        from bm25_tpu.models.sparse import bucket_base_scores
         from bm25_tpu.ops.topk import select_top_k, top_k_tree_with_maxes
 
         rest = list(rest)
@@ -392,54 +398,16 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
             else:
                 ids_in = ids
             did_l = b["doc_ids"]
-            # filtered search folds into the kernel's pad-row mask: the
-            # scoring copy of the doc-id row marks ineligible rows -1, so
-            # the fused epilogue's base and group maxima come out
-            # post-mask with no extra (Q, rows) rewrite; candidate ids
-            # still come from the real did_l
-            did_s = did_l
-            if mask is not None:
-                elig = mask[jnp.maximum(did_l, 0)] & (did_l >= 0)
-                did_s = jnp.where(elig, did_l, -1)
-            if "tokT" in b:
-                if hot_counts is not None:
-                    scores, gmax = ell_score_fused(
-                        ids_in, b["tokT"], b["valT"], did_s,
-                        hot_counts, b["hotT"], b["hotLo"],
-                        weights=w, hot_counts_lo=hot_counts_lo,
-                        interpret=interpret,
-                    )
-                else:
-                    scores, gmax = ell_score_fused(
-                        ids_in, b["tokT"], b["valT"], did_s, weights=w,
-                        interpret=interpret,
-                    )
-            else:
-                scores = None
-                if hot_counts is not None:
-                    from bm25_tpu.utils.counts import sum_split_products
-
-                    parts = [
-                        jnp.dot(hot_counts, b["hotT"],
-                                preferred_element_type=jnp.float32),
-                        jnp.dot(hot_counts, b["hotLo"],
-                                preferred_element_type=jnp.float32),
-                    ]
-                    if hot_counts_lo is not None:
-                        parts.append(jnp.dot(
-                            hot_counts_lo, b["hotT"],
-                            preferred_element_type=jnp.float32,
-                        ))
-                    scores = sum_split_products(*parts)
-                if scores is None:
-                    scores = jnp.zeros((q, did_l.shape[0]), jnp.float32)
-                scores = jnp.where(did_s[None, :] >= 0, scores, NEG_INF)
-                gmax = None
-                if mask is not None and scores.shape[1] % GROUP == 0:
-                    gmax = jnp.max(
-                        scores.reshape(
-                            q, scores.shape[1] // GROUP, GROUP), axis=-1
-                    )
+            # shared per-bucket base (models/sparse.py::bucket_base_scores):
+            # fused kernel or hot-only epilogue, with any doc mask folded
+            # into the kernel's pad-row mask — the SAME code path as the
+            # single-chip step, so filtered-search semantics cannot drift.
+            # Candidate ids still come from the real did_l below.
+            scores, gmax = bucket_base_scores(
+                b, ids_in, q, hot_counts=hot_counts,
+                hot_counts_lo=hot_counts_lo, w=w, mask=mask,
+                interpret=interpret,
+            )
             # NB: named kk_b, NOT k_local — that name is the enclosing
             # step factory's trim parameter and assigning it here would
             # shadow it for the whole function (a real bug caught in the
@@ -699,7 +667,13 @@ class ShardedSparseEngine:
         max_rows = max(
             b["doc_ids"].shape[0] // n_doc for b in self.buckets
         )
-        max_q = max(8, (self.score_buffer_budget // (4 * max_rows)) // 8 * 8)
+        # queries shard over the data axis: each chip's tile holds only
+        # q/n_data rows, so the per-chip budget buys n_data x more global
+        # query rows than the single-chip formula would grant
+        max_q = max(
+            8,
+            (self.score_buffer_budget // (4 * max_rows) * n_data) // 8 * 8,
+        )
         if max_q > BLOCK_Q * n_data:
             max_q = max_q // (BLOCK_Q * n_data) * (BLOCK_Q * n_data)
         return min(max_q, self.chunk_queries)
@@ -750,17 +724,18 @@ class ShardedSparseEngine:
                 raise ValueError(
                     f"doc_mask shape {m.shape} != ({self.num_docs},)"
                 )
+        if len(queries) == 0:
+            empty_docs = np.zeros((0, 0), np.int32)
+            if ids_only:
+                return empty_docs
+            return empty_docs, np.zeros((0, 0), np.float32)
+        if doc_mask is not None:
             # replicated: bucket rows interleave global ids, so the mask
             # cannot shard over the doc axis (gathered by did per shard)
             dmask = jax.device_put(
                 m.astype(bool), NamedSharding(self.mesh, P())
             )
         masked = dmask is not None
-        if len(queries) == 0:
-            empty_docs = np.zeros((0, 0), np.int32)
-            if ids_only:
-                return empty_docs
-            return empty_docs, np.zeros((0, 0), np.float32)
         k = min(top_k, self.num_docs)
         from bm25_tpu.models.sparse import _score_sdt, maybe_dedup
 

@@ -463,3 +463,68 @@ def test_device_checkpoint_v4_sparse_hot(tmp_path, zipf_corpus_small):
     e3 = load_device_checkpoint(p3)
     np.testing.assert_array_equal(eng.search(q, top_k=6)[0],
                                   e3.search(q, top_k=6)[0])
+
+
+def test_device_checkpoint_restore_validates_engine_and_corpus(
+        tmp_path, zipf_corpus_small):
+    """restore_device_checkpoint refuses a wrong-engine or wrong-corpus
+    checkpoint up front: a mismatch whose array shapes happen to line up
+    would otherwise setattr cleanly and serve wrong results silently."""
+    import pytest
+
+    from bm25_tpu.index.device_checkpoint import (
+        restore_device_checkpoint, save_device_checkpoint)
+    from bm25_tpu.models.dense import DenseEngine
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    eng = SparseEngine.from_scored_index(idx)
+    path = str(tmp_path / "ckpt_v")
+    save_device_checkpoint(path, eng)
+
+    # wrong engine type
+    dense = DenseEngine.from_scored_index(idx)
+    with pytest.raises(ValueError, match="SparseEngine"):
+        restore_device_checkpoint(path, dense)
+
+    # wrong corpus size (same engine type)
+    idx2 = build_scored_index(out.ids[:-1], vocab_size=len(out.vocab))
+    eng2 = SparseEngine.from_scored_index(idx2)
+    with pytest.raises(ValueError, match="num_docs"):
+        restore_device_checkpoint(path, eng2)
+
+
+def test_device_checkpoint_load_validates_mesh(tmp_path, zipf_corpus_small):
+    """A sharded checkpoint records its mesh topology; loading onto a mesh
+    with a different doc-axis size fails with a message instead of dying
+    inside the Pallas kernel at the first query."""
+    import pytest
+
+    from bm25_tpu.index.device_checkpoint import (
+        load_device_checkpoint, save_device_checkpoint)
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+    from bm25_tpu.scoring import build_scored_index
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=make_mesh(4))
+    path = str(tmp_path / "ckpt_mesh")
+    save_device_checkpoint(path, eng)
+
+    with pytest.raises(ValueError, match="doc shards"):
+        load_device_checkpoint(path, mesh=make_mesh(2))
+
+    # matching mesh still loads and answers identically
+    q = np.array([[0, 1, 2]], dtype=np.int32)
+    d0, s0 = eng.search(q, top_k=5)
+    eng2 = load_device_checkpoint(path, mesh=make_mesh(4))
+    d1, s1 = eng2.search(q, top_k=5)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
