@@ -23,8 +23,16 @@ def _read_corpus(path: str) -> list[str]:
             if not line:
                 continue
             if line.startswith("{"):
-                obj = json.loads(line)
-                docs.append(obj.get("text", ""))
+                # JSONL record — but a plain-text line may legitimately
+                # start with '{' ("{disputed} territory"), so fall back to
+                # text instead of crashing the whole build
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    docs.append(line)
+                else:
+                    docs.append(obj.get("text", "")
+                                if isinstance(obj, dict) else line)
             else:
                 docs.append(line)
     return docs
@@ -46,8 +54,6 @@ def cmd_index(args) -> int:
 
 
 def cmd_query(args) -> int:
-    import numpy as np
-
     from bm25_tpu.index.io import MMapCorpus, load_index
     from bm25_tpu.models.auto import create_engine
     from bm25_tpu.text.tokenizer import Tokenizer
@@ -65,12 +71,15 @@ def cmd_query(args) -> int:
 
     queries = list(args.query)
     if args.interactive:
+        # positional queries run first (argparse accepted them; silently
+        # dropping them surprised users), then the interactive loop
+        if queries:
+            _run_queries(engine, tok, index, corpus, queries, args.top_k)
         print("enter queries (empty line to quit):")
         for line in sys.stdin:
             line = line.strip()
             if not line:
                 break
-            queries.append(line)
             _run_queries(engine, tok, index, corpus, [line], args.top_k)
         return 0
     if not queries:
@@ -81,8 +90,6 @@ def cmd_query(args) -> int:
 
 
 def _run_queries(engine, tok, index, corpus, queries, top_k):
-    import numpy as np
-
     # Lucene-style term boosts: "fish^2.5 cat" scores fish at 2.5x
     parsed = [tok.parse_boosted(q) or q for q in queries]
     t0 = time.perf_counter()
@@ -184,7 +191,8 @@ def cmd_serve(args) -> int:
     from bm25_tpu.serve import Server
 
     if args.index is None and not args.device_checkpoint:
-        print("error: provide an index dir and/or --device-checkpoint")
+        print("error: provide an index dir and/or --device-checkpoint",
+              file=sys.stderr)
         return 2
     engine_kwargs = {}
     if args.score_dtype != "float32":
@@ -253,8 +261,6 @@ def cmd_warm(args) -> int:
 
 def cmd_checkpoint(args) -> int:
     """Build the engine once and save a device checkpoint for fast serves."""
-    import time
-
     from bm25_tpu.index.device_checkpoint import save_device_checkpoint
     from bm25_tpu.index.io import load_index
     from bm25_tpu.models.auto import create_engine

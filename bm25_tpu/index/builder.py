@@ -66,7 +66,8 @@ def build_index(
             "lower": tokenizer.lower,
             "use_native": tokenizer.use_native,
         }
-        if all(v is None or isinstance(v, (str, bool, frozenset, set, list))
+        if all(v is None
+               or isinstance(v, (str, bool, frozenset, set, list, tuple))
                for v in (cfg["stopwords"], cfg["stemmer"])):
             import multiprocessing as mp
 

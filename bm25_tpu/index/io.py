@@ -55,17 +55,19 @@ def save_index(
     """Write a scored index (and optionally its corpus) in bm25s layout."""
     path = os.fspath(path)
     os.makedirs(path, exist_ok=True)
-    np.save(os.path.join(path, "data.csc.index.npy"), index.data.astype(np.float32))
-    np.save(
-        os.path.join(path, "indices.csc.index.npy"), index.indices.astype(np.int32)
-    )
+    # copy=False: the arrays usually already have the target dtype, and a
+    # gratuitous astype copy transiently doubles RSS at 20M-doc scale
+    np.save(os.path.join(path, "data.csc.index.npy"),
+            index.data.astype(np.float32, copy=False))
+    np.save(os.path.join(path, "indices.csc.index.npy"),
+            index.indices.astype(np.int32, copy=False))
     # bm25s pins int32 offsets; above 2^31-1 postings an int32 cast would
     # silently wrap, so keep int64 (recorded in params.index.json int_dtype;
     # load_index reads either width)
     indptr_dtype = np.int32 if index.nnz < 2**31 else np.int64
     np.save(
         os.path.join(path, "indptr.csc.index.npy"),
-        index.indptr.astype(indptr_dtype),
+        index.indptr.astype(indptr_dtype, copy=False),
     )
 
     vocab = dict(index.vocab) if index.vocab else {
@@ -174,33 +176,60 @@ class MMapCorpus:
     Mirrors the byte-offset convention of the reference artifacts
     (``/root/reference/animal_index_bm25/corpus.mmindex.json``) so individual
     documents are retrievable without loading the whole file.
+
+    Offsets are held as one int64 array with a file-size sentinel (a
+    JSON-parsed Python list costs ~50+ bytes per entry — ~1 GB of pure
+    offset overhead at 20M docs), so every line's byte extent is known
+    up front and reads go through a persistent fd via ``os.pread`` —
+    positionless, hence thread-safe on the serving hot path with no lock
+    and no per-document ``open()`` syscall.
     """
 
     path: str
-    offsets: list[int]
+    offsets: np.ndarray  # int64 (n+1,): line starts + total-size sentinel
+    _fd: int | None = None
 
     @classmethod
     def open(cls, index_dir: str | os.PathLike) -> "MMapCorpus":
         index_dir = os.fspath(index_dir)
         with open(os.path.join(index_dir, "corpus.mmindex.json")) as f:
-            offsets = json.load(f)
-        return cls(path=os.path.join(index_dir, "corpus.jsonl"), offsets=offsets)
+            offsets = np.asarray(json.load(f), dtype=np.int64)
+        path = os.path.join(index_dir, "corpus.jsonl")
+        offsets = np.append(offsets, os.path.getsize(path))
+        return cls(path=path, offsets=offsets)
 
     def __len__(self) -> int:
-        return len(self.offsets)
+        return len(self.offsets) - 1
+
+    def _pread(self, i: int) -> bytes:
+        if self._fd is None:
+            self._fd = os.open(self.path, os.O_RDONLY)
+        start = int(self.offsets[i])
+        return os.pread(self._fd, int(self.offsets[i + 1]) - start, start)
 
     def __getitem__(self, i: int):
-        if not 0 <= i < len(self.offsets):
+        if not 0 <= i < len(self):
             raise IndexError(i)
-        with open(self.path, "rb") as f:
-            f.seek(self.offsets[i])
-            line = f.readline()
-        return json.loads(line)
+        return json.loads(self._pread(i))
 
     def batch(self, ids) -> list:
-        with open(self.path, "rb") as f:
-            out = []
-            for i in ids:
-                f.seek(self.offsets[int(i)])
-                out.append(json.loads(f.readline()))
+        out = []
+        for i in ids:
+            i = int(i)
+            if not 0 <= i < len(self):
+                # the engines' -1 shortfall sentinel (and any stale id)
+                # must raise, not silently return some other document
+                raise IndexError(i)
+            out.append(json.loads(self._pread(i)))
         return out
+
+    def close(self) -> None:
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+
+    def __del__(self):  # best-effort fd release
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass

@@ -60,3 +60,18 @@ def test_query_term_boosts(tmp_path, animal_corpus, capsys):
     assert main(["query", str(out), "fish^50 purr cat", "-k", "1"]) == 0
     boosted = capsys.readouterr().out
     assert "fish" in boosted.splitlines()[-1]
+
+
+def test_read_corpus_text_line_starting_with_brace(tmp_path):
+    """A plain-text corpus line that happens to start with '{' must index
+    as text, not crash the build with a JSONDecodeError."""
+    from bm25_tpu.cli.main import _read_corpus
+
+    p = tmp_path / "docs.txt"
+    p.write_text("{disputed} territory claims\n"
+                 '{"text": "a real jsonl record"}\n'
+                 "plain line\n")
+    docs = _read_corpus(str(p))
+    assert docs == ["{disputed} territory claims",
+                    "a real jsonl record",
+                    "plain line"]

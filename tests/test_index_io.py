@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from bm25_tpu.index.builder import build_index
 from bm25_tpu.index.io import MMapCorpus, load_index, save_index
@@ -124,3 +125,32 @@ def test_build_index_parallel_workers_bit_exact(animal_corpus):
     np.testing.assert_array_equal(par.indptr, ser.indptr)
     np.testing.assert_array_equal(par.indices, ser.indices)
     np.testing.assert_array_equal(par.data, ser.data)
+
+
+def test_mmap_corpus_batch_rejects_out_of_range(tmp_path, animal_corpus):
+    """batch() must bounds-check like __getitem__: the engines' -1
+    shortfall sentinel (or any stale id) would otherwise silently return
+    the WRONG document (offsets[-1] is the last line)."""
+    build_index(animal_corpus, save_to=str(tmp_path / "idx"))
+    corpus = MMapCorpus.open(str(tmp_path / "idx"))
+    with pytest.raises(IndexError):
+        corpus.batch([-1])
+    with pytest.raises(IndexError):
+        corpus.batch([0, len(corpus)])
+    with pytest.raises(IndexError):
+        corpus[-1]
+
+
+def test_build_index_parallel_accepts_tuple_stopwords(animal_corpus):
+    """A tuple stopwords spec (supported by get_stopwords) must ride the
+    parallel path and produce the bit-exact serial result."""
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    stop = ("a", "is", "the")
+    i1, _ = build_index(animal_corpus,
+                        tokenizer=Tokenizer(stopwords=stop), workers=2)
+    i2, _ = build_index(animal_corpus,
+                        tokenizer=Tokenizer(stopwords=stop), workers=1)
+    np.testing.assert_array_equal(i1.data, i2.data)
+    np.testing.assert_array_equal(i1.indices, i2.indices)
+    np.testing.assert_array_equal(i1.indptr, i2.indptr)
