@@ -83,10 +83,14 @@ def make_queries(cfg: BenchConfig) -> np.ndarray:
 
 
 def recall_at_k(got_docs: np.ndarray, want_docs: np.ndarray) -> float:
+    # denominator counts only the COMPARED rows: a got/want row-count
+    # mismatch must not silently deflate recall (zip truncates)
     hits = 0
+    want_total = 0
     for g, w in zip(got_docs, want_docs):
         hits += len(set(g.tolist()) & set(w.tolist()))
-    return hits / want_docs.size
+        want_total += w.size
+    return hits / max(want_total, 1)
 
 
 def _time_step_chunk(engine, step, ids, cold, iters: int) -> float:
@@ -101,13 +105,19 @@ def _time_step_chunk(engine, step, ids, cold, iters: int) -> float:
         # arrays enter as jit ARGUMENTS — closing over them would bake
         # them into the HLO as giant literal constants (the remote-compile
         # relay rejects the oversized program with HTTP 413)
+        def probe(out):
+            # packed steps return one array; unpacked (>= 2^24 docs) and
+            # non-f32 score_dtype steps return a (scores, docs) tuple
+            leaf = out[0] if isinstance(out, tuple) else out
+            return leaf[0, 0].astype(jnp.float32)
+
         if cold is None:
             @jax.jit
             def f(ids, buckets, offsets, hot_table, tail_arrs):
                 def body(i, acc):
                     out = step(ids + (acc * 0).astype(jnp.int32),
                                buckets, offsets, hot_table, tail_arrs)
-                    return out[0, 0]
+                    return probe(out)
 
                 return lax.fori_loop(0, n, body, jnp.float32(0))
         else:
@@ -116,7 +126,7 @@ def _time_step_chunk(engine, step, ids, cold, iters: int) -> float:
                 def body(i, acc):
                     out = step(ids + (acc * 0).astype(jnp.int32), cold,
                                buckets, offsets, hot_table, tail_arrs)
-                    return out[0, 0]
+                    return probe(out)
 
                 return lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -168,8 +178,17 @@ def measure_device_step_ms(engine, queries: np.ndarray, k: int,
     for cq, padded, _w, cold_padded, _wc in chunks:
         key = (padded.shape, None if cold_padded is None else cold_padded.shape)
         if key not in per_config:
+            # mirror the PRODUCTION step configuration: pack switches off
+            # at >= 2^24 docs and under a non-f32 score_dtype, changing
+            # the epilogue — timing a pack=True program there would
+            # describe a kernel production never executes
+            from bm25_tpu.models.sparse import _score_sdt
+
+            sdt = _score_sdt(engine.score_dtype)
             step = make_sparse_query_step(
-                min(k, engine.num_docs), engine.hot_h, pack=True,
+                min(k, engine.num_docs), engine.hot_h,
+                pack=engine._pack_results and sdt is None,
+                score_dtype=sdt,
                 split_cold=cold_padded is not None,
                 union_select=engine.union_select,
             )
@@ -261,11 +280,16 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
     # cold-width class, and later batches can hit classes the first batch
     # never produced (an unwarmed class once put a 42 s compile inside the
     # timed loop, reporting as p99)
-    docs0 = None
+    # collect enough warmup rows to cover every baseline query — with
+    # batch < baseline_queries the first batch alone would truncate the
+    # recall comparison
+    docs0_parts, docs0_rows = [], 0
     for b in batches:
         d, _ = engine.search(b, top_k=k)
-        if docs0 is None:
-            docs0 = d
+        if docs0_rows < nb:
+            docs0_parts.append(d)
+            docs0_rows += len(d)
+    docs0 = np.concatenate(docs0_parts)[:nb]
     lat = []
     for b in batches:
         t0 = time.perf_counter()
@@ -296,7 +320,7 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
             t_all = time.perf_counter()
             search_ids(queries, top_k=k)
             qps_ids = max(qps_ids, len(queries) / (time.perf_counter() - t_all))
-    recall = recall_at_k(docs0[:nb], ref_docs)
+    recall = recall_at_k(docs0, ref_docs)
 
     row = {
         "top_k": k,
@@ -319,7 +343,10 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
                                      batch=cfg.batch)
     if step_ms is not None:
         row["device_step_ms"] = round(step_ms, 2)
-        model_bytes = estimate_step_hbm_bytes(engine, len(batches[0]))
+        # step_ms is normalized to cfg.batch queries — the traffic/op
+        # models must use the same q or utilization reads low whenever
+        # num_queries < batch
+        model_bytes = estimate_step_hbm_bytes(engine, cfg.batch)
         if model_bytes and step_ms > 0:
             gbps = model_bytes / (step_ms / 1e3) / 1e9
             row["achieved_hbm_gbps"] = round(gbps, 1)
@@ -335,7 +362,7 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
              for c in chunks],
             weights=[c[0] for c in chunks],
         )) if chunks else float(max(cfg.query_len, 8)))
-        vpu_ops = estimate_step_vpu_ops(engine, len(batches[0]), t_eff)
+        vpu_ops = estimate_step_vpu_ops(engine, cfg.batch, t_eff)
         if vpu_ops and step_ms > 0:
             rate = vpu_ops / (step_ms / 1e3)
             row["achieved_vpu_tops"] = round(rate / 1e12, 2)

@@ -83,10 +83,14 @@ def default_plan(
     first production request).  Returns plain dicts so callers (CLI,
     tests) can inspect or edit the plan before running it.
     """
-    route_min = int(getattr(engine, "route_min_queries", 32) or 32)
+    rm = getattr(engine, "route_min_queries", None)
+    # NB not `or 32`: route_min_queries=0 is a legitimate "route always"
+    route_min = 32 if rm is None else int(rm)
     has_routing = (
         getattr(engine, "hot_table_host", None) is not None
         and int(getattr(engine, "hot_h", 0) or 0) > 0
+        and bool(getattr(engine, "route_cold", True))
+        and any("tokT" in b for b in getattr(engine, "buckets", []) or [])
     )
     sizes = sorted(set(batch_sizes) | {routed_batch})
     tasks: list[dict] = []
@@ -97,6 +101,26 @@ def default_plan(
             "weighted": bool(w), "ids_only": bool(io), "filtered": bool(f),
         })
 
+    # production mixed-cold batches are DP-cut at width boundaries into
+    # pow2 chunk heights (models/sparse.py::_chunk_bounds_dp: 32..512,
+    # plus _routed_q_pad of the requested sizes), so warming only the
+    # full-batch heights would leave every intermediate (class, height)
+    # compile for the first live mixed batch — enumerate the whole family
+    routed_sizes = [q for q in sizes if q >= route_min]
+    routed_heights: list[int] = []
+    if has_routing and routed_sizes:
+        # the DP can cut any >= route_min batch down to 32-row chunks, so
+        # the height family always starts at 32 regardless of route_min
+        top = max(routed_sizes)
+        h = 32
+        while h < top:
+            routed_heights.append(h)
+            h *= 2
+        for q in routed_sizes:
+            if q not in routed_heights:
+                routed_heights.append(q)
+        routed_heights.sort()
+
     variants = [(False, False, False)]
     if weighted:
         variants.append((True, False, False))
@@ -106,14 +130,17 @@ def default_plan(
         variants.append((False, False, True))
     for k in top_ks:
         for t in widths:
+            # a class wider than the query width can't occur — clamp
+            # instead of silently dropping the size from the plan
+            classes = sorted({min(int(c), int(t)) for c in cold_classes})
             for w, io, f in variants:
                 for q in sizes:
                     if has_routing and q >= route_min:
-                        for c in cold_classes:
-                            if c <= t:
-                                add(q, t, int(c), k, w, io, f)
-                    else:
-                        add(q, t, None, k, w, io, f)
+                        continue  # covered by routed_heights below
+                    add(q, t, None, k, w, io, f)
+                for q in routed_heights:
+                    for c in classes:
+                        add(q, t, c, k, w, io, f)
     return tasks
 
 
@@ -135,22 +162,32 @@ def warm_engine(
     if tasks is None:
         tasks = default_plan(engine, **plan_kwargs)
     rng = np.random.default_rng(seed)
+    # one mask for every filtered task, built and uploaded ONCE (any mask
+    # hits the same compiled shape; half density keeps selection inputs
+    # realistic) — rebuilding + re-putting a num_docs-sized array per task
+    # costs ~10 MB through the relay each time and pollutes the timings
+    mask = None
+    if any(t.get("filtered") for t in tasks):
+        mask = np.arange(int(engine.num_docs)) % 2 == 0
+        put = getattr(getattr(engine, "session", None), "put", None)
+        if put is not None:
+            mask = put(np.ascontiguousarray(mask))
     report = []
     for task in tasks:
-        ids = _query_matrix(engine, task["q"], task["t"], task["cold"], rng)
+        # .get() throughout: default_plan's docstring invites callers to
+        # edit the plan, so older/hand-built task dicts missing newer keys
+        # must not KeyError
+        ids = _query_matrix(engine, task["q"], task["t"],
+                            task.get("cold"), rng)
         weights = None
-        if task["weighted"]:
+        if task.get("weighted"):
             # unit weights: tail-tier engines require non-negative weights
             weights = np.ones_like(ids, dtype=np.float32)
         kw = {}
         if task.get("filtered"):
-            # any mask hits the same compiled shape; half density keeps
-            # the selection inputs realistic
-            kw["doc_mask"] = (
-                np.arange(int(engine.num_docs)) % 2 == 0
-            )
+            kw["doc_mask"] = mask
         t0 = time.monotonic()
-        if task["ids_only"]:
+        if task.get("ids_only"):
             engine.search_ids(ids, top_k=task["top_k"], weights=weights,
                               **kw)
         elif weights is not None:
@@ -160,11 +197,12 @@ def warm_engine(
         entry = dict(task, seconds=round(time.monotonic() - t0, 3))
         report.append(entry)
         if log is not None:
-            c = "-" if entry["cold"] is None else entry["cold"]
+            c = entry.get("cold")
+            c = "-" if c is None else c
             flags = "".join(
                 f" {name}" for name, on in
-                (("weighted", entry["weighted"]),
-                 ("ids_only", entry["ids_only"]),
+                (("weighted", entry.get("weighted", False)),
+                 ("ids_only", entry.get("ids_only", False)),
                  ("filtered", entry.get("filtered", False)))
                 if on
             )

@@ -25,10 +25,12 @@ def engine(request):
 def test_default_plan_covers_unrouted_and_routed(engine):
     tasks = default_plan(engine, top_ks=(5, 10), batch_sizes=(1, 8),
                          routed_batch=64, cold_classes=(2, 4))
-    # per top_k: 2 unrouted batches + 2 routed cold classes
-    assert len(tasks) == 2 * (2 + 2)
+    # per top_k: 2 unrouted batches + 2 routed heights x 2 cold classes —
+    # the dispatch DP cuts mixed-cold batches into pow2 chunk heights
+    # (32..batch), so every (height, class) pair is its own compile
+    assert len(tasks) == 2 * (2 + 2 * 2)
     routed = [t for t in tasks if t["cold"] is not None]
-    assert {t["q"] for t in routed} == {64}
+    assert {t["q"] for t in routed} == {32, 64}
     assert {t["cold"] for t in routed} == {2, 4}
     assert {t["top_k"] for t in tasks} == {5, 10}
 
@@ -54,7 +56,8 @@ def test_default_plan_variant_families(engine):
     plain = [t for t in tasks if not t["weighted"] and not t["ids_only"]]
     weighted = [t for t in tasks if t["weighted"]]
     ids_only = [t for t in tasks if t["ids_only"]]
-    assert len(plain) == len(weighted) == len(ids_only) == 2
+    # 1 unrouted size + 2 routed heights (32, 64) x 1 class, per variant
+    assert len(plain) == len(weighted) == len(ids_only) == 3
 
 
 def test_default_plan_without_routing():
@@ -110,3 +113,35 @@ def test_warm_cli(tmp_path, animal_corpus, capsys):
 
 def test_warm_cli_requires_source(capsys):
     assert main(["warm"]) == 2
+
+
+def test_default_plan_clamps_wide_cold_classes(engine):
+    """Classes wider than the query width clamp to it instead of dropping
+    the routed family entirely (review finding: widths=(1,) warmed
+    nothing at routed sizes)."""
+    tasks = default_plan(engine, top_ks=(5,), batch_sizes=(8,),
+                         routed_batch=64, widths=(1,),
+                         cold_classes=(2, 4, 8))
+    routed = [t for t in tasks if t["cold"] is not None]
+    assert routed, "routed family must not vanish for narrow widths"
+    assert {t["cold"] for t in routed} == {1}
+
+
+def test_default_plan_respects_route_min_zero(engine):
+    """route_min_queries=0 means 'route always' — the plan must not remap
+    it to the default 32 and warm small batches unrouted."""
+    old = engine.route_min_queries
+    engine.route_min_queries = 0
+    try:
+        tasks = default_plan(engine, top_ks=(5,), batch_sizes=(8,),
+                             routed_batch=64, cold_classes=(2,))
+        assert all(t["cold"] is not None for t in tasks)
+    finally:
+        engine.route_min_queries = old
+
+
+def test_warm_engine_tolerates_minimal_task_dicts(engine):
+    """default_plan invites plan editing; a hand-built task with only the
+    core keys must run, not KeyError."""
+    report = warm_engine(engine, tasks=[{"q": 4, "t": 8, "top_k": 3}])
+    assert report[0]["seconds"] >= 0
