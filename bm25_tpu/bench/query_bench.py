@@ -83,14 +83,12 @@ def make_queries(cfg: BenchConfig) -> np.ndarray:
 
 
 def recall_at_k(got_docs: np.ndarray, want_docs: np.ndarray) -> float:
-    # denominator counts only the COMPARED rows: a got/want row-count
-    # mismatch must not silently deflate recall (zip truncates)
-    hits = 0
-    want_total = 0
-    for g, w in zip(got_docs, want_docs):
-        hits += len(set(g.tolist()) & set(w.tolist()))
-        want_total += w.size
-    return hits / max(want_total, 1)
+    # one canonical implementation (bm25_tpu/eval.py): compared-rows
+    # denominator, -1 pad slots excluded — two drifting copies of the
+    # parity metric is how the zip-truncation bug happened
+    from bm25_tpu.eval import recall_at_k as _recall
+
+    return _recall(got_docs, want_docs)
 
 
 def _time_step_chunk(engine, step, ids, cold, iters: int) -> float:

@@ -59,13 +59,21 @@ def load_beir(root: str | os.PathLike, split: str = "test") -> RetrievalDataset:
         with open(qrels_path) as f:
             reader = csv.reader(f, delimiter="\t")
             header = next(reader, None)
-            if header and header[0].lower() not in ("query-id", "qid"):
+            head0 = (header[0].lower().replace("_", "-")
+                     if header else "")
+            if head0 not in ("query-id", "qid", "queryid"):
                 f.seek(0)
                 reader = csv.reader(f, delimiter="\t")
             for row in reader:
-                if len(row) < 3:
+                if len(row) >= 4:
+                    # TREC qrels layout (MS MARCO ships this): qid,
+                    # iteration, doc id, relevance — reading columns
+                    # 1/2 as doc/score silently drops every judgment
+                    qid, did, score = row[0], row[2], row[3]
+                elif len(row) == 3:
+                    qid, did, score = row
+                else:
                     continue
-                qid, did, score = row[0], row[1], row[2]
                 qrels.setdefault(str(qid), {})[str(did)] = int(float(score))
     return RetrievalDataset(doc_ids, doc_texts, query_ids, query_texts, qrels)
 
@@ -77,7 +85,15 @@ def evaluate_dataset(
     max_queries: int | None = None,
     log=print,
 ) -> dict:
-    """Index ds.docs, run its queries, report recall@k / MRR@10 vs qrels."""
+    """Index ds.docs, run its queries, report recall@k / MRR@10 vs qrels.
+
+    Follows the BEIR evaluation protocol: only queries with at least one
+    positive qrel for the split are scored (real BEIR drops ship ONE
+    queries.jsonl covering all splits — evaluating unjudged queries
+    deflates MRR and makes ``max_queries`` prefixes meaningless), and
+    recall@k is MACRO-averaged per query (per-query recall, then the
+    mean), the convention published baselines use.
+    """
     from bm25_tpu.eval import mrr_at_k
     from bm25_tpu.index.builder import build_index
     from bm25_tpu.models.auto import create_engine
@@ -88,27 +104,33 @@ def evaluate_dataset(
     log(f"[eval] indexed {stats.num_docs} docs ({stats.docs_per_second:.0f}/s)")
     engine = create_engine(index, mode=engine_mode)
 
-    qids = ds.query_ids[:max_queries] if max_queries else ds.query_ids
-    qtexts = ds.query_texts[: len(qids)]
-    ids = tok.tokenize_queries(qtexts, index.vocab)
-    docs, scores = engine.search(ids, top_k=top_k)
-
-    # map dataset doc ids to internal positions once
     pos_of = {did: i for i, did in enumerate(ds.doc_ids)}
-    hits = 0
-    total_rel = 0
-    relevant = []
-    for qid in qids:
-        rel_pos = {
+    text_of = dict(zip(ds.query_ids, ds.query_texts))
+
+    def rel_set(qid):
+        return {
             pos_of[did]
             for did, r in ds.qrels.get(qid, {}).items()
             if r > 0 and did in pos_of
         }
-        relevant.append(rel_pos)
-        total_rel += len(rel_pos)
-    for qi in range(len(qids)):
-        hits += len(set(docs[qi].tolist()) & relevant[qi])
-    recall = hits / total_rel if total_rel else float("nan")
+
+    qids = [q for q in ds.query_ids if rel_set(q)]
+    if not qids:
+        # no qrels at all (or none resolvable): fall back to every query
+        # so the pipeline still runs; metrics come out nan/0
+        qids = list(ds.query_ids)
+    if max_queries is not None:
+        qids = qids[:max_queries]
+    qtexts = [text_of[q] for q in qids]
+    ids = tok.tokenize_queries(qtexts, index.vocab)
+    docs, scores = engine.search(ids, top_k=top_k)
+
+    relevant = [rel_set(qid) for qid in qids]
+    per_q = [
+        len(set(docs[qi].tolist()) & rel) / len(rel)
+        for qi, rel in enumerate(relevant) if rel
+    ]
+    recall = float(np.mean(per_q)) if per_q else float("nan")
     mrr = mrr_at_k(docs[:, :10], relevant)
     result = {
         "num_docs": ds.num_docs,
@@ -201,7 +223,10 @@ def synthetic_beir_hard(
     * **typos** — one query term may be corrupted to an OOV token
       (contributes nothing, widening the decoy/target overlap).
 
-    The target stays the single qrel; decoys are labelled irrelevant.
+    The target doc is graded 2; the first two decoys per query carry the
+    FULL query term set and are graded 1 (genuinely relevant — they can
+    legitimately outrank the target), so each query has exactly THREE
+    positive qrels; the remaining decoys are unlabelled negatives.
     Metrics land strictly inside (0, 1) at the default shape, so a
     ranking regression above top-1 moves them — the driver-visible
     regression signal the saturated eval lost.
@@ -215,8 +240,12 @@ def synthetic_beir_hard(
     for qi, t in enumerate(targets):
         words = base[t].split()
         rare = sorted(set(words), key=lambda w: -int(w[1:]))[:query_terms]
-        # term dropout: keep 3..query_terms of the rare terms
-        keep = max(3, int(rng.integers(3, query_terms + 1)))
+        # term dropout: keep 3..query_terms of the rare terms (for
+        # query_terms < 3 the integers() call would raise low >= high —
+        # just keep them all; the permutation below tolerates keep >
+        # len(rare) either way)
+        keep = (int(rng.integers(3, query_terms + 1)) if query_terms >= 3
+                else query_terms)
         q_words = list(rng.permutation(rare)[:keep])
         # typo: corrupt one term to OOV with p=0.3
         if rng.random() < 0.3 and len(q_words) > 3:

@@ -15,13 +15,22 @@ from bm25_tpu.scoring import ScoredIndex
 
 
 def recall_at_k(got_docs: np.ndarray, ref_docs: np.ndarray) -> float:
-    """Fraction of reference top-k docs recovered, averaged over queries."""
-    if ref_docs.size == 0:
-        return 1.0
+    """Fraction of reference top-k docs recovered (micro-averaged).
+
+    The library-wide canonical parity metric (bench and eval both use it):
+    -1 slots — the filtered-search shortfall pad on BOTH sides — are
+    excluded so masked-search parity doesn't read ~0, and the denominator
+    counts only the COMPARED rows so a got/ref row-count mismatch (zip
+    truncates) can't silently deflate recall.
+    """
     hits = 0
+    want = 0
     for g, r in zip(got_docs, ref_docs):
-        hits += len(set(g.tolist()) & set(r.tolist()))
-    return hits / ref_docs.size
+        gs = {int(x) for x in g.tolist() if x >= 0}
+        rs = {int(x) for x in r.tolist() if x >= 0}
+        hits += len(gs & rs)
+        want += len(rs)
+    return hits / want if want else 1.0
 
 
 def mrr_at_k(got_docs: np.ndarray, relevant: list[set]) -> float:
@@ -70,8 +79,18 @@ def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
 
     dev = 0
     name = type(engine).__name__
+    if name == "UpdatableEngine":
+        # the device footprint is the wrapped base engine's (the delta
+        # segment is host-side)
+        return index_memory_stats(index, engine.base)
     if name == "DenseEngine":
-        dev = _nbytes(engine.st)
+        dev = _nbytes(engine.st) + _nbytes(engine.offsets)
+        # matmul mode lazily caches a bf16 high/residual pair of st —
+        # together the same byte count AGAIN; uncounted it halves the
+        # reported footprint
+        pair = getattr(engine, "_st_pair", None)
+        if pair is not None:
+            dev += sum(_nbytes(p) for p in pair)
     elif name == "SparseEngine":
         for b in engine.buckets:
             # every device array the query step reads (hotLo is the bf16
@@ -85,12 +104,18 @@ def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
             if arr is not None:
                 dev += _nbytes(arr)
     elif name == "ShardedEngine":
-        dev = _nbytes(engine.st)
+        dev = _nbytes(engine.st) + _nbytes(engine.offsets)
     elif name == "ShardedSparseEngine":
         for b in engine.buckets:
             dev += sum(_nbytes(b[key]) for key in b)
         for extra in ("offsets", "hot_table"):
             dev += _nbytes(getattr(engine, extra))
+    else:
+        # an unknown engine must not silently report a zero footprint —
+        # that reads as a 'perfect' result for the BASELINE memory row
+        raise TypeError(
+            f"index_memory_stats: unsupported engine type {name}"
+        )
     return MemoryStats(
         csc_bytes=csc, device_bytes=dev,
         overhead_ratio=dev / csc if csc else float("inf"),

@@ -75,3 +75,64 @@ def test_synthetic_beir_hard_discriminates():
                           log=lambda *_: None)
     assert r2["recall@10"] == r["recall@10"]
     assert r2["mrr@10"] == r["mrr@10"]
+
+
+def test_load_beir_trec_4col_qrels(tmp_path):
+    """MS MARCO ships TREC-layout qrels (qid, iteration, docid, rel):
+    columns 1/2 read as doc/score would silently drop every judgment."""
+    d = make_beir_dir(tmp_path)
+    with open(d / "qrels" / "dev.tsv", "w") as f:
+        f.write("q1\t0\td1\t1\nq2\t0\td3\t1\n")
+    ds = load_beir(d, split="dev")
+    assert ds.qrels == {"q1": {"d1": 1}, "q2": {"d3": 1}}
+
+
+def test_load_beir_underscore_header(tmp_path):
+    """A 'query_id' header variant must be skipped as a header, not parsed
+    as data (int('score') crash)."""
+    d = make_beir_dir(tmp_path)
+    with open(d / "qrels" / "test.tsv", "w") as f:
+        f.write("query_id\tcorpus_id\tscore\n")
+        f.write("q1\td1\t1\n")
+    ds = load_beir(d)
+    assert ds.qrels == {"q1": {"d1": 1}}
+
+
+def test_evaluate_restricts_to_judged_queries(tmp_path):
+    """Queries without positive qrels for the split are excluded (BEIR
+    ships one queries.jsonl across splits; scoring unjudged queries
+    deflates MRR), and max_queries slices the JUDGED list."""
+    d = make_beir_dir(tmp_path)
+    with open(d / "queries.jsonl", "a") as f:
+        f.write(json.dumps({"_id": "q_train", "text": "no judgments"}) + "\n")
+    ds = load_beir(d)
+    assert len(ds.query_ids) == 3
+    result = evaluate_dataset(ds, top_k=2, log=lambda *a: None)
+    assert result["num_queries"] == 2  # the unjudged query is excluded
+    assert result["mrr@10"] == 1.0     # ... and does not dilute MRR
+    r1 = evaluate_dataset(ds, top_k=2, max_queries=1, log=lambda *a: None)
+    assert r1["num_queries"] == 1 and r1["mrr@10"] == 1.0
+
+
+def test_evaluate_recall_is_macro_averaged(tmp_path):
+    """BEIR protocol: per-query recall, then the mean — not global
+    hits/relevants (micro), which skews under uneven qrel counts."""
+    d = make_beir_dir(tmp_path)
+    with open(d / "qrels" / "test.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        # q1: 3 relevants of which top-1 search can hit only 1;
+        # q2: a single relevant, hit at rank 1
+        f.write("q1\td1\t1\nq1\td2\t1\nq1\td3\t1\nq2\td3\t1\n")
+    ds = load_beir(d)
+    result = evaluate_dataset(ds, top_k=1, log=lambda *a: None)
+    # macro: (1/3 + 1/1) / 2 = 0.6667; micro would be 2/4 = 0.5
+    assert abs(result["recall@1"] - 2 / 3) < 1e-3  # rounded to 4 places
+
+
+def test_synthetic_beir_hard_small_query_terms():
+    from bm25_tpu.datasets import synthetic_beir_hard
+
+    ds = synthetic_beir_hard(num_docs=60, num_queries=4, vocab=300,
+                             query_terms=2, decoys_per_query=3, seed=3)
+    assert len(ds.query_ids) == 4
+    assert all(len(q.split()) >= 1 for q in ds.query_texts)
