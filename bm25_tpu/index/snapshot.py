@@ -32,11 +32,20 @@ def save_snapshot(path: str | os.PathLike, index: ScoredIndex) -> None:
             "b": index.params.b,
             "delta": index.params.delta,
             "method": index.params.method,
+            # idf_method must round-trip: dropping it silently changes
+            # effective_idf_method for every rescoring consumer of the
+            # loaded index (UpdatableEngine add-path, save_index)
+            "idf_method": index.params.idf_method,
         },
         "vocab": index.vocab,
     }
+    # write via temp + atomic rename: a crash mid-save must not leave a
+    # truncated zip at the snapshot path (same torn-write discipline as
+    # the update WAL)
+    final = path if path.endswith(".npz") else path + ".npz"
+    tmp = final + ".tmp.npz"
     np.savez_compressed(
-        path,
+        tmp,
         indptr=index.indptr,
         indices=index.indices,
         data=index.data,
@@ -48,6 +57,7 @@ def save_snapshot(path: str | os.PathLike, index: ScoredIndex) -> None:
         ),
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
     )
+    os.replace(tmp, final)
 
 
 def load_snapshot(path: str | os.PathLike) -> ScoredIndex:

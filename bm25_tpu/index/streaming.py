@@ -48,27 +48,30 @@ class StreamingIndexBuilder:
     _buffered_bytes: int = 0
     _spilled_tokens: int = 0
     _spill_started: bool = False
+    _spill_name: str | None = None
 
     def add(self, texts: Sequence[str]) -> int:
         """Tokenize and buffer one chunk of documents; returns docs so far."""
+        from bm25_tpu.index.merge import remap_vocab
+
         t0 = time.perf_counter()
         # tokenize with a chunk-local vocab (lets the native fast path run),
-        # then remap chunk-local ids onto the shared streaming vocab
+        # then remap chunk-local ids onto the shared streaming vocab (the
+        # same remap helper the multi-host shard merge uses); the remap
+        # applies to the FLAT stream — one vectorized gather, not one
+        # array per document (this is the 20M-doc ingest path)
         tok = self.tokenizer.tokenize_corpus(texts)
-        remap = np.empty(max(len(tok.vocab), 1), dtype=np.int32)
-        for term, tid in tok.vocab.items():
-            gid = self._vocab.get(term)
-            if gid is None:
-                gid = len(self._vocab)
-                self._vocab[term] = gid
-            remap[tid] = gid
-        ids = [remap[doc] for doc in tok.ids]
+        remap = remap_vocab(tok.vocab, self._vocab)
+        dl = np.array([len(d) for d in tok.ids], dtype=np.int32)
+        flat_local = (np.concatenate(tok.ids) if tok.ids
+                      else np.zeros(0, np.int32))
+        chunk = (remap[flat_local] if flat_local.size
+                 else np.zeros(0, np.int32))
         self._tokenize_s += time.perf_counter() - t0
-        if ids:
-            chunk = np.concatenate(ids) if ids else np.zeros(0, np.int32)
+        if len(tok.ids):
             self._chunks.append(chunk)
             self._buffered_bytes += chunk.nbytes
-            self._lengths.append(np.array([len(d) for d in ids], dtype=np.int32))
+            self._lengths.append(dl)
             if (
                 self.spill_dir is not None
                 and self._buffered_bytes >= self.spill_threshold_bytes
@@ -79,13 +82,18 @@ class StreamingIndexBuilder:
 
     @property
     def _spill_path(self) -> str:
-        return os.path.join(self.spill_dir, "tokens.bin")
+        # unique per builder: two builders sharing one spill_dir (e.g. two
+        # DocShardPlan processes on one host) must not truncate/append
+        # into each other's stream
+        if self._spill_name is None:
+            self._spill_name = f"tokens.{os.getpid()}-{id(self):x}.bin"
+        return os.path.join(self.spill_dir, self._spill_name)
 
     def _spill(self) -> None:
         os.makedirs(self.spill_dir, exist_ok=True)
-        # truncate on this builder's FIRST spill: a stale tokens.bin from a
-        # previous run would otherwise be silently prepended to this
-        # corpus's stream and corrupt the built index
+        # truncate on this builder's FIRST spill: a stale file at the same
+        # path (a previous run's pid/id collision) would otherwise be
+        # silently prepended to this corpus's stream
         mode = "ab" if self._spill_started else "wb"
         self._spill_started = True
         with open(self._spill_path, mode) as f:

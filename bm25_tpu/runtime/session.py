@@ -31,21 +31,27 @@ def enable_persistent_compile_cache(path: str | None = None) -> None:
     (empty string disables).  No-op if the app already configured one.
     """
     global _cache_configured
-    if _cache_configured:
+    explicit = path is not None
+    if _cache_configured and not explicit:
+        # only SUCCESSFUL configuration latches; an explicit-path call is
+        # a deliberate override and always gets a chance (a failed default
+        # attempt must not silently eat it)
         return
-    _cache_configured = True
     path = path if path is not None else os.environ.get(
         "BM25_TPU_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "jax_bm25"),
     )
     if not path:
+        _cache_configured = True  # explicitly disabled
         return
     try:
         if jax.config.jax_compilation_cache_dir:
+            _cache_configured = True  # the app already configured one
             return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_configured = True
     except (OSError, AttributeError):  # read-only fs / old jax: best effort
         pass
 
@@ -59,15 +65,20 @@ def get_device(device_id: int = 0, prefer: str | None = None) -> jax.Device:
     """Pick the execution device: first accelerator unless CPU is forced."""
     devices = jax.devices()
     if prefer:
-        matches = [d for d in devices if d.platform == prefer]
-        if not matches:
+        pool = [d for d in devices if d.platform == prefer]
+        if not pool:
             raise ValueError(
                 f"no {prefer!r} device available; have "
                 f"{sorted({d.platform for d in devices})}"
             )
-        return matches[device_id]
-    accel = [d for d in devices if d.platform != "cpu"]
-    pool = accel if accel else devices
+    else:
+        accel = [d for d in devices if d.platform != "cpu"]
+        pool = accel if accel else devices
+    if not 0 <= device_id < len(pool):
+        raise ValueError(
+            f"device_id {device_id} out of range: {len(pool)} "
+            f"{prefer or pool[0].platform} device(s) available"
+        )
     return pool[device_id]
 
 
@@ -110,12 +121,20 @@ class Session:
 
 
 _default_session: Session | None = None
+_session_lock = threading.Lock()
 
 
 def get_session() -> Session:
-    """Process-default session (reference: ``main.py:203``)."""
+    """Process-default session (reference: ``main.py:203``).
+
+    Lock-guarded: two engines constructed on different threads at startup
+    (serve.py is a threading HTTP server) must share ONE session — two
+    sessions mean two jit caches and doubled cold compiles.
+    """
     global _default_session
     if _default_session is None:
-        enable_persistent_compile_cache()
-        _default_session = Session()
+        with _session_lock:
+            if _default_session is None:
+                enable_persistent_compile_cache()
+                _default_session = Session()
     return _default_session

@@ -47,7 +47,9 @@ def test_streaming_spill_to_disk_matches_in_ram(tmp_path, zipf_corpus_small):
 
     ram = build()
     spilled = build(spill_dir=str(tmp_path / "spill"), spill_threshold_bytes=256)
-    assert (tmp_path / "spill" / "tokens.bin").exists()
+    import os
+    spill_files = os.listdir(tmp_path / "spill")
+    assert len(spill_files) == 1 and spill_files[0].startswith("tokens.")
     np.testing.assert_array_equal(ram.indptr, spilled.indptr)
     np.testing.assert_array_equal(ram.indices, spilled.indices)
     np.testing.assert_allclose(ram.data, spilled.data)
@@ -56,18 +58,22 @@ def test_streaming_spill_to_disk_matches_in_ram(tmp_path, zipf_corpus_small):
 
 
 def test_streaming_spill_truncates_stale_file(tmp_path, zipf_corpus_small):
-    """A tokens.bin left by a previous run must not leak into a new build."""
+    """A stale spill file at the same path must not leak into a new build
+    (the per-builder unique name makes collisions rare; the first-spill
+    truncation covers a pid/id reuse)."""
     from bm25_tpu.index.streaming import StreamingIndexBuilder
     from bm25_tpu.text.tokenizer import Tokenizer
 
     d = tmp_path / "spill"
     d.mkdir()
-    (d / "tokens.bin").write_bytes(b"\xff" * 4096)  # stale garbage
 
     b = StreamingIndexBuilder(
         tokenizer=Tokenizer(stopwords=None, stemmer=None),
         spill_dir=str(d), spill_threshold_bytes=256,
     )
+    # plant stale garbage at this builder's OWN spill path
+    import pathlib
+    pathlib.Path(b._spill_path).write_bytes(b"\xff" * 4096)
     b.add(zipf_corpus_small[:60])
     b.add(zipf_corpus_small[60:120])
     idx = b.finalize()[0]
@@ -79,3 +85,49 @@ def test_streaming_spill_truncates_stale_file(tmp_path, zipf_corpus_small):
     np.testing.assert_array_equal(idx.indptr, ref.indptr)
     np.testing.assert_array_equal(idx.indices, ref.indices)
     np.testing.assert_allclose(idx.data, ref.data)
+
+
+def test_streaming_two_builders_share_spill_dir(tmp_path, zipf_corpus_small):
+    """Two builders spilling into ONE directory must not corrupt each
+    other's stream (the old fixed tokens.bin name truncated/interleaved)."""
+    from bm25_tpu.index.streaming import StreamingIndexBuilder
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    d = str(tmp_path / "spill")
+    mk = lambda: StreamingIndexBuilder(  # noqa: E731
+        tokenizer=Tokenizer(stopwords=None, stemmer=None),
+        spill_dir=d, spill_threshold_bytes=256,
+    )
+    a, b = mk(), mk()
+    # interleave adds so both spill while the other is mid-stream
+    for i in range(0, 120, 40):
+        a.add(zipf_corpus_small[i : i + 40])
+        b.add(zipf_corpus_small[120 - i - 40 : 120 - i])
+    ia = a.finalize()[0]
+
+    ref = StreamingIndexBuilder(
+        tokenizer=Tokenizer(stopwords=None, stemmer=None))
+    for i in range(0, 120, 40):
+        ref.add(zipf_corpus_small[i : i + 40])
+    ir = ref.finalize()[0]
+    np.testing.assert_array_equal(ia.indptr, ir.indptr)
+    np.testing.assert_array_equal(ia.indices, ir.indices)
+    np.testing.assert_allclose(ia.data, ir.data)
+
+
+def test_snapshot_round_trips_idf_method(tmp_path):
+    """idf_method must survive the snapshot: dropping it silently changes
+    effective_idf_method for every rescoring consumer."""
+    from bm25_tpu.index.snapshot import load_snapshot, save_snapshot
+    from bm25_tpu.scoring import BM25Params, build_scored_index
+
+    ids = [np.array([0, 1, 2], np.int32), np.array([1, 1, 3], np.int32)]
+    idx = build_scored_index(
+        ids, vocab_size=4,
+        params=BM25Params(method="bm25+", idf_method="lucene"),
+    )
+    p = tmp_path / "snap"
+    save_snapshot(p, idx)
+    loaded = load_snapshot(p)
+    assert loaded.params.idf_method == "lucene"
+    assert loaded.params.effective_idf_method == "lucene"
