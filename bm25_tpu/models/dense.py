@@ -151,7 +151,11 @@ class DenseEngine:
     ) -> "DenseEngine":
         session = session or get_session()
         v, d = index.vocab_size, index.num_docs
-        d_pad = next_multiple(max(d, 1), 128)
+        # 1024 = the Pallas gather kernel's (8, C, 128) row-tile quantum
+        # (ops/gather_rows.py): padding to 128 only would make the kernel
+        # re-pad the WHOLE (V, D) table inside every jitted query step —
+        # an O(V*D) HBM copy on the hot path
+        d_pad = next_multiple(max(d, 1), 1024)
         v_pad = next_multiple(v + 1, 8)  # +1 zero row for pad/OOV ids
         need = v_pad * d_pad * np.dtype(np.float32).itemsize
         if need > max_bytes:

@@ -94,6 +94,13 @@ def top_k(
     elif impl == "tree":
         v, i = top_k_tree(xs, k)
     elif impl == "pallas":
+        if not jnp.issubdtype(xs.dtype, jnp.floating):
+            # the kernel masks with float -inf; an int tile would silently
+            # promote inside the kernel and dtype-mismatch the output ref
+            raise TypeError(
+                "implementation='pallas' supports float inputs only; use "
+                "'tree' or 'lax' for integer top-k"
+            )
         v, i = _pallas_topk_lastaxis(xs, k)
     else:
         raise ValueError(f"unknown implementation {implementation!r}")
@@ -111,28 +118,41 @@ register_op("top_k")(top_k)
 # ---------------------------------------------------------------------------
 
 
-def _extract_topk_rounds(x, col_ids, k, vals_ref, idxs_ref):
+def _extract_topk_rounds(x, col_ids, k, vals_ref, idxs_ref, taken0=None):
     """k rounds of (row max, first argmax, mask out) over a VMEM tile.
 
     Writes one (rows,) column of vals/idxs per round.  argmax returns the
     first maximal position -> smaller original index wins ties.
-    """
 
-    def body(i, cur):
+    A row exhausted mid-way (fewer than k entries above -inf) would make
+    argmax return position 0 forever, emitting DUPLICATE indices — instead
+    the round falls back to the first not-yet-taken selectable position,
+    matching lax.top_k's distinct-indices contract.  ``taken0`` marks
+    positions that are never selectable (tail-chunk padding).
+    """
+    if taken0 is None:
+        taken0 = jnp.zeros(x.shape, dtype=bool)
+
+    def body(i, carry):
+        cur, taken = carry
         m = jnp.max(cur, axis=1)
         am = jnp.argmax(cur, axis=1)
+        # ~taken is all-False only when every selectable position was
+        # taken; argmax then returns 0, which is at least in range
+        first_open = jnp.argmax(~taken, axis=1)
+        am = jnp.where(jnp.isneginf(m), first_open, am)
         sel = jnp.take_along_axis(col_ids, am[:, None], axis=1)[:, 0]
         vals_ref[:, i] = m
         idxs_ref[:, i] = sel
         onehot = (
             lax.broadcasted_iota(jnp.int32, cur.shape, 1) == am[:, None]
         )
-        return jnp.where(onehot, NEG_INF, cur)
+        return jnp.where(onehot, NEG_INF, cur), taken | onehot
 
-    lax.fori_loop(0, k, body, x, unroll=False)
+    lax.fori_loop(0, k, body, (x, taken0), unroll=False)
 
 
-def _stage1_kernel(n_real: int, chunk: int, k: int):
+def _stage1_kernel(n_real: int, chunk: int, k: int, kp: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
@@ -141,19 +161,32 @@ def _stage1_kernel(n_real: int, chunk: int, k: int):
         x = x_ref[:]
         base = j * chunk
         col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        # mask the tail chunk's padding
-        x = jnp.where(base + col < n_real, x, NEG_INF)
-        _extract_topk_rounds(x, base + col, k, vals_ref, idxs_ref)
+        # mask the tail chunk's padding (also 'taken': never selectable,
+        # so an exhausted row's fallback picks real columns first)
+        pad = base + col >= n_real
+        x = jnp.where(pad, NEG_INF, x)
+        if kp != k:
+            # the output block is 128-lane-padded for Mosaic; fill the
+            # pad lanes so stage 2 sees losing candidates there
+            vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, x.dtype)
+            idxs_ref[:] = jnp.zeros(idxs_ref.shape, jnp.int32)
+        ids = jnp.minimum(base + col, n_real - 1)  # in-range even for pads
+        _extract_topk_rounds(x, ids, k, vals_ref, idxs_ref, taken0=pad)
 
     return kernel
 
 
-def _stage2_kernel(k: int):
+def _stage2_kernel(k: int, kp: int):
     import jax.experimental.pallas as pl  # noqa: F401
 
     def kernel(cand_vals_ref, cand_idxs_ref, vals_ref, idxs_ref):
         x = cand_vals_ref[:]
-        _extract_topk_rounds(x, cand_idxs_ref[:], k, vals_ref, idxs_ref)
+        # stage-1's 128-lane output padding (positions kp*j + [k, kp)) is
+        # never selectable
+        col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        pad = col % kp >= k
+        _extract_topk_rounds(x, cand_idxs_ref[:], k, vals_ref, idxs_ref,
+                             taken0=pad)
 
     return kernel
 
@@ -185,9 +218,15 @@ def _pallas_topk_lastaxis(x: jax.Array, k: int):
     # interpreter mode lets the same kernels run (and be tested) on CPU
     interpret = jax.devices()[0].platform != "tpu"
 
+    # Mosaic's last-dim block rule: a block's lane width must be
+    # 128-divisible or the full array dim.  With nblocks == 1 the stage-1
+    # output block IS the full dim (any k legal); with nblocks > 1 each
+    # block writes its own k-slice, so the slice pads to a 128 multiple
+    kp = k if nblocks == 1 else next_multiple(k, 128)
+
     grid = (b_pad // row_tile, nblocks)
     cand_vals, cand_idxs = pl.pallas_call(
-        _stage1_kernel(n, chunk, k),
+        _stage1_kernel(n, chunk, k, kp),
         grid=grid,
         interpret=interpret,
         in_specs=[
@@ -195,14 +234,14 @@ def _pallas_topk_lastaxis(x: jax.Array, k: int):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((row_tile, k), lambda i, j: (i, j),
+            pl.BlockSpec((row_tile, kp), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, k), lambda i, j: (i, j),
+            pl.BlockSpec((row_tile, kp), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b_pad, nblocks * k), x2.dtype),
-            jax.ShapeDtypeStruct((b_pad, nblocks * k), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, nblocks * kp), x2.dtype),
+            jax.ShapeDtypeStruct((b_pad, nblocks * kp), jnp.int32),
         ),
     )(x2)
 
@@ -210,13 +249,13 @@ def _pallas_topk_lastaxis(x: jax.Array, k: int):
         vals, idxs = cand_vals, cand_idxs
     else:
         vals, idxs = pl.pallas_call(
-            _stage2_kernel(k),
+            _stage2_kernel(k, kp),
             grid=(b_pad // row_tile,),
             interpret=interpret,
             in_specs=[
-                pl.BlockSpec((row_tile, nblocks * k), lambda i: (i, 0),
+                pl.BlockSpec((row_tile, nblocks * kp), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((row_tile, nblocks * k), lambda i: (i, 0),
+                pl.BlockSpec((row_tile, nblocks * kp), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -331,11 +370,14 @@ register_op("top_k_tree")(top_k_tree)
 
 
 def select_top_k(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
-    """Best exact top-k strategy for (batch, N) score matrices."""
-    n = x.shape[-1]
-    if n <= max(2 * k, 4096):
-        return top_k(x, k)
-    return top_k_tree(x, k)
+    """Best exact top-k strategy for (batch, N) score matrices.
+
+    Exactly ``top_k``'s auto dispatch — one threshold, not two drifting
+    copies.  NB: NaN ordering differs between the underlying paths
+    (lax.top_k ranks NaN largest; the tree's sort ranks it smallest), so
+    callers must mask non-finite scores first — every engine does.
+    """
+    return top_k(x, k)
 
 
 register_op("select_top_k")(select_top_k)
@@ -608,8 +650,12 @@ def top_k_fused_sampling(
         batch_shape = logits.shape[:-1]
         flat = logits.astype(jnp.float32).reshape(-1, logits.shape[-1])
         # fold the whole key into one seed lane (key[0] alone is 0 for all
-        # small PRNGKeys)
-        kd = jnp.asarray(key).reshape(-1).astype(jnp.uint32)
+        # small PRNGKeys); key_data unwraps new-style typed keys
+        # (jax.random.key), whose dtype forbids astype
+        kd = jnp.asarray(key)
+        if jnp.issubdtype(kd.dtype, jax.dtypes.prng_key):
+            kd = jax.random.key_data(kd)
+        kd = kd.reshape(-1).astype(jnp.uint32)
         seed = jax.lax.reduce_xor(kd * jnp.uint32(2654435761), axes=(0,))
         seed = seed.astype(jnp.int32)
         choice = _pallas_gumbel_choice(flat, seed).reshape(batch_shape)

@@ -405,3 +405,58 @@ def test_sparse_engine_group16_exact(monkeypatch):
     rd, rs = ref.search(q, top_k=64)
     np.testing.assert_array_equal(np.asarray(dd), rd)
     np.testing.assert_allclose(np.asarray(ss), rs, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_topk_exhausted_rows_distinct_indices():
+    """Rows with fewer than k finite entries must return DISTINCT indices
+    (argmax over an all--inf row kept returning position 0)."""
+    import numpy as np
+
+    from bm25_tpu.ops.topk import top_k
+
+    ninf = float("-inf")
+    x = jnp.array([[5.0, ninf, ninf, ninf],
+                   [ninf, 7.0, 3.0, ninf]], jnp.float32)
+    v, i = top_k(x, 3, implementation="pallas")
+    np.testing.assert_allclose(np.asarray(v)[0], [5.0, ninf, ninf])
+    assert len(set(np.asarray(i)[0].tolist())) == 3, i
+    assert np.asarray(i)[1][:2].tolist() == [1, 2]
+    assert len(set(np.asarray(i)[1].tolist())) == 3, i
+    # in-range everywhere
+    assert (np.asarray(i) >= 0).all() and (np.asarray(i) < 4).all()
+
+
+def test_pallas_topk_multiblock_lane_padding():
+    """nblocks > 1 with k not a multiple of 128: the stage-1 output block
+    pads to 128 lanes for Mosaic — results must still be exact."""
+    import numpy as np
+
+    from bm25_tpu.ops.topk import _PALLAS_CHUNK, top_k
+
+    rng = np.random.default_rng(7)
+    n = _PALLAS_CHUNK * 3 + 100  # forces nblocks > 1
+    x = jnp.asarray(rng.normal(size=(4, n)).astype(np.float32))
+    v, i = top_k(x, 16, implementation="pallas")
+    vr, ir = jax.lax.top_k(x, 16)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+
+
+def test_pallas_topk_rejects_int_inputs():
+    import pytest
+
+    from bm25_tpu.ops.topk import top_k
+
+    with pytest.raises(TypeError, match="float"):
+        top_k(jnp.arange(64, dtype=jnp.int32)[None, :], 4,
+              implementation="pallas")
+
+
+def test_fused_sampling_accepts_typed_prng_key():
+    from bm25_tpu.ops.topk import top_k_fused_sampling
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64)),
+                    jnp.float32)
+    vals, idx = top_k_fused_sampling(jax.random.key(0), x, 5,
+                                     implementation="pallas")
+    assert vals.shape == (2, 5) and idx.shape == (2, 1)
