@@ -211,13 +211,13 @@ class DenseEngine:
                     f"weights shape {weights.shape} != queries shape "
                     f"{queries.shape}"
                 )
+        if len(queries) == 0:
+            return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         dmask = None
         if doc_mask is not None:
             from bm25_tpu.models.sparse import prepare_doc_mask
 
             dmask = prepare_doc_mask(doc_mask, self.num_docs, self.session)
-        if len(queries) == 0:
-            return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         top_scores, top_docs = self._dispatch(queries, top_k, weights,
                                               dmask=dmask)
         q_real = len(queries)

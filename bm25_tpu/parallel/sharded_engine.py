@@ -372,9 +372,18 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
         if hot_h > 0:
             safe = jnp.where(valid, ids, 0)
             hot_ids = jnp.where(valid, hot_table[safe], -1)
-            if w is None:
+            if w is None and ids.shape[1] <= 256:
+                # counts <= the query width are exact in bf16; wider
+                # queries take the exact scatter-add path (see
+                # models/sparse.py — a count of 257 would silently round)
                 hot_counts = jax.nn.one_hot(hot_ids, hot_h, dtype=jnp.bfloat16)
                 hot_counts = hot_counts.sum(axis=1)
+            elif w is None:
+                from bm25_tpu.utils.counts import split_bf16, weighted_counts
+
+                hot_counts, hot_counts_lo = split_bf16(
+                    weighted_counts(hot_ids, valid.astype(jnp.float32), hot_h)
+                )
             else:
                 # float weights: exact scatter-add counts + bf16 high/
                 # residual split (same as models/sparse.py; the one_hot
@@ -569,6 +578,7 @@ class ShardedSparseEngine:
                 index, max_buckets=max_buckets,
                 budget_bytes=hot_budget_bytes,
                 row_align=BLOCK_ROWS * n_doc,
+                device=mesh.devices.flat[0],
             )
         else:
             budget = hot_budget_bytes
@@ -749,7 +759,8 @@ class ShardedSparseEngine:
         # cold-width routing + chunking through the shared planner (see
         # models/sparse.py::plan_query_dispatch); per-chip query slices
         # must land on legal kernel tilings, handled by _max_chunk
-        from bm25_tpu.models.sparse import plan_query_dispatch
+        from bm25_tpu.models.sparse import (
+            chunk_c0_units, plan_query_dispatch)
 
         n_data = self.mesh.shape[DATA_AXIS]
         weighted = weights is not None
@@ -761,9 +772,7 @@ class ShardedSparseEngine:
             route_min_queries=self.route_min_queries,
             max_q=next_multiple(self._max_chunk(), 8 * n_data),
             q_align=8 * n_data,
-            c0_units=float(np.interp(
-                np.log(max(k, 1)), [np.log(100), np.log(1000)], [10.0, 32.0]
-            )),
+            c0_units=chunk_c0_units(k),
         )
         shapes = tuple(
             tuple((key, tuple(b[key].shape), str(b[key].dtype))

@@ -740,3 +740,29 @@ def test_sparse_doc_mask_tree_selection_path():
     assert rows > max(2 * k, 4096), "shape must engage the tree path"
     _mask_check(eng, oracle, idx, density=0.5, seed=17, k=k, q_n=8)
     _mask_check(eng, oracle, idx, density=0.02, seed=18, k=k, q_n=8)
+
+
+def test_hot_counts_exact_beyond_bf16_integer_range():
+    """A hot token repeated > 256 times in one (wide) query must count
+    exactly: the bf16 one-hot sum rounds 257 to 256/258, so wide queries
+    take the exact scatter-add path.  Dedup is disabled to force the raw
+    width through the kernel."""
+    import numpy as np
+
+    docs = [np.array([0] * 5 + [1, 2], np.int32),
+            np.array([0] * 3 + [2, 3], np.int32),
+            np.array([1, 2, 3, 4], np.int32)]
+    idx = build_scored_index(docs, vocab_size=5)
+    oracle = ReferenceEngine.from_scored_index(idx)
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=4)
+    eng.dedup_queries = False  # force the raw width through the kernel
+    assert eng.hot_h > 0
+    q = np.full((2, 300), -1, np.int32)
+    q[0, :257] = 0  # 257 repeats of a hot token
+    q[1, :2] = [1, 3]
+    od, os_ = oracle.search(q, top_k=3)
+    dd, ds = eng.search(q, top_k=3)
+    np.testing.assert_array_equal(od, dd)
+    # ~1e-5 rel = the 3-product bf16-split reconstruction accuracy (same
+    # as weighted queries); the bf16 one-hot path was off by ~4e-3 here
+    np.testing.assert_allclose(os_, ds, rtol=5e-5, atol=1e-5)
