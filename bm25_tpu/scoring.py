@@ -55,6 +55,19 @@ class BM25Params:
     def __post_init__(self):
         if self.method not in METHODS:
             raise ValueError(f"unknown method {self.method!r}; one of {METHODS}")
+        if self.idf_method is not None and self.idf_method not in METHODS:
+            raise ValueError(
+                f"unknown idf_method {self.idf_method!r}; one of {METHODS}"
+            )
+        # out-of-range hyper-parameters don't error downstream — they
+        # produce zero/negative dl_norm and silently NaN or sign-flip
+        # every score, so reject them here
+        if not self.k1 >= 0:
+            raise ValueError(f"k1 must be >= 0, got {self.k1}")
+        if not 0.0 <= self.b <= 1.0:
+            raise ValueError(f"b must be in [0, 1], got {self.b}")
+        if not self.delta >= 0:
+            raise ValueError(f"delta must be >= 0, got {self.delta}")
 
     @property
     def effective_idf_method(self) -> str:
@@ -160,13 +173,10 @@ def build_scored_index(
     materialization.  See build_scored_index_flat for the core.
     """
     doc_lengths = np.array([len(t) for t in doc_token_ids], dtype=np.int32)
-    total = int(doc_lengths.sum())
-    flat_tokens = np.empty(total, dtype=np.int32)
-    pos = 0
-    for toks in doc_token_ids:
-        n = len(toks)
-        flat_tokens[pos : pos + n] = toks
-        pos += n
+    flat_tokens = (
+        np.concatenate(doc_token_ids).astype(np.int32, copy=False)
+        if doc_token_ids else np.zeros(0, np.int32)
+    )
     return build_scored_index_flat(
         flat_tokens, doc_lengths, vocab_size=vocab_size, params=params,
         vocab=vocab, dtype=dtype,
@@ -275,8 +285,12 @@ def build_scored_index_flat(
     idf_low = idf_vec.astype(dtype)
     # Sparse entries store score(tf) - score(0); score(0) goes to token_offsets.
     scores = (idf_low[col_of] * (sat - base)).astype(dtype)
-    token_offsets = (idf_low * base).astype(dtype) if base != 0.0 else np.zeros(
-        vocab_size, dtype=dtype
+    # None (not an all-zero array) for zero-offset methods: the save/load
+    # path normalizes all-zero offsets to None, and consumers gate dead
+    # per-query offset work on `is not None` — a fresh build must match a
+    # reloaded one
+    token_offsets = (
+        (idf_low * base).astype(dtype) if base != 0.0 else None
     )
 
     assert len(scores) == nnz

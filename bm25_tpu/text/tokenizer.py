@@ -43,6 +43,12 @@ TOKEN_PATTERN = r"(?u)\b\w\w+\b"
 PAD_TOKEN = ""
 PAD_ID = -1
 
+# Lucene-style boost suffix: any float() literal after '^' (including
+# '.5' / '2.' — float accepts both, so the parser must too)
+_BOOST_RE = re.compile(
+    r"^(.+)\^([+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?)$"
+)
+
 
 def _make_stemmer(spec) -> Callable[[str], str] | None:
     if spec is None:
@@ -150,10 +156,12 @@ class Tokenizer:
             # 'Über' would never fold/stem to the query path's 'über').
             # Route non-ASCII documents through the Python path, sharing one
             # vocab, so corpus and query tokenization always agree.
-            non_ascii = [i for i, t in enumerate(texts) if not t.isascii()]
+            # one isascii() pass (it walks every byte of every doc)
+            non_ascii, ascii_idx = [], []
+            for i, t in enumerate(texts):
+                (ascii_idx if t.isascii() else non_ascii).append(i)
             if not non_ascii:
                 return native.tokenize_corpus(texts, stopwords=self._stop)
-            ascii_idx = [i for i, t in enumerate(texts) if t.isascii()]
             tc = native.tokenize_corpus(
                 [texts[i] for i in ascii_idx], stopwords=self._stop
             )
@@ -232,12 +240,10 @@ class Tokenizer:
         weights reach the engine, which rejects them only where unsound);
         a ``^`` whose suffix is not numeric stays part of the literal
         term."""
-        import re
-
         parts = text.split()
         if not any("^" in p for p in parts):
             return None
-        boost = re.compile(r"^(.+)\^([+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)$")
+        boost = _BOOST_RE
         out: dict[str, float] = {}
         for p in parts:
             m = boost.match(p)
@@ -313,11 +319,20 @@ def _remap_first_occurrence(
 
 
 def pad_token_lists(rows: Iterable[Sequence[int]], pad_to: int | None = None) -> np.ndarray:
-    """Pad variable-length token-id lists to a (Q, T) int32 matrix with -1."""
+    """Pad variable-length token-id lists to a (Q, T) int32 matrix with -1.
+
+    ``pad_to`` is a hard width like in ``tokenize_queries``: a longer row
+    raises (a silent wider-than-requested matrix would shape-mismatch a
+    kernel compiled for T=pad_to).
+    """
     rows = [list(r) for r in rows]
     width = max((len(r) for r in rows), default=0)
     if pad_to is not None:
-        width = max(width, pad_to)
+        if width > pad_to:
+            raise ValueError(
+                f"row has {width} tokens, more than pad_to={pad_to}"
+            )
+        width = pad_to
     width = max(width, 1)
     out = np.full((len(rows), width), PAD_ID, dtype=np.int32)
     for i, r in enumerate(rows):

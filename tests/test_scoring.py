@@ -146,3 +146,34 @@ def test_build_empty_corpus():
         np.zeros(0, np.int64), np.zeros(0, np.int32), vocab_size=5
     )
     assert idx.num_docs == 0 and idx.nnz == 0 and idx.vocab_size == 5
+
+
+def test_params_reject_out_of_range_hyperparameters():
+    import pytest
+
+    from bm25_tpu.scoring import BM25Params
+
+    with pytest.raises(ValueError, match="b must"):
+        BM25Params(b=1.5)
+    with pytest.raises(ValueError, match="k1 must"):
+        BM25Params(k1=-1)
+    with pytest.raises(ValueError, match="delta must"):
+        BM25Params(delta=-0.1)
+    with pytest.raises(ValueError, match="idf_method"):
+        BM25Params(idf_method="nope")
+
+
+def test_zero_offset_methods_build_with_none_token_offsets():
+    """Fresh builds match reloaded ones: lucene (zero-offset) indexes carry
+    token_offsets=None, not an all-zero array that save/load would
+    normalize away."""
+    import numpy as np
+
+    from bm25_tpu.scoring import BM25Params, build_scored_index
+
+    ids = [np.array([0, 1], np.int32), np.array([1, 2], np.int32)]
+    assert build_scored_index(ids, vocab_size=3).token_offsets is None
+    off = build_scored_index(
+        ids, vocab_size=3, params=BM25Params(method="bm25+")
+    ).token_offsets
+    assert off is not None and np.any(off)

@@ -92,3 +92,21 @@ def test_parse_boosted():
     assert Tokenizer.parse_boosted("a^2 a b^3") == {"a": 3.0, "b": 3.0}
     # '^' without a numeric weight stays a literal token
     assert Tokenizer.parse_boosted("x^y z^1") == {"x^y": 1.0, "z": 1.0}
+
+
+def test_parse_boosted_bare_decimal_weights():
+    """'.5' and '2.' are valid float literals — they must parse as boosts,
+    not silently stay literal at weight 1.0."""
+    out = Tokenizer.parse_boosted("fish^.5 cat^2. dog")
+    assert out == {"fish": 0.5, "cat": 2.0, "dog": 1.0}
+
+
+def test_pad_token_lists_pad_to_is_a_hard_cap():
+    """Same contract as tokenize_queries: a longer row raises instead of
+    silently widening the matrix past what the caller compiled for."""
+    import pytest
+
+    with pytest.raises(ValueError, match="pad_to"):
+        pad_token_lists([[1, 2, 3, 4]], pad_to=2)
+    m = pad_token_lists([[1, 2]], pad_to=4)
+    assert m.shape == (1, 4)
