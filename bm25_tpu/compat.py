@@ -50,6 +50,16 @@ class BM25:
     def fit(self, corpus: list[list[str]]) -> None:
         self.corpus_size = len(corpus)
         if self.corpus_size == 0:
+            # reset state from any previous fit (the reference rebuilds its
+            # term maps every fit): stale term_to_id/_engine would answer
+            # get_scores for the OLD corpus while corpus_size says 0
+            self.vocabulary = []
+            self.term_to_id = {}
+            self.doc_len = []
+            self.avgdl = 0.0
+            self.bm25_matrix = None
+            self._engine = None
+            self._index = None
             return
         # reference vocabulary order: sorted unique terms (bm25.py:63)
         vocab_terms = sorted({t for doc in corpus for t in doc})

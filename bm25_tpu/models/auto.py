@@ -66,12 +66,22 @@ def create_engine(
 
     if dense_budget_bytes is None:
         dense_budget_bytes = _default_dense_budget()
-    v = index.vocab_size + 8
-    d = index.num_docs + 128
+    # mirror DenseEngine.from_scored_index's REAL padded allocation
+    # (v+1 rows rounded to 8; docs rounded to the gather kernel's 1024
+    # quantum) — an optimistic estimate here would pick dense and then
+    # crash on its MemoryError instead of falling back to sparse
+    from bm25_tpu.utils.padding import next_multiple
+
+    v = next_multiple(index.vocab_size + 1, 8)
+    d = next_multiple(max(index.num_docs, 1), 1024)
     if v * d * 4 <= dense_budget_bytes:
         from bm25_tpu.models.dense import DenseEngine
 
-        return _build(DenseEngine, index, kwargs, filter_kwargs=True)
+        # forward the budget: the engine's own default cap (12 GiB) must
+        # not veto what the auto policy just sized against this device
+        kw = dict(kwargs)
+        kw.setdefault("max_bytes", dense_budget_bytes)
+        return _build(DenseEngine, index, kw, filter_kwargs=True)
     from bm25_tpu.models.sparse import SparseEngine
 
     return _build(SparseEngine, index, kwargs, filter_kwargs=True)

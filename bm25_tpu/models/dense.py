@@ -67,13 +67,27 @@ def make_query_step(num_docs: int, k: int, scoring: str = "gather"):
             from bm25_tpu.utils.counts import (
                 split_bf16, sum_split_products, weighted_counts)
 
-            if w is None:
+            if w is None and ids.shape[1] <= 256:
+                # counts are bounded by the query width; integers <= 256
+                # are exact in bf16 (wider queries take the scatter-add
+                # path below — a count of 257 would silently round)
                 counts = jax.nn.one_hot(
                     jnp.where(valid, ids, -1), st.shape[0], dtype=jnp.bfloat16
-                ).sum(axis=1)  # small ints, exact in bf16; one_hot(-1)=0
+                ).sum(axis=1)  # one_hot(-1)=0
                 scores = sum_split_products(
                     jnp.dot(counts, hi, preferred_element_type=jnp.float32),
                     jnp.dot(counts, lo, preferred_element_type=jnp.float32),
+                )
+            elif w is None:
+                cf = weighted_counts(
+                    jnp.where(valid, ids, -1),
+                    valid.astype(jnp.float32), st.shape[0],
+                )
+                c_hi, c_lo = split_bf16(cf)
+                scores = sum_split_products(
+                    jnp.dot(c_hi, hi, preferred_element_type=jnp.float32),
+                    jnp.dot(c_hi, lo, preferred_element_type=jnp.float32),
+                    jnp.dot(c_lo, hi, preferred_element_type=jnp.float32),
                 )
             else:
                 # arbitrary float weights: exact scatter-add counts (the
@@ -157,15 +171,22 @@ class DenseEngine:
         # an O(V*D) HBM copy on the hot path
         d_pad = next_multiple(max(d, 1), 1024)
         v_pad = next_multiple(v + 1, 8)  # +1 zero row for pad/OOV ids
-        need = v_pad * d_pad * np.dtype(np.float32).itemsize
+        need = v_pad * d_pad * np.dtype(dtype).itemsize
         if need > max_bytes:
             raise MemoryError(
                 f"dense engine needs {need / 2**30:.1f} GiB "
-                f"({v_pad} x {d_pad} f32) > budget {max_bytes / 2**30:.1f} GiB; "
-                "use models.sparse.SparseEngine"
+                f"({v_pad} x {d_pad} {np.dtype(dtype).name}) > budget "
+                f"{max_bytes / 2**30:.1f} GiB; use models.sparse.SparseEngine"
             )
         st_host = np.zeros((v_pad, d_pad), dtype=np.float32)
-        st_host[:v, :d] = index.to_csc().toarray().T
+        # fill token rows straight from the CSC arrays — toarray().T would
+        # materialize a SECOND full (D, V) dense copy next to st_host,
+        # doubling peak host RAM past what the budget check accounts for
+        csc = index.to_csc()
+        col_of = np.repeat(
+            np.arange(v, dtype=np.int64), np.diff(csc.indptr)
+        )
+        st_host[col_of, csc.indices] = csc.data
         off_host = np.zeros((v_pad,), dtype=np.float32)
         if index.token_offsets is not None:
             off_host[:v] = index.token_offsets

@@ -34,6 +34,9 @@ def topk_descending(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]
     """
     n = scores.shape[-1]
     k = min(k, n)
+    if k <= 0:
+        # argpartition(-0)[-0:] selects EVERYTHING; k=0 must return empty
+        return np.zeros(0, np.int32), np.zeros(0, np.float32)
     if k == n:
         idx = np.arange(n)
     else:
@@ -70,6 +73,10 @@ class ReferenceEngine:
         self.doc_toks.sort_indices()
         self.doc_lengths = np.asarray(doc_lengths)
         self.num_docs = doc_toks.shape[0]
+        # a re-index replaces the matrix; offsets from a previous
+        # from_scored_index belong to the OLD vocab and would corrupt
+        # every score (from_scored_index re-sets them after this call)
+        self.token_offsets = None
 
     @classmethod
     def from_scored_index(cls, idx: ScoredIndex) -> "ReferenceEngine":

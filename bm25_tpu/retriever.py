@@ -84,6 +84,10 @@ class Retriever:
         subset; shortfall slots are doc -1 / score 0 (their texts come
         back empty).
         """
+        if isinstance(queries, (str, dict)):
+            # a bare string would explode into per-CHARACTER queries via
+            # list(); treat single query values as a batch of one
+            queries = [queries]
         queries = list(queries)
         kw = {} if doc_mask is None else {"doc_mask": doc_mask}
         if any(isinstance(q, dict) for q in queries):
@@ -108,6 +112,10 @@ class Retriever:
 
     def save(self, path: str, with_corpus: bool = True) -> None:
         corpus = None
-        if with_corpus and isinstance(self.corpus, list):
-            corpus = self.corpus
+        if with_corpus and self.corpus is not None:
+            # an MMapCorpus (a loaded retriever) must persist too — only
+            # saving list corpora silently dropped texts on load->save
+            corpus = [
+                d["text"] if isinstance(d, dict) else d for d in self.corpus
+            ]
         save_index(path, self.index, corpus=corpus)

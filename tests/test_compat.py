@@ -64,3 +64,25 @@ def test_bm25v_empty_query_batch():
     m.index(sp.csc_matrix(np.eye(3, dtype=np.float32)), np.ones(3, np.int32))
     docs, scores = m.search(np.zeros((0, 2), np.int32))
     assert docs.shape == (0, 0)
+
+
+def test_fit_empty_corpus_resets_previous_state():
+    from bm25_tpu.compat import BM25
+
+    m = BM25()
+    m.fit([["brown", "fox"], ["lazy", "dog"]])
+    assert m.get_scores(["fox"]).shape == (2,)
+    m.fit([])
+    assert m.corpus_size == 0 and m.term_to_id == {}
+    import numpy as np
+
+    np.testing.assert_array_equal(m.get_scores(["fox"]), np.zeros(0))
+
+
+def test_reference_topk_zero_k():
+    import numpy as np
+
+    from bm25_tpu.reference import topk_descending
+
+    idx, vals = topk_descending(np.array([3.0, 1.0, 2.0]), 0)
+    assert idx.size == 0 and vals.size == 0

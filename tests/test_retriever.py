@@ -50,3 +50,25 @@ def test_retrieve_weighted_terms(tmp_path):
 
     np.testing.assert_array_equal(docs_1, docs)
     np.testing.assert_allclose(scores_1, scores, rtol=1e-4, atol=1e-4)
+
+
+def test_retrieve_accepts_bare_string_query(animal_corpus):
+    from bm25_tpu.retriever import Retriever
+
+    r = Retriever.fit(animal_corpus)
+    docs, scores = r.retrieve("fish purr cat", k=2)
+    assert docs.shape == (1, 2) and docs[0][0] == 0
+
+
+def test_save_persists_mmap_corpus(tmp_path, animal_corpus):
+    """load -> save must not silently drop the corpus texts."""
+    from bm25_tpu.retriever import Retriever
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    Retriever.fit(animal_corpus).save(d1)
+    r = Retriever.load(d1)  # corpus becomes an MMapCorpus
+    r.save(d2)
+    r2 = Retriever.load(d2)
+    docs, scores, texts = r2.retrieve(["bird that can fly"], k=1,
+                                      return_text=True)
+    assert "fly" in texts[0][0]
