@@ -196,7 +196,10 @@ class MMapCorpus:
             offsets = np.asarray(json.load(f), dtype=np.int64)
         path = os.path.join(index_dir, "corpus.jsonl")
         offsets = np.append(offsets, os.path.getsize(path))
-        return cls(path=path, offsets=offsets)
+        # open the fd eagerly: a lazy first-read init would need a lock to
+        # avoid two racing threads each os.open()ing (one fd leaks)
+        return cls(path=path, offsets=offsets,
+                   _fd=os.open(path, os.O_RDONLY))
 
     def __len__(self) -> int:
         return len(self.offsets) - 1

@@ -138,6 +138,17 @@ class StreamingIndexBuilder:
             params=self.params,
             vocab=dict(self._vocab),
         )
+        if self._spilled_tokens:
+            # the spill stream is consumed; leaving it behind accumulates
+            # corpus-token-sized files in spill_dir across builds (the
+            # unique naming guarantees no later run reuses it)
+            del flat  # release the memmap before unlinking
+            try:
+                os.unlink(self._spill_path)
+            except OSError:
+                pass
+            self._spill_started = False
+            self._spilled_tokens = 0
         score_s = time.perf_counter() - t0
         stats = BuildStats(
             num_docs=index.num_docs,

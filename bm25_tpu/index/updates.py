@@ -45,6 +45,7 @@ from bm25_tpu.scoring import (
     tf_saturation,
     zero_tf_offset,
 )
+from bm25_tpu.utils.validate import validate_query_batch
 
 
 def _round_up_k(extra: int, quantum: int = 64) -> int:
@@ -442,31 +443,35 @@ class UpdatableEngine:
         (the engines' shared filtered-search contract).
         """
         st = self._state  # one snapshot: delta + tombs stay coherent
-        queries = np.asarray(queries)
-        if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
-            raise ValueError("queries must be a 2-D integer array of token ids")
+        vmax = (self.base_vocab_size if st.delta is None
+                else st.delta.vocab_size)
+        # oov="clamp": under concurrent updates the searchable vocab can
+        # lag a racing add's tokenization (the retriever grows the shared
+        # vocab before the engine publishes), and a FAILED add leaves the
+        # grown terms behind permanently — both must score as OOV (zero),
+        # not raise
+        queries, weights = validate_query_batch(queries, vmax, weights,
+                                                oov="clamp")
         if doc_mask is not None:
             doc_mask = np.asarray(doc_mask).astype(bool)
-            if doc_mask.ndim != 1 or doc_mask.shape[0] > st.num_total:
+            if (doc_mask.ndim != 1 or doc_mask.shape[0] > st.num_total
+                    or doc_mask.shape[0] < self.base_num_docs):
+                # any mask built against THIS engine generation is at
+                # least base-length; shorter means a stale/mismatched
+                # mask, not the concurrent-add race — reject loudly
+                # rather than return silently-empty results
                 raise ValueError(
                     f"doc_mask shape {doc_mask.shape} != ({st.num_total},) "
                     "(current base + delta doc count)"
                 )
             if doc_mask.shape[0] < st.num_total:
                 # a mask built from a num_docs snapshot that a concurrent
-                # add outgrew: docs newer than the snapshot are simply
-                # ineligible (the same tolerance the serving layer gives
-                # racing queries' grown-vocab token ids)
+                # add outgrew (bounded by the delta size): docs newer than
+                # the snapshot are simply ineligible (the same tolerance
+                # the serving layer gives racing queries' grown-vocab ids)
                 doc_mask = np.pad(
                     doc_mask, (0, st.num_total - doc_mask.shape[0])
                 )
-        vmax = (self.base_vocab_size if st.delta is None
-                else st.delta.vocab_size)
-        if queries.size and int(queries.max()) >= vmax:
-            raise ValueError(
-                f"max token id {int(queries.max())} out of range for vocab "
-                f"of {vmax} tokens"
-            )
         q_n = len(queries)
         live = st.num_total - st.tomb_base - st.tomb_delta
         k = min(top_k, live)
@@ -742,10 +747,11 @@ class UpdateLog:
         import os
 
         with self._lock:
+            created = False
             if self._f is None:
                 self._close_tail_unlocked()
-                fresh = (not os.path.exists(self.path)
-                         or os.path.getsize(self.path) == 0)
+                created = not os.path.exists(self.path)
+                fresh = (created or os.path.getsize(self.path) == 0)
                 self._f = open(self.path, "a", encoding="utf-8")
                 if fresh:  # new log: lead with the base-generation sig
                     self._f.write(json.dumps(
@@ -754,6 +760,17 @@ class UpdateLog:
             self._f.write(json.dumps(record, ensure_ascii=False) + "\n")
             self._f.flush()
             os.fsync(self._f.fileno())
+            if created:
+                # a brand-new log file: fsyncing its DATA is not enough —
+                # the directory entry must reach disk too, or a crash can
+                # vanish the whole file with every acked op in it (reset()
+                # gives its rename the same treatment)
+                dfd = os.open(os.path.dirname(self.path) or ".",
+                              os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
 
     def _close_tail_unlocked(self) -> None:
         """Before the first append: make sure the log ends on a newline.
@@ -888,7 +905,11 @@ class UpdatableRetriever:
         tokenizer = tokenizer or Tokenizer()
         corpus = list(corpus)
         index, _ = build_index(corpus, params=params, tokenizer=tokenizer)
-        engine = create_engine(index, mode=engine_mode)
+        # engine_kwargs must shape the INITIAL engine too, or the engine
+        # configuration (score_dtype, hot sizing, ...) silently changes at
+        # the first compaction (which passes them — _compact_locked)
+        engine = create_engine(index, mode=engine_mode,
+                               **(kwargs.get("engine_kwargs") or {}))
         return cls(index=index, engine=engine, tokenizer=tokenizer,
                    corpus=corpus, engine_mode=engine_mode, **kwargs)
 
@@ -920,8 +941,13 @@ class UpdatableRetriever:
     def delete_documents(self, doc_ids) -> int:
         with self._lock:
             n = self.engine.delete(doc_ids)
-            if self.engine.needs_compaction(self.max_delta_docs,
-                                            self.max_deleted_frac):
+            if (self.engine.needs_compaction(self.max_delta_docs,
+                                             self.max_deleted_frac)
+                    and self.engine.live_mask().any()):
+                # skip (don't raise) when everything is deleted: the
+                # tombstones are already committed, and compaction is an
+                # optimization that needs >= 1 live doc to rebuild from —
+                # it re-arms on the next add
                 self._compact_locked()
             return n
 

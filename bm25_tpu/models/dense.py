@@ -31,6 +31,7 @@ from jax import lax
 from bm25_tpu.runtime.session import Session, get_session
 from bm25_tpu.scoring import ScoredIndex
 from bm25_tpu.utils.padding import next_multiple, next_pow2_at_least
+from bm25_tpu.utils.validate import validate_query_batch
 
 NEG_INF = float("-inf")
 
@@ -202,14 +203,7 @@ class DenseEngine:
     # -- query path -----------------------------------------------------------
 
     def _prepare(self, queries: np.ndarray) -> np.ndarray:
-        queries = np.asarray(queries)
-        if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
-            raise ValueError("queries must be a 2-D integer array of token ids")
-        if queries.size and int(queries.max()) >= self.vocab_size:
-            raise ValueError(
-                f"max token id {int(queries.max())} out of range for vocab of "
-                f"{self.vocab_size} tokens"
-            )
+        queries, _ = validate_query_batch(queries, self.vocab_size)
         return queries.astype(np.int32)
 
     def search(
@@ -225,13 +219,7 @@ class DenseEngine:
         eligible count come back as doc -1 / score 0.
         """
         queries = self._prepare(queries)
-        if weights is not None:
-            weights = np.asarray(weights, dtype=np.float32)
-            if weights.shape != queries.shape:
-                raise ValueError(
-                    f"weights shape {weights.shape} != queries shape "
-                    f"{queries.shape}"
-                )
+        _, weights = validate_query_batch(queries, self.vocab_size, weights)
         if len(queries) == 0:
             return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
         dmask = None

@@ -16,6 +16,38 @@ from dataclasses import dataclass
 import jax
 
 
+# Environment markers that identify a managed multi-process cluster whose
+# coordinator/process layout jax.distributed.initialize() can auto-detect
+# (its ClusterEnv plugins cover Cloud TPU pods, Slurm, OpenMPI and GKE).
+_CLUSTER_ENVS = (
+    "TPU_WORKER_HOSTNAMES",          # Cloud TPU pod slice
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multislice
+    "SLURM_NTASKS",
+    "OMPI_COMM_WORLD_SIZE",
+)
+
+
+def _cluster_detected() -> bool:
+    procs = os.environ.get("JAX_NUM_PROCESSES")
+    if procs is not None:
+        return int(procs) > 1
+    for key in _CLUSTER_ENVS:
+        val = os.environ.get(key)
+        if not val:
+            continue
+        if key in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+            if int(val) > 1:
+                return True
+        elif key == "TPU_WORKER_HOSTNAMES":
+            # single-worker runtimes (incl. local TPU plugins) set this to
+            # one hostname; only a multi-worker list means a pod slice
+            if len(val.split(",")) > 1:
+                return True
+        else:
+            return True
+    return False
+
+
 def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -23,13 +55,16 @@ def initialize(
 ) -> None:
     """Initialize jax.distributed (no-op for single-process runs).
 
-    On Cloud TPU the arguments are auto-detected from the metadata/env;
-    pass them explicitly for manual clusters.
+    With no arguments, a managed cluster is detected from the standard
+    environment markers (Cloud TPU pod, multislice, Slurm, OpenMPI, or an
+    explicit ``JAX_NUM_PROCESSES``) and the coordinator/process layout is
+    auto-detected by ``jax.distributed.initialize``; on a plain
+    single-process machine this is a no-op.  Pass the arguments explicitly
+    for manual clusters the auto-detection does not cover.
     """
-    if num_processes is None and coordinator_address is None:
-        env_procs = os.environ.get("JAX_NUM_PROCESSES")
-        if env_procs is None or int(env_procs) <= 1:
-            return  # single process: nothing to do
+    if (num_processes is None and coordinator_address is None
+            and not _cluster_detected()):
+        return  # single process: nothing to do
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

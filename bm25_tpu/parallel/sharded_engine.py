@@ -12,7 +12,7 @@ order and ``lax.top_k`` is stable.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bm25_tpu.parallel.mesh import DATA_AXIS, DOC_AXIS, make_mesh
 from bm25_tpu.scoring import ScoredIndex
 from bm25_tpu.utils.padding import next_multiple, next_pow2_at_least
+from bm25_tpu.utils.validate import validate_query_batch
 
 NEG_INF = float("-inf")
 
@@ -128,25 +129,34 @@ def _put_doc_sharded_dense(index: ScoredIndex, mesh: Mesh, v_pad: int,
     # CSR once so each block slices in O(block nnz)
     csr = index.to_csc().tocsr()
     v, d = index.vocab_size, index.num_docs
-    blocks: dict[tuple[int, int], np.ndarray] = {}
-    arrays = []
     dev_map = sharding.addressable_devices_indices_map(shape)
+    # group devices by column block so data-axis replicas share one host
+    # build, then free each block after its last device_put — peak host
+    # memory is ONE (v_pad, d_pad/S) block, never the full matrix
+    groups: dict[tuple[int, int], list] = {}
     for dev, idx in dev_map.items():
         col = idx[1]
         start = 0 if col.start is None else col.start
         stop = d_pad if col.stop is None else col.stop
-        block = blocks.get((start, stop))
-        if block is None:
-            block = np.zeros((v_pad, stop - start), dtype=np.float32)
-            lo, hi = min(start, d), min(stop, d)
-            if hi > lo:
-                block[:v, : hi - lo] = csr[lo:hi].toarray().T
-            if np.dtype(dtype) != np.dtype(np.float32):
-                # ml_dtypes registers bfloat16 with numpy, so the cast
-                # happens host-side and the upload ships target bytes
-                block = block.astype(dtype)
-            blocks[(start, stop)] = block
-        arrays.append(jax.device_put(block, dev))
+        groups.setdefault((start, stop), []).append(dev)
+    by_dev: dict = {}
+    for (start, stop), devs in groups.items():
+        block = np.zeros((v_pad, stop - start), dtype=np.float32)
+        lo, hi = min(start, d), min(stop, d)
+        if hi > lo:
+            block[:v, : hi - lo] = csr[lo:hi].toarray().T
+        if np.dtype(dtype) != np.dtype(np.float32):
+            # ml_dtypes registers bfloat16 with numpy, so the cast
+            # happens host-side and the upload ships target bytes
+            block = block.astype(dtype)
+        for dev in devs:
+            by_dev[dev] = jax.device_put(block, dev)
+        # block until the transfers land so dropping the host buffer is
+        # safe AND the next block's build overlaps nothing it shouldn't
+        for dev in devs:
+            by_dev[dev].block_until_ready()
+        del block
+    arrays = [by_dev[dev] for dev in dev_map]
     return jax.make_array_from_single_device_arrays(shape, sharding, arrays)
 
 
@@ -160,7 +170,7 @@ class ShardedEngine:
     vocab_size: int
     mesh: Mesh
     vocab: dict[str, int] | None = None
-    _cache: dict = None  # type: ignore[assignment]
+    _cache: dict = field(default_factory=dict)
     # transient (Q, d_local) score tiles per chip are bounded by chunking
     # queries — the same worker-killing OOM class the single-chip engine
     # budgets against (models/sparse.py::fit_score_buffer_budget)
@@ -222,21 +232,9 @@ class ShardedEngine:
         weights: np.ndarray | None = None,
         doc_mask: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        queries = np.asarray(queries)
-        if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
-            raise ValueError("queries must be a 2-D integer array of token ids")
-        if queries.size and int(queries.max()) >= self.vocab_size:
-            raise ValueError(
-                f"max token id {int(queries.max())} out of range for vocab of "
-                f"{self.vocab_size} tokens"
-            )
-        if weights is not None:
-            weights = np.asarray(weights, dtype=np.float32)
-            if weights.shape != queries.shape:
-                raise ValueError(
-                    f"weights shape {weights.shape} != queries shape "
-                    f"{queries.shape}"
-                )
+        queries, weights = validate_query_batch(
+            queries, self.vocab_size, weights
+        )
         dmask = None
         if doc_mask is not None:
             m = np.asarray(doc_mask)
@@ -535,7 +533,7 @@ class ShardedSparseEngine:
     vocab_size: int
     mesh: Mesh
     vocab: dict[str, int] | None = None
-    _cache: dict = None  # type: ignore[assignment]
+    _cache: dict = field(default_factory=dict)
     # transient (Q, rows_local) score tiles per chip are bounded by chunking
     # queries, mirroring the single-chip engine's budget (device OOMs kill
     # the TPU worker rather than raising)
@@ -557,6 +555,9 @@ class ShardedSparseEngine:
     # above, exactness-checked with a full-width fallback); an int forces
     # a specific m; None disables
     k_local: int | str | None = "auto"
+    # lazy host copy of the replicated (immutable) token offsets: fetched
+    # once, reused by every chunk of every search (the qoff host add)
+    _offsets_host: np.ndarray | None = field(default=None, repr=False)
 
     @classmethod
     def from_scored_index(
@@ -715,21 +716,9 @@ class ShardedSparseEngine:
 
     def _dispatch(self, queries, top_k, weights, ids_only: bool,
                   doc_mask=None):
-        queries = np.asarray(queries)
-        if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
-            raise ValueError("queries must be a 2-D integer array of token ids")
-        if queries.size and int(queries.max()) >= self.vocab_size:
-            raise ValueError(
-                f"max token id {int(queries.max())} out of range for vocab of "
-                f"{self.vocab_size} tokens"
-            )
-        if weights is not None:
-            weights = np.asarray(weights, dtype=np.float32)
-            if weights.shape != queries.shape:
-                raise ValueError(
-                    f"weights shape {weights.shape} != queries shape "
-                    f"{queries.shape}"
-                )
+        queries, weights = validate_query_batch(
+            queries, self.vocab_size, weights
+        )
         dmask = None
         if doc_mask is not None:
             m = np.asarray(doc_mask)
@@ -779,6 +768,8 @@ class ShardedSparseEngine:
                   for key in sorted(b))
             for b in self.buckets
         )
+        if not ids_only and self._offsets_host is None:
+            self._offsets_host = np.asarray(self.offsets)
         futures = []
         for cq, padded, wpadded, cold_padded, wc_padded in chunks:
             q_pad, t_pad = padded.shape
@@ -817,7 +808,7 @@ class ShardedSparseEngine:
             # token offsets are doc-independent; add on host (padded ids'
             # pad slots map to offset row 0 with zero weight)
             valid = padded[:cq] >= 0
-            off = np.asarray(self.offsets)
+            off = self._offsets_host
             wv = wpadded[:cq] if weighted else 1.0
             qoff = (np.where(
                 valid, off[np.where(valid, padded[:cq], 0)], 0.0

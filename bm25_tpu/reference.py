@@ -23,6 +23,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .scoring import BM25Params, ScoredIndex, build_scored_index
+from .utils.validate import validate_query_batch
 
 
 def topk_descending(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -119,21 +120,10 @@ class ReferenceEngine:
         """
         if self.doc_toks is None:
             raise ValueError("index not built; call index() first")
-        queries = np.asarray(queries)
-        if queries.ndim != 2 or not np.issubdtype(queries.dtype, np.integer):
-            raise ValueError("queries must be a 2-D integer array of token ids")
-        if queries.size and int(queries.max()) >= self.doc_toks.shape[1]:
-            raise ValueError(
-                f"max token id {int(queries.max())} out of range for vocab of "
-                f"{self.doc_toks.shape[1]} tokens"
-            )
-        if weights is not None:
-            weights = np.asarray(weights, dtype=np.float64)
-            if weights.shape != queries.shape:
-                raise ValueError(
-                    f"weights shape {weights.shape} != queries shape "
-                    f"{queries.shape}"
-                )
+        queries, weights = validate_query_batch(
+            queries, self.doc_toks.shape[1], weights,
+            weights_dtype=np.float64,
+        )
         if doc_mask is not None:
             doc_mask = np.asarray(doc_mask).astype(bool)
             if doc_mask.shape != (self.num_docs,):

@@ -45,8 +45,11 @@ def enable_persistent_compile_cache(path: str | None = None) -> None:
         _cache_configured = True  # explicitly disabled
         return
     try:
-        if jax.config.jax_compilation_cache_dir:
-            _cache_configured = True  # the app already configured one
+        if jax.config.jax_compilation_cache_dir and not explicit:
+            # a cache dir is already set (by the app or by an earlier
+            # default call).  An EXPLICIT path is a deliberate override
+            # and must still win — only implicit calls defer
+            _cache_configured = True
             return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -528,3 +528,21 @@ def test_device_checkpoint_load_validates_mesh(tmp_path, zipf_corpus_small):
     d1, s1 = eng2.search(q, top_k=5)
     np.testing.assert_array_equal(d0, d1)
     np.testing.assert_allclose(s0, s1, rtol=1e-6)
+
+
+def test_explicit_compile_cache_path_overrides_default(tmp_path):
+    """An explicit enable_persistent_compile_cache(path) wins even after a
+    default (implicit) configuration already latched (regression: the
+    deliberate override was silently dropped)."""
+    import jax
+
+    from bm25_tpu.runtime import session as S
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        S.enable_persistent_compile_cache()  # implicit default
+        target = str(tmp_path / "cc")
+        S.enable_persistent_compile_cache(target)
+        assert jax.config.jax_compilation_cache_dir == target
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)

@@ -368,3 +368,55 @@ def test_sharded_sparse_doc_mask_matches_oracle(setup):
     # ids_only path returns the same sentinels device-side
     di = eng.search_ids(queries[:4], top_k=8, doc_mask=tiny)
     np.testing.assert_array_equal(di == -1, od == -1)
+
+
+def test_direct_dataclass_construction_searches(setup):
+    """The public dataclass constructors work without the private _cache
+    kwarg (regression: `_cache: dict = None` crashed on first search)."""
+    idx, oracle = setup
+    mesh = make_mesh(4, data=1)
+    built = ShardedEngine.from_scored_index(idx, mesh=mesh)
+    eng = ShardedEngine(
+        st=built.st, offsets=built.offsets, num_docs=built.num_docs,
+        vocab_size=built.vocab_size, mesh=mesh,
+    )
+    q = np.array([[0, 1, 2, 3]], dtype=np.int32)
+    dd, ds = eng.search(q, top_k=5)
+    od, os_ = oracle.search(q, top_k=5)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    sbuilt = ShardedSparseEngine.from_scored_index(idx, mesh=mesh,
+                                                   hot_tokens=8)
+    seng = ShardedSparseEngine(
+        buckets=sbuilt.buckets, hot_table=sbuilt.hot_table,
+        hot_h=sbuilt.hot_h, offsets=sbuilt.offsets,
+        num_docs=sbuilt.num_docs, vocab_size=sbuilt.vocab_size, mesh=mesh,
+        hot_table_host=sbuilt.hot_table_host,
+    )
+    dd, ds = seng.search(q, top_k=5)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+
+
+def test_make_mesh_rejects_oversubscription():
+    with pytest.raises(ValueError, match="only 8 devices"):
+        make_mesh(16)
+
+
+def test_cluster_detection_env_markers(monkeypatch):
+    from bm25_tpu.parallel import distributed as dist
+
+    for key in dist._CLUSTER_ENVS + ("JAX_NUM_PROCESSES",):
+        monkeypatch.delenv(key, raising=False)
+    assert not dist._cluster_detected()
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    assert not dist._cluster_detected()  # single-task slurm job
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert dist._cluster_detected()
+    monkeypatch.delenv("SLURM_NTASKS")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert dist._cluster_detected()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    assert dist._cluster_detected()

@@ -131,12 +131,20 @@ def test_k_clamped_to_live_corpus():
     assert docs.shape == (1, 3) and scores.shape == (1, 3)
 
 
-def test_out_of_range_ids_raise():
+def test_out_of_range_ids_score_as_oov():
+    """Token ids beyond the searchable vocab clamp to OOV (zero), never
+    raise: under concurrent updates the engine's vocab can lag a racing
+    add's tokenization, and a FAILED add leaves grown vocab terms behind
+    permanently — neither may poison later searches."""
     docs_tok = [np.array([0], np.int32)]
     idx = build_scored_index(docs_tok, vocab_size=2)
     upd = UpdatableEngine(ReferenceEngine.from_scored_index(idx), idx)
-    with pytest.raises(ValueError, match="out of range"):
-        upd.search(np.array([[5]], np.int32), top_k=1)
+    docs, scores = upd.search(np.array([[5]], np.int32), top_k=1)
+    assert scores[0, 0] == 0.0  # OOV contributes nothing
+    d2, s2 = upd.search(np.array([[0, 5]], np.int32), top_k=1)
+    d1, s1 = upd.search(np.array([[0, -1]], np.int32), top_k=1)
+    np.testing.assert_array_equal(s2, s1)  # clamp == explicit pad
+    # deletes of out-of-range doc ids are still caller bugs
     with pytest.raises(ValueError, match="out of range"):
         upd.delete([7])
 
@@ -582,3 +590,72 @@ def test_retriever_concurrent_add_and_retrieve_text_alignment():
             docs, scores = r.retrieve([tok], k=1)
             assert scores[0][0] > 0
             assert tok in r.text(int(docs[0][0]))
+
+
+def test_fit_engine_kwargs_shape_initial_engine():
+    """engine_kwargs apply to the INITIAL engine, not only post-compaction
+    rebuilds (regression: score precision silently changed at the first
+    compact)."""
+    r = UpdatableRetriever.fit(_corpus(8), engine_mode="sparse",
+                               engine_kwargs={"score_dtype": "bfloat16"})
+    assert r.engine.base.score_dtype == "bfloat16"
+    r.add_documents(["zebra quagga yak"])
+    r.compact()
+    assert r.engine.base.score_dtype == "bfloat16"
+
+
+def test_delete_everything_commits_without_raising():
+    """Deleting every doc must not raise out of the auto-compaction hook:
+    the tombstones are already committed and compaction (an optimization)
+    simply holds until something is live again."""
+    r = UpdatableRetriever.fit(_corpus(4), engine_mode="sparse",
+                               max_deleted_frac=0.25)
+    n = r.delete_documents(list(range(r.engine.num_docs)))
+    assert n == 4
+    assert not r.engine.live_mask().any()
+    # recovery: a later add works and compaction re-arms
+    ids = r.add_documents(["phoenix rises again"])
+    docs, scores, texts = r.retrieve(["phoenix"], k=1, return_text=True)
+    assert texts[0][0] == "phoenix rises again"
+
+
+def test_short_doc_mask_rejected_below_base_length():
+    """Masks shorter than the base segment are stale/mismatched, not the
+    bounded concurrent-add race — must raise, not silently empty."""
+    r = UpdatableRetriever.fit(_corpus(8), engine_mode="sparse")
+    with pytest.raises(ValueError, match="doc_mask shape"):
+        r.engine.search(np.array([[0]], np.int32), top_k=2,
+                        doc_mask=np.ones(3, bool))
+    # the legitimate window: mask built before a racing add
+    r.add_documents(["newest doc text here"])
+    docs, scores = r.engine.search(
+        np.array([[0]], np.int32), top_k=2,
+        doc_mask=np.ones(8, bool),  # snapshot before the add
+    )
+    assert (docs < 8).all() or (docs == -1).any()
+
+
+def test_weights_as_list_with_delta_segment():
+    """Non-ndarray weights normalize through the shared validator before
+    reaching DeltaSegment.score_all (regression: TypeError on boolean
+    indexing a list)."""
+    docs_tok = [np.array([0, 1], np.int32), np.array([1, 1], np.int32)]
+    idx = build_scored_index(docs_tok, vocab_size=2)
+    upd = UpdatableEngine(ReferenceEngine.from_scored_index(idx), idx)
+    upd.add([np.array([0, 0], np.int32)])
+    docs, scores = upd.search(np.array([[0, 1]], np.int32), top_k=3,
+                              weights=[[10.0, 0.1]])
+    assert docs[0][0] == 2
+
+
+def test_streaming_spill_file_removed_after_finalize(tmp_path):
+    from bm25_tpu.index.streaming import StreamingIndexBuilder
+
+    b = StreamingIndexBuilder(spill_dir=str(tmp_path),
+                              spill_threshold_bytes=64)  # force spill cycles
+    b.add(["alpha beta gamma delta"] * 50)
+    b.add(["epsilon zeta eta theta"] * 50)
+    index, stats = b.finalize()
+    assert index.num_docs == 100
+    leftovers = [p for p in tmp_path.iterdir() if p.name.startswith("tokens.")]
+    assert leftovers == []
