@@ -105,3 +105,106 @@ def test_dedup_and_ids_only_fuzz(engine_name):
     ids_only = getattr(engine, "search_ids", None)
     if ids_only is not None:
         np.testing.assert_array_equal(ids_only(queries, top_k=6), dd)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_updatable_retriever_state_machine_fuzz(seed):
+    """Random add/delete/compact/search sequences against a host model.
+
+    Every added doc carries a unique marker term; at every step, searching
+    a marker must return exactly its doc when live and nothing (score 0)
+    when deleted, and return_text alignment must hold across compaction
+    remaps.  This pins the id/text/tombstone bookkeeping under arbitrary
+    op interleavings — the state space unit tests can't enumerate.
+    """
+    from bm25_tpu.index.updates import UpdatableRetriever
+
+    rng = np.random.default_rng(seed)
+    vocab_words = [f"base{i}" for i in range(40)]
+
+    def make_text(marker):
+        body = " ".join(rng.choice(vocab_words,
+                                   size=int(rng.integers(3, 10))))
+        return f"{body} {marker}"
+
+    n0 = 6
+    markers = [f"mk{seed}x{i}" for i in range(200)]
+    next_marker = n0
+    texts = {i: make_text(markers[i]) for i in range(n0)}
+    live = set(range(n0))
+    marker_of = {i: markers[i] for i in range(n0)}
+
+    r = UpdatableRetriever.fit([texts[i] for i in range(n0)],
+                               engine_mode="sparse",
+                               max_delta_docs=10_000,   # manual compaction
+                               max_deleted_frac=1.1)
+
+    for step in range(30):
+        op = rng.choice(["add", "delete", "compact", "check"],
+                        p=[0.4, 0.25, 0.1, 0.25])
+        if op == "add":
+            n_new = int(rng.integers(1, 4))
+            batch, batch_markers = [], []
+            for _ in range(n_new):
+                mk = markers[next_marker]
+                next_marker += 1
+                batch.append(make_text(mk))
+                batch_markers.append(mk)
+            ids = r.add_documents(batch)
+            for did, mk, tx in zip(ids, batch_markers, batch):
+                did = int(did)
+                texts[did] = tx
+                marker_of[did] = mk
+                live.add(did)
+        elif op == "delete" and live:
+            victims = rng.choice(sorted(live),
+                                 size=min(len(live), int(rng.integers(1, 3))),
+                                 replace=False)
+            if len(live) - len(set(victims.tolist())) == 0:
+                continue  # keep >= 1 live doc so compact stays legal
+            r.delete_documents([int(v) for v in victims])
+            for v in victims:
+                live.discard(int(v))
+        elif op == "compact":
+            if not live:
+                continue
+            remap = r.compact()
+            new_texts, new_markers, new_live = {}, {}, set()
+            for old in live:
+                new = int(remap[old])
+                assert new >= 0, "live doc lost by compaction remap"
+                new_texts[new] = texts[old]
+                new_markers[new] = marker_of[old]
+                new_live.add(new)
+            # deleted docs must map to -1
+            for old in set(texts) - live:
+                if old < len(remap):
+                    assert remap[old] == -1
+            texts, marker_of, live = new_texts, new_markers, new_live
+        else:  # check
+            if not live:
+                continue
+            probe = [int(d) for d in rng.choice(sorted(live),
+                     size=min(3, len(live)), replace=False)]
+            qs = [marker_of[d] for d in probe]
+            docs, scores, out_texts = r.retrieve(qs, k=1, return_text=True)
+            for want, got_d, got_s, got_t in zip(
+                    probe, docs[:, 0], scores[:, 0], out_texts):
+                assert int(got_d) == want, (
+                    f"marker routed to doc {got_d}, expected {want}"
+                )
+                assert got_s > 0
+                assert got_t[0] == texts[want]
+            # a deleted doc's marker must return nothing
+            dead = [d for d in marker_of if d not in live]
+            if dead:
+                d = int(rng.choice(dead))
+                docs, scores = r.retrieve([marker_of[d]], k=1)
+                assert int(docs[0, 0]) != d
+                assert scores[0, 0] == 0.0
+
+    # final global consistency: every live marker resolves; live count agrees
+    assert r.engine.live_docs == len(live)
+    for d in sorted(live)[:10]:
+        docs, _ = r.retrieve([marker_of[d]], k=1)
+        assert int(docs[0, 0]) == d
