@@ -182,6 +182,7 @@ def cmd_eval(args) -> int:
         ds, top_k=args.top_k, engine_mode=args.engine,
         max_queries=args.max_queries,
         log=lambda *a: print(*a, file=sys.stderr),
+        run_file=args.run_file,
     )
     print(json.dumps(result))
     return 0
@@ -323,6 +324,9 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("-k", "--top-k", type=int, default=100)
     pe.add_argument("--engine", default="auto")
     pe.add_argument("--max-queries", type=int, default=None)
+    pe.add_argument("--run-file", default=None,
+                    help="write results as a TREC run file (trec_eval/"
+                         "pytrec_eval interop)")
     pe.set_defaults(fn=cmd_eval)
 
     pc = sub.add_parser(

@@ -84,8 +84,11 @@ def evaluate_dataset(
     engine_mode: str = "auto",
     max_queries: int | None = None,
     log=print,
+    run_file: str | None = None,
 ) -> dict:
-    """Index ds.docs, run its queries, report recall@k / MRR@10 vs qrels.
+    """Index ds.docs, run its queries, report recall@k / MRR@10 / nDCG@10
+    vs qrels.  ``run_file`` additionally writes a TREC-format run
+    (consumable by trec_eval / pytrec_eval for any metric not built in).
 
     Follows the BEIR evaluation protocol: only queries with at least one
     positive qrel for the split are scored (real BEIR drops ship ONE
@@ -94,7 +97,7 @@ def evaluate_dataset(
     recall@k is MACRO-averaged per query (per-query recall, then the
     mean), the convention published baselines use.
     """
-    from bm25_tpu.eval import mrr_at_k
+    from bm25_tpu.eval import mrr_at_k, ndcg_at_k, write_trec_run
     from bm25_tpu.index.builder import build_index
     from bm25_tpu.models.auto import create_engine
     from bm25_tpu.text.tokenizer import Tokenizer
@@ -132,14 +135,28 @@ def evaluate_dataset(
     ]
     recall = float(np.mean(per_q)) if per_q else float("nan")
     mrr = mrr_at_k(docs[:, :10], relevant)
+    rel_grades = [
+        {
+            pos_of[did]: r
+            for did, r in ds.qrels.get(qid, {}).items()
+            if r > 0 and did in pos_of
+        }
+        for qid in qids
+    ]
+    ndcg = ndcg_at_k(docs, rel_grades, k=10)
     result = {
         "num_docs": ds.num_docs,
         "num_queries": len(qids),
         "top_k": top_k,
         f"recall@{top_k}": round(recall, 4),
         "mrr@10": round(mrr, 4),
+        "ndcg@10": round(ndcg, 4),
         "engine": type(engine).__name__,
     }
+    if run_file:
+        n = write_trec_run(run_file, qids, ds.doc_ids, docs, scores)
+        log(f"[eval] wrote {n} run lines to {run_file}")
+        result["run_file"] = run_file
     log(f"[eval] {result}")
     return result
 

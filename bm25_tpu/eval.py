@@ -44,6 +44,51 @@ def mrr_at_k(got_docs: np.ndarray, relevant: list[set]) -> float:
     return total / max(len(relevant), 1)
 
 
+def ndcg_at_k(got_docs: np.ndarray, rel_grades: list[dict], k: int = 10
+              ) -> float:
+    """nDCG@k with graded relevance, trec_eval's ``ndcg_cut`` convention
+    (the BEIR headline metric): linear gains, 1/log2(rank+1) discount
+    with the first rank discounted by log2(2)=1.  Queries with no graded
+    positives are skipped (macro average over judged queries).
+
+    ``rel_grades[qi]`` maps doc position -> relevance grade (> 0).
+    """
+    import math
+
+    out = []
+    for qi, grades in enumerate(rel_grades):
+        if not grades:
+            continue
+        dcg = sum(
+            grades.get(int(d), 0) / math.log2(r + 2)
+            for r, d in enumerate(got_docs[qi][:k].tolist())
+        )
+        ideal = sorted(grades.values(), reverse=True)[:k]
+        idcg = sum(g / math.log2(r + 2) for r, g in enumerate(ideal))
+        out.append(dcg / idcg if idcg > 0 else 0.0)
+    return float(np.mean(out)) if out else float("nan")
+
+
+def write_trec_run(path: str, query_ids: list[str], doc_ids: list[str],
+                   docs: np.ndarray, scores: np.ndarray,
+                   tag: str = "bm25-tpu") -> int:
+    """Write results as a TREC run file (``qid Q0 docid rank score tag``)
+    consumable by trec_eval / pytrec_eval / ir_measures.  -1 sentinel
+    slots (filtered-search shortfall) are skipped.  Returns lines written.
+    """
+    n = 0
+    with open(path, "w", encoding="utf-8") as f:
+        for qi, qid in enumerate(query_ids):
+            rank = 0
+            for d, s in zip(docs[qi].tolist(), scores[qi].tolist()):
+                if d < 0:
+                    continue
+                rank += 1
+                f.write(f"{qid} Q0 {doc_ids[d]} {rank} {s:.6f} {tag}\n")
+                n += 1
+    return n
+
+
 def compare_engines(engine, oracle, queries: np.ndarray, top_k: int) -> dict:
     """Run both engines on the same queries; report parity metrics."""
     gd, gs = engine.search(queries, top_k=top_k)

@@ -1,6 +1,7 @@
 """Eval metrics + memory accounting."""
 
 import numpy as np
+import pytest
 
 from bm25_tpu.eval import compare_engines, index_memory_stats, mrr_at_k, recall_at_k
 from bm25_tpu.models.sparse import SparseEngine
@@ -34,3 +35,56 @@ def test_compare_engines_and_memory(zipf_corpus_small):
     # the ratio is dominated by fixed padding; at corpus scale the bench
     # reports the real overhead (~1.5-2x of raw CSC)
     assert mem.overhead_ratio < 16
+
+
+def test_ndcg_hand_computed():
+    import math
+
+    from bm25_tpu.eval import ndcg_at_k
+
+    # one query, graded qrels: doc 0 grade 3, doc 5 grade 1
+    got = np.array([[5, 0, 2, 9]])
+    grades = [{0: 3, 5: 1}]
+    dcg = 1 / math.log2(2) + 3 / math.log2(3)
+    idcg = 3 / math.log2(2) + 1 / math.log2(3)
+    assert ndcg_at_k(got, grades, k=4) == pytest.approx(dcg / idcg)
+    # perfect ranking -> 1.0
+    assert ndcg_at_k(np.array([[0, 5]]), grades, k=2) == pytest.approx(1.0)
+    # nothing relevant retrieved -> 0.0
+    assert ndcg_at_k(np.array([[7, 8]]), grades, k=2) == 0.0
+    # unjudged queries are skipped (macro over judged only)
+    two = ndcg_at_k(np.array([[0, 5], [1, 2]]), [{0: 3, 5: 1}, {}], k=2)
+    assert two == pytest.approx(1.0)
+    # no judged queries at all -> nan
+    assert np.isnan(ndcg_at_k(np.array([[1]]), [{}], k=1))
+
+
+def test_trec_run_file_format(tmp_path):
+    from bm25_tpu.eval import write_trec_run
+
+    docs = np.array([[2, 0, -1], [1, -1, -1]])
+    scores = np.array([[3.5, 1.25, 0.0], [0.5, 0.0, 0.0]])
+    path = str(tmp_path / "run.txt")
+    n = write_trec_run(path, ["q1", "q2"], ["dA", "dB", "dC"], docs, scores)
+    lines = open(path).read().splitlines()
+    assert n == 3 and len(lines) == 3
+    assert lines[0].split() == ["q1", "Q0", "dC", "1", "3.500000", "bm25-tpu"]
+    assert lines[1].split() == ["q1", "Q0", "dA", "2", "1.250000", "bm25-tpu"]
+    # -1 shortfall slots are skipped; ranks stay dense per query
+    assert lines[2].split() == ["q2", "Q0", "dB", "1", "0.500000", "bm25-tpu"]
+
+
+def test_evaluate_dataset_reports_ndcg_and_run_file(tmp_path):
+    from bm25_tpu.datasets import evaluate_dataset, synthetic_beir_hard
+
+    ds = synthetic_beir_hard(num_docs=300, num_queries=12, seed=4)
+    run = str(tmp_path / "run.trec")
+    res = evaluate_dataset(ds, top_k=10, engine_mode="dense",
+                           log=lambda *a: None, run_file=run)
+    assert 0.0 <= res["ndcg@10"] <= 1.0
+    assert res["run_file"] == run
+    lines = open(run).read().splitlines()
+    assert lines and all(len(l.split()) == 6 for l in lines)
+    # graded qrels make ndcg strictly more informative than recall: on the
+    # hard synthetic set it should sit inside (0, 1), not saturate
+    assert 0.0 < res["ndcg@10"] < 1.0
