@@ -145,9 +145,11 @@ class BM25v:
             raise ValueError("BM25v index not built. Call index() first.")
         queries = np.asarray(queries)
         if len(queries) == 0:
+            # (0, k_eff) so per-batch results concatenate cleanly
+            k = min(top_k, self._engine.num_docs)
             return (
-                np.zeros((0, 0), dtype=self.dtype),
-                np.zeros((0, 0), dtype=self.dtype),
+                np.zeros((0, max(k, 0)), dtype=self.dtype),
+                np.zeros((0, max(k, 0)), dtype=self.dtype),
             )
         return self._engine.search(queries, top_k=top_k)
 

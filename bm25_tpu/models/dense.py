@@ -31,7 +31,7 @@ from jax import lax
 from bm25_tpu.runtime.session import Session, get_session
 from bm25_tpu.scoring import ScoredIndex
 from bm25_tpu.utils.padding import next_multiple, next_pow2_at_least
-from bm25_tpu.utils.validate import validate_query_batch
+from bm25_tpu.utils.validate import empty_results, validate_query_batch
 
 NEG_INF = float("-inf")
 
@@ -220,8 +220,9 @@ class DenseEngine:
         """
         queries = self._prepare(queries)
         _, weights = validate_query_batch(queries, self.vocab_size, weights)
-        if len(queries) == 0:
-            return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
+        k = min(top_k, self.num_docs)
+        if len(queries) == 0 or k <= 0:
+            return empty_results(len(queries), k)
         dmask = None
         if doc_mask is not None:
             from bm25_tpu.models.sparse import prepare_doc_mask
@@ -239,8 +240,9 @@ class DenseEngine:
         enqueued before any result is fetched, so device compute overlaps
         host<->device transfers (JAX async dispatch)."""
         queries = self._prepare(queries)
-        if len(queries) == 0:
-            return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
+        k = min(top_k, self.num_docs)
+        if len(queries) == 0 or k <= 0:
+            return empty_results(len(queries), k)
         futures = []
         for i in range(0, len(queries), batch):
             chunk = queries[i : i + batch]

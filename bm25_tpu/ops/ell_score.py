@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from bm25_tpu.utils.padding import next_multiple
+from bm25_tpu.utils.padding import cdiv, next_multiple
 
 # doc-rows per tile (lane axis of the accumulator)
 BLOCK_ROWS = 512
@@ -32,6 +32,39 @@ BLOCK_ROWS = 512
 BLOCK_Q = 128
 # postings slots per scan-loop iteration (see _ell_accumulate)
 UNROLL = 2
+# slot-axis tile for wide buckets: a bucket's slot blocks are
+# 2 x l_tile x BLOCK_ROWS x 4 B double-buffered in VMEM, so an unbounded
+# bucket width (long documents -> wide ELL rows) would exceed VMEM and
+# fail at compile.  Buckets at or below SLOT_TILE keep the exact
+# single-tile kernel every benched shape runs (l_pad <= ~100 at the
+# 512K/8.84M-doc configs); wider buckets accumulate over slot tiles
+SLOT_TILE = 512
+
+
+def _slot_tiling(l_pad: int) -> tuple[int, int]:
+    """(l_tile, l_tiles) for a bucket of padded width l_pad."""
+    if l_pad <= SLOT_TILE:
+        return l_pad, 1
+    return SLOT_TILE, cdiv(l_pad, SLOT_TILE)
+
+
+def max_hot_for_vmem(l_pad: int, vmem_bytes: int = 12 << 20,
+                     tq: int = BLOCK_Q) -> int:
+    """Largest hot-tier width H whose fused-kernel grid cell fits VMEM.
+
+    Per-cell footprint (inputs double-buffered by the pipeline): slot
+    blocks 2 (tok+val) x l_tile x BLOCK_ROWS x 4 B, hot row blocks
+    2 (hi+lo) x H x BLOCK_ROWS x 2 B, per-query hot-count blocks up to
+    2 x tq x H x 2 B, plus the (tq, BLOCK_ROWS) f32 accumulator and the
+    transposed group maxima.  The 12 MB default leaves ~4 MB of v5e's
+    VMEM for Mosaic scratch/semaphores.
+    """
+    l_tile, _ = _slot_tiling(next_multiple(max(l_pad, 1), 8))
+    slot = 2 * 2 * l_tile * BLOCK_ROWS * 4
+    fixed = tq * BLOCK_ROWS * 4 * 2 + (BLOCK_ROWS // GROUP) * tq * 4 * 2
+    rem = vmem_bytes - slot - fixed
+    per_h = 2 * 2 * BLOCK_ROWS * 2 + 2 * 2 * tq * 2
+    return max(int(rem // per_h), 0)
 
 
 def _ell_accumulate(ids, tokT_ref, valT_ref, t_count: int, l_count: int,
@@ -77,14 +110,28 @@ def _ell_accumulate(ids, tokT_ref, valT_ref, t_count: int, l_count: int,
     return lax.fori_loop(0, l_count // unroll, per_iter, acc0)
 
 
-def _kernel_body(t_count: int, l_count: int):
+def _kernel_body(t_count: int, l_tile: int, l_tiles: int = 1):
     import jax.experimental.pallas as pl  # noqa: F401
 
     def kernel(ids_ref, tokT_ref, valT_ref, out_ref):
         ids = ids_ref[:]  # (TQ, T) int32; pads already mapped to -2
-        out_ref[:] = _ell_accumulate(
-            ids, tokT_ref, valT_ref, t_count, l_count, out_ref.shape
+        acc = _ell_accumulate(
+            ids, tokT_ref, valT_ref, t_count, l_tile, out_ref.shape
         )
+        if l_tiles == 1:
+            out_ref[:] = acc
+            return
+        # slot-tiled wide bucket: accumulate tile partials into the
+        # revisited output block (grid's innermost axis walks the tiles)
+        li = pl.program_id(2)
+
+        @pl.when(li == 0)
+        def _init():
+            out_ref[:] = acc
+
+        @pl.when(li > 0)
+        def _add():
+            out_ref[:] = out_ref[:] + acc
 
     return kernel
 
@@ -118,19 +165,34 @@ def ell_score_pallas(
     # query pads -> -2 so they never match doc pad slots (-1)
     ids = jnp.where(ids >= 0, ids, -2)
 
-    grid = (q_pad // tq, rows // BLOCK_ROWS)
+    l_tile, l_tiles = _slot_tiling(l_pad)
+    if l_tiles > 1:
+        lp = l_tiles * l_tile
+        # pad slots: tok -1 never matches a query id (>= 0 or -2), val 0
+        tokT = jnp.pad(tokT, ((0, lp - l_pad), (0, 0)), constant_values=-1)
+        valT = jnp.pad(valT, ((0, lp - l_pad), (0, 0)))
+
+    if l_tiles == 1:
+        grid = (q_pad // tq, rows // BLOCK_ROWS)
+        q_map = lambda qi, ri: (qi, 0)  # noqa: E731
+        slot_map = lambda qi, ri: (0, ri)  # noqa: E731
+        out_map = lambda qi, ri: (qi, ri)  # noqa: E731
+    else:
+        grid = (q_pad // tq, rows // BLOCK_ROWS, l_tiles)
+        q_map = lambda qi, ri, li: (qi, 0)  # noqa: E731
+        slot_map = lambda qi, ri, li: (li, ri)  # noqa: E731
+        out_map = lambda qi, ri, li: (qi, ri)  # noqa: E731
     out = pl.pallas_call(
-        _kernel_body(t, l_pad),
+        _kernel_body(t, l_tile, l_tiles),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tq, t), lambda qi, ri: (qi, 0),
+            pl.BlockSpec((tq, t), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_tile, BLOCK_ROWS), slot_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, BLOCK_ROWS), lambda qi, ri: (0, ri),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, BLOCK_ROWS), lambda qi, ri: (0, ri),
+            pl.BlockSpec((l_tile, BLOCK_ROWS), slot_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tq, BLOCK_ROWS), lambda qi, ri: (qi, ri),
+        out_specs=pl.BlockSpec((tq, BLOCK_ROWS), out_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q_pad, rows), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -150,8 +212,9 @@ GROUP = 8
 NEG_INF = float("-inf")
 
 
-def _fused_kernel_body(t_count: int, l_count: int, has_hot: bool,
-                       weighted: bool, split_counts: bool):
+def _fused_kernel_body(t_count: int, l_tile: int, has_hot: bool,
+                       weighted: bool, split_counts: bool,
+                       l_tiles: int = 1):
     import jax.experimental.pallas as pl  # noqa: F401
 
     def kernel(*refs):
@@ -166,38 +229,62 @@ def _fused_kernel_body(t_count: int, l_count: int, has_hot: bool,
         did_ref, out_ref, gmax_ref = refs
         ids = ids_ref[:]
         acc = _ell_accumulate(
-            ids, tokT_ref, valT_ref, t_count, l_count, out_ref.shape,
+            ids, tokT_ref, valT_ref, t_count, l_tile, out_ref.shape,
             w=None if w_ref is None else w_ref[:],
         )
-        if has_hot:
-            # split-precision hot matmul on the MXU: bf16 single-pass
-            # products over high + residual parts reconstruct ~f32 accuracy
-            # — the same scheme as the XLA path (models/sparse.py), now
-            # fused so the (Q, rows) base never round-trips HBM.  With
-            # non-integer counts (arbitrary query weights) the counts also
-            # carry a residual part: three products instead of two.
-            hc = hotC_ref[:]
-            hi = hotT_ref[:]
-            acc = acc + jnp.dot(hc, hi, preferred_element_type=jnp.float32)
-            acc = acc + jnp.dot(hc, hotLo_ref[:],
-                                preferred_element_type=jnp.float32)
-            if split_counts:
-                acc = acc + jnp.dot(hotCLo_ref[:], hi,
-                                    preferred_element_type=jnp.float32)
-        # pad-row mask (doc_ids < 0 -> -inf), fused with the base write
-        acc = jnp.where(did_ref[0, :][None, :] >= 0, acc, NEG_INF)
-        out_ref[:] = acc
-        # first tournament level: per-8-group maxima, so the top-k tree
-        # skips its full read of the (Q, rows) base.  Emitted transposed —
-        # a (TQ, BR/8) block would violate the (8, 128) min-tile rule on
-        # the lane axis; (BR/8, TQ) tiles cleanly
-        tq, br = acc.shape
-        # Mosaic cannot split the lane axis ((TQ, BR) -> (TQ, BR/8, 8));
-        # transpose first so the group split lands on the sublane axis
-        acc_t = acc.T  # (BR, TQ)
-        gmax_ref[:] = jnp.max(
-            acc_t.reshape(br // GROUP, GROUP, tq), axis=1
-        )
+
+        def epilogue(base):
+            if has_hot:
+                # split-precision hot matmul on the MXU: bf16 single-pass
+                # products over high + residual parts reconstruct ~f32
+                # accuracy — the same scheme as the XLA path
+                # (models/sparse.py), now fused so the (Q, rows) base
+                # never round-trips HBM.  With non-integer counts
+                # (arbitrary query weights) the counts also carry a
+                # residual part: three products instead of two.
+                hc = hotC_ref[:]
+                hi = hotT_ref[:]
+                base = base + jnp.dot(hc, hi,
+                                      preferred_element_type=jnp.float32)
+                base = base + jnp.dot(hc, hotLo_ref[:],
+                                      preferred_element_type=jnp.float32)
+                if split_counts:
+                    base = base + jnp.dot(hotCLo_ref[:], hi,
+                                          preferred_element_type=jnp.float32)
+            # pad-row mask (doc_ids < 0 -> -inf), fused with the base write
+            base = jnp.where(did_ref[0, :][None, :] >= 0, base, NEG_INF)
+            out_ref[:] = base
+            # first tournament level: per-8-group maxima, so the top-k
+            # tree skips its full read of the (Q, rows) base.  Emitted
+            # transposed — a (TQ, BR/8) block would violate the (8, 128)
+            # min-tile rule on the lane axis; (BR/8, TQ) tiles cleanly.
+            # Mosaic cannot split the lane axis ((TQ, BR) -> (TQ, BR/8,
+            # 8)); transpose first so the group split lands on sublanes
+            tq, br = base.shape
+            acc_t = base.T  # (BR, TQ)
+            gmax_ref[:] = jnp.max(
+                acc_t.reshape(br // GROUP, GROUP, tq), axis=1
+            )
+
+        if l_tiles == 1:
+            epilogue(acc)
+            return
+        # slot-tiled wide bucket (VMEM legality for long documents):
+        # partial sums accumulate in the revisited output block; the hot
+        # matmul / mask / maxima epilogue runs once on the last tile
+        li = pl.program_id(2)
+
+        @pl.when(li == 0)
+        def _init():
+            out_ref[:] = acc
+
+        @pl.when((li > 0) & (li < l_tiles - 1))
+        def _add():
+            out_ref[:] = out_ref[:] + acc
+
+        @pl.when(li == l_tiles - 1)
+        def _final():
+            epilogue(out_ref[:] + acc)
 
     return kernel
 
@@ -262,10 +349,29 @@ def ell_score_fused(
     ids = jnp.where(ids >= 0, ids, -2)
     did2 = doc_ids.reshape(1, rows)
 
-    grid = (q_pad // tq, rows // BLOCK_ROWS)
-    q_spec = pl.BlockSpec((tq, t), lambda qi, ri: (qi, 0),
-                          memory_space=pltpu.VMEM)
-    slot_spec = pl.BlockSpec((l_pad, BLOCK_ROWS), lambda qi, ri: (0, ri),
+    l_tile, l_tiles = _slot_tiling(l_pad)
+    if l_tiles > 1:
+        lp = l_tiles * l_tile
+        # pad slots: tok -1 never matches a query id (>= 0 or -2), val 0
+        tokT = jnp.pad(tokT, ((0, lp - l_pad), (0, 0)), constant_values=-1)
+        valT = jnp.pad(valT, ((0, lp - l_pad), (0, 0)))
+
+    if l_tiles == 1:
+        grid = (q_pad // tq, rows // BLOCK_ROWS)
+        q_map = lambda qi, ri: (qi, 0)  # noqa: E731
+        slot_map = lambda qi, ri: (0, ri)  # noqa: E731
+        row_map = slot_map
+        out_map = lambda qi, ri: (qi, ri)  # noqa: E731
+        gmax_map = lambda qi, ri: (ri, qi)  # noqa: E731
+    else:
+        grid = (q_pad // tq, rows // BLOCK_ROWS, l_tiles)
+        q_map = lambda qi, ri, li: (qi, 0)  # noqa: E731
+        slot_map = lambda qi, ri, li: (li, ri)  # noqa: E731
+        row_map = lambda qi, ri, li: (0, ri)  # noqa: E731
+        out_map = lambda qi, ri, li: (qi, ri)  # noqa: E731
+        gmax_map = lambda qi, ri, li: (ri, qi)  # noqa: E731
+    q_spec = pl.BlockSpec((tq, t), q_map, memory_space=pltpu.VMEM)
+    slot_spec = pl.BlockSpec((l_tile, BLOCK_ROWS), slot_map,
                              memory_space=pltpu.VMEM)
     in_specs = [q_spec, slot_spec, slot_spec]
     args = [ids, tokT, valT]
@@ -274,9 +380,8 @@ def ell_score_fused(
         args.append(weights.astype(jnp.float32))
     if has_hot:
         h = hot_counts.shape[1]
-        hc_spec = pl.BlockSpec((tq, h), lambda qi, ri: (qi, 0),
-                               memory_space=pltpu.VMEM)
-        hrow_spec = pl.BlockSpec((h, BLOCK_ROWS), lambda qi, ri: (0, ri),
+        hc_spec = pl.BlockSpec((tq, h), q_map, memory_space=pltpu.VMEM)
+        hrow_spec = pl.BlockSpec((h, BLOCK_ROWS), row_map,
                                  memory_space=pltpu.VMEM)
         in_specs += [hc_spec, hrow_spec, hrow_spec]
         args += [hot_counts, hotT, hotLo]
@@ -284,8 +389,7 @@ def ell_score_fused(
             in_specs.append(hc_spec)
             args.append(hot_counts_lo)
     in_specs.append(
-        pl.BlockSpec((1, BLOCK_ROWS), lambda qi, ri: (0, ri),
-                     memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, BLOCK_ROWS), row_map, memory_space=pltpu.VMEM)
     )
     args.append(did2)
 
@@ -293,13 +397,14 @@ def ell_score_fused(
     if has_hot:
         hot_bytes = hotT.nbytes + hotLo.nbytes + hot_counts.nbytes
     base, gmax_t = pl.pallas_call(
-        _fused_kernel_body(t, l_pad, has_hot, weighted, split_counts),
+        _fused_kernel_body(t, l_tile, has_hot, weighted, split_counts,
+                           l_tiles=l_tiles),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((tq, BLOCK_ROWS), lambda qi, ri: (qi, ri),
+            pl.BlockSpec((tq, BLOCK_ROWS), out_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS // GROUP, tq), lambda qi, ri: (ri, qi),
+            pl.BlockSpec((BLOCK_ROWS // GROUP, tq), gmax_map,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bm25_tpu.parallel.mesh import DATA_AXIS, DOC_AXIS, make_mesh
 from bm25_tpu.scoring import ScoredIndex
 from bm25_tpu.utils.padding import next_multiple, next_pow2_at_least
-from bm25_tpu.utils.validate import validate_query_batch
+from bm25_tpu.utils.validate import empty_results, validate_query_batch
 
 NEG_INF = float("-inf")
 
@@ -242,8 +242,9 @@ class ShardedEngine:
                 raise ValueError(
                     f"doc_mask shape {m.shape} != ({self.num_docs},)"
                 )
-        if len(queries) == 0:
-            return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32)
+        k = min(top_k, self.num_docs)
+        if len(queries) == 0 or k <= 0:
+            return empty_results(len(queries), k)
         if doc_mask is not None:
             d_pad = self.st.shape[1]
             mp = np.zeros(d_pad, dtype=bool)
@@ -251,7 +252,6 @@ class ShardedEngine:
             dmask = jax.device_put(
                 mp, NamedSharding(self.mesh, P(DOC_AXIS))
             )
-        k = min(top_k, self.num_docs)
         n_data = self.mesh.shape[DATA_AXIS]
         q_real, t_real = queries.shape
         t_pad = next_pow2_at_least(max(t_real, 8))
@@ -726,11 +726,9 @@ class ShardedSparseEngine:
                 raise ValueError(
                     f"doc_mask shape {m.shape} != ({self.num_docs},)"
                 )
-        if len(queries) == 0:
-            empty_docs = np.zeros((0, 0), np.int32)
-            if ids_only:
-                return empty_docs
-            return empty_docs, np.zeros((0, 0), np.float32)
+        k = min(top_k, self.num_docs)
+        if len(queries) == 0 or k <= 0:
+            return empty_results(len(queries), k, ids_only=ids_only)
         if doc_mask is not None:
             # replicated: bucket rows interleave global ids, so the mask
             # cannot shard over the doc axis (gathered by did per shard)
@@ -738,7 +736,6 @@ class ShardedSparseEngine:
                 m.astype(bool), NamedSharding(self.mesh, P())
             )
         masked = dmask is not None
-        k = min(top_k, self.num_docs)
         from bm25_tpu.models.sparse import _score_sdt, maybe_dedup
 
         sdt = _score_sdt(self.score_dtype)

@@ -23,7 +23,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .scoring import BM25Params, ScoredIndex, build_scored_index
-from .utils.validate import validate_query_batch
+from .utils.validate import empty_results, validate_query_batch
 
 
 def topk_descending(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -130,10 +130,9 @@ class ReferenceEngine:
                 raise ValueError(
                     f"doc_mask shape {doc_mask.shape} != ({self.num_docs},)"
                 )
-        if len(queries) == 0:
-            return (np.zeros((0, 0), np.int32), np.zeros((0, 0), np.float32))
-
         k = min(top_k, self.num_docs)
+        if len(queries) == 0 or k <= 0:
+            return empty_results(len(queries), k)
         top_docs = np.zeros((queries.shape[0], k), dtype=np.int32)
         top_scores = np.zeros((queries.shape[0], k), dtype=np.float32)
         for i in range(len(queries)):

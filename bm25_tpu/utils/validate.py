@@ -50,3 +50,17 @@ def validate_query_batch(
                 f"{queries.shape}"
             )
     return queries, weights
+
+
+def empty_results(q_n: int, k: int, ids_only: bool = False):
+    """Degenerate search results: empty batch and/or k <= 0 (0-doc engine).
+
+    Shaped (q_n, k_eff) so callers that concatenate per-batch results along
+    axis 0 never hit a column mismatch on an empty batch, and a search
+    against an empty engine returns zero columns instead of crashing in
+    top-k selection.
+    """
+    docs = np.zeros((q_n, max(k, 0)), np.int32)
+    if ids_only:
+        return docs
+    return docs, np.zeros((q_n, max(k, 0)), np.float32)

@@ -16,6 +16,9 @@ run() {
   tail -n 20 "$LOGDIR/$name.log"
 }
 
+# 0. slot-tiled wide-bucket kernels: Mosaic/VMEM legality is only checked
+#    by the real compiler (interpret mode can't) — run FIRST
+run wide_bucket python scripts/exp_wide_bucket_tpu.py
 # 1. fresh headline bench (validates this session's engine changes on HW)
 run bench python bench.py
 # 2. ELL scan unroll-depth sweep (the one untried kernel-level lever)

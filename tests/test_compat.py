@@ -62,8 +62,9 @@ def test_bm25v_index_search_roundtrip():
 def test_bm25v_empty_query_batch():
     m = BM25v()
     m.index(sp.csc_matrix(np.eye(3, dtype=np.float32)), np.ones(3, np.int32))
-    docs, scores = m.search(np.zeros((0, 2), np.int32))
-    assert docs.shape == (0, 0)
+    docs, scores = m.search(np.zeros((0, 2), np.int32), top_k=2)
+    # (0, k_eff): empty batches concatenate cleanly with non-empty ones
+    assert docs.shape == (0, 2) and scores.shape == (0, 2)
 
 
 def test_fit_empty_corpus_resets_previous_state():

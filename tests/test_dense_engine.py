@@ -79,7 +79,9 @@ def test_dense_k_clamped_to_num_docs(small_setup):
 def test_dense_empty_batch(small_setup):
     _, dense, _ = small_setup
     docs, scores = dense.search(np.zeros((0, 3), dtype=np.int32), top_k=5)
-    assert docs.shape == (0, 0)
+    # (0, k_eff): an empty batch concatenates cleanly with non-empty ones
+    k_eff = min(5, dense.num_docs)
+    assert docs.shape == (0, k_eff) and scores.shape == (0, k_eff)
 
 
 @pytest.mark.parametrize("method", ["bm25l", "bm25+"])

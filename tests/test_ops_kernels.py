@@ -212,3 +212,113 @@ def test_sparse_chunk_sizes_stay_legal():
     if max_q > BLOCK_Q:
         max_q = max_q // BLOCK_Q * BLOCK_Q
     assert max_q <= BLOCK_Q or max_q % BLOCK_Q == 0
+
+
+def test_ell_score_slot_tiled_wide_bucket():
+    """Buckets wider than SLOT_TILE run the slot-tiled accumulation path
+    (VMEM legality for long-document corpora) and match the lax oracle."""
+    from bm25_tpu.ops.ell_score import SLOT_TILE, _slot_tiling, ell_score
+
+    assert _slot_tiling(SLOT_TILE) == (SLOT_TILE, 1)
+    assert _slot_tiling(SLOT_TILE + 8) == (SLOT_TILE, 2)
+
+    rng = np.random.default_rng(7)
+    rows, q, t = BLOCK_ROWS, 6, 4
+    l_pad = SLOT_TILE + 64  # 2 tiles, ragged final tile
+    vocab = 3000
+    tokT, valT = _random_ell(rng, l_pad=l_pad, rows=rows, vocab=vocab,
+                             fill_max=l_pad - 1)
+    ids = rng.integers(-1, vocab, (q, t)).astype(np.int32)
+    got = np.asarray(
+        ell_score(jnp.asarray(ids), jnp.asarray(tokT), jnp.asarray(valT),
+                  "pallas")
+    )
+    ref = np.asarray(
+        ell_score(jnp.asarray(ids), jnp.asarray(tokT), jnp.asarray(valT),
+                  "lax")
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_ell_score_fused_slot_tiled_wide_bucket():
+    """Fused kernel over a wide bucket: tile partials accumulate into the
+    revisited output block, epilogue (hot matmul + mask + maxima) fires
+    once on the final tile."""
+    import jax
+
+    from bm25_tpu.ops.ell_score import (
+        GROUP, SLOT_TILE, ell_score, ell_score_fused)
+
+    rng = np.random.default_rng(11)
+    rows, h, q, t = BLOCK_ROWS, 8, 9, 3
+    l_pad = 3 * SLOT_TILE  # 3 exact tiles
+    vocab = 4000
+    tokT, valT = _random_ell(rng, l_pad=l_pad, rows=rows, vocab=vocab,
+                             fill_max=l_pad - 1)
+    ids = rng.integers(-1, vocab, (q, t)).astype(np.int32)
+    did = np.arange(rows, dtype=np.int32)
+    did[-5:] = -1
+    hotT = rng.standard_normal((h, rows)).astype(np.float32)
+    hot_hi = hotT.astype(jnp.bfloat16)
+    hot_lo = (hotT - np.asarray(hot_hi, np.float32)).astype(jnp.bfloat16)
+    hc = rng.integers(0, 3, (q, h)).astype(np.float32).astype(jnp.bfloat16)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    base, gmax = ell_score_fused(
+        jnp.asarray(ids), jnp.asarray(tokT), jnp.asarray(valT),
+        jnp.asarray(did), jnp.asarray(hc), jnp.asarray(hot_hi),
+        jnp.asarray(hot_lo), interpret=interpret,
+    )
+    ref = np.asarray(
+        ell_score(jnp.asarray(ids), jnp.asarray(tokT), jnp.asarray(valT),
+                  "lax")
+    )
+    hot = (np.asarray(hc, np.float32) @ np.asarray(hot_hi, np.float32)
+           + np.asarray(hc, np.float32) @ np.asarray(hot_lo, np.float32))
+    exp = np.where(did[None, :] >= 0, ref + hot, -np.inf)
+    np.testing.assert_allclose(np.asarray(base), exp, rtol=1e-5, atol=1e-5)
+    exp_gmax = exp.reshape(q, rows // GROUP, GROUP).max(-1)
+    np.testing.assert_allclose(np.asarray(gmax), exp_gmax, rtol=1e-5,
+                               atol=1e-5)
+
+    # weighted variant through the same tiled path
+    w = rng.uniform(0.1, 2.0, (q, t)).astype(np.float32)
+    base_w, _ = ell_score_fused(
+        jnp.asarray(ids), jnp.asarray(tokT), jnp.asarray(valT),
+        jnp.asarray(did), weights=jnp.asarray(w), interpret=interpret,
+    )
+    # oracle: per-token weighted membership
+    exp_w = np.zeros((q, BLOCK_ROWS), np.float32)
+    for qq in range(q):
+        for ti in range(t):
+            tok = ids[qq, ti]
+            if tok < 0:
+                continue
+            exp_w[qq] += w[qq, ti] * np.where(tokT == tok, valT, 0).sum(0)
+    exp_w = np.where(did[None, :] >= 0, exp_w, -np.inf)
+    np.testing.assert_allclose(np.asarray(base_w), exp_w, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_long_document_corpus_end_to_end():
+    """An engine over a corpus with a very long document (ELL width past
+    SLOT_TILE) builds, compiles, and matches the oracle — the VMEM
+    legality case the untiled kernel could not compile."""
+    from bm25_tpu.models.sparse import SparseEngine
+    from bm25_tpu.reference import ReferenceEngine
+    from bm25_tpu.scoring import build_scored_index
+
+    rng = np.random.default_rng(5)
+    vocab = 1200
+    docs = [rng.integers(0, vocab, size=rng.integers(3, 12)).astype(np.int32)
+            for _ in range(60)]
+    # one pathological long document: > SLOT_TILE unique terms
+    docs.append(np.arange(700, dtype=np.int32))
+    docs.append(rng.integers(0, vocab, size=640).astype(np.int32))
+    idx = build_scored_index(docs, vocab_size=vocab)
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=4, max_buckets=2)
+    oracle = ReferenceEngine.from_scored_index(idx)
+    queries = rng.integers(-1, vocab, size=(8, 6), dtype=np.int32)
+    dd, ds = eng.search(queries, top_k=9)
+    od, os_ = oracle.search(queries, top_k=9)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)

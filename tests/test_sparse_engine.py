@@ -766,3 +766,75 @@ def test_hot_counts_exact_beyond_bf16_integer_range():
     # ~1e-5 rel = the 3-product bf16-split reconstruction accuracy (same
     # as weighted queries); the bf16 one-hot path was off by ~4e-3 here
     np.testing.assert_allclose(os_, ds, rtol=5e-5, atol=1e-5)
+
+
+def test_empty_batch_and_k_zero_contract(zipf_corpus_small):
+    """Degenerate searches return (Q, k_eff)-shaped results: empty batches
+    concatenate cleanly, k<=0 never reaches top-k selection, and the
+    ids_only path returns an array (regression: it returned a tuple)."""
+    tok = Tokenizer(stopwords=None, stemmer=None)
+    out = tok.tokenize_corpus(zipf_corpus_small)
+    idx = build_scored_index(out.ids, vocab_size=len(out.vocab))
+    eng = SparseEngine.from_scored_index(idx)
+
+    docs, scores = eng.search(np.zeros((0, 4), np.int32), top_k=7)
+    assert docs.shape == (0, 7) and scores.shape == (0, 7)
+    full = eng.search(np.array([[0, 1, 2, 3]], np.int32), top_k=7)
+    both = np.concatenate([docs, full[0]])  # the concat use case
+    assert both.shape == (1, 7)
+
+    ids = eng.search_ids(np.zeros((0, 4), np.int32), top_k=7)
+    assert isinstance(ids, np.ndarray) and ids.shape == (0, 7)
+
+    d0, s0 = eng.search(np.array([[0, 1]], np.int32), top_k=0)
+    assert d0.shape == (1, 0) and s0.shape == (1, 0)
+
+
+def test_zero_doc_engine_returns_empty(tmp_path):
+    """An engine over an empty corpus answers searches with zero columns
+    instead of crashing in top-k selection (updatable retrievers can be
+    searched before any document exists)."""
+    idx = build_scored_index([], vocab_size=8)
+    eng = SparseEngine.from_scored_index(idx)
+    docs, scores = eng.search(np.array([[0, 3]], np.int32), top_k=10)
+    assert docs.shape == (1, 0) and scores.shape == (1, 0)
+
+    from bm25_tpu.models.dense import DenseEngine
+
+    deng = DenseEngine.from_scored_index(idx)
+    docs, scores = deng.search(np.array([[0, 3]], np.int32), top_k=10)
+    assert docs.shape == (1, 0) and scores.shape == (1, 0)
+
+
+def test_ell_slot_estimate_matches_built_layout():
+    """The cost model's slot estimate must track build_ell_buckets_from_csr
+    exactly — the auto hot-tier/bucket sizing steers by it (a silent
+    divergence mis-sizes layouts with no error)."""
+    import scipy.sparse as sp
+
+    from bm25_tpu.models.sparse import (
+        _ell_slot_estimate, build_ell_buckets_from_csr)
+
+    rng = np.random.default_rng(0)
+    for trial, (d, v, mb, ra) in enumerate([
+        (300, 200, 4, 8), (1000, 500, 2, 8), (97, 50, 4, 8),
+        (512, 300, 8, 8), (64, 40, 4, 512), (8, 10, 4, 8),
+    ]):
+        nnz_per_row = np.maximum(1, rng.poisson(
+            rng.integers(2, 30), size=d))
+        rows, cols, vals = [], [], []
+        for r, n in enumerate(nnz_per_row):
+            c = rng.choice(v, size=min(n, v), replace=False)
+            rows.extend([r] * len(c))
+            cols.extend(c.tolist())
+            vals.extend([1.0] * len(c))
+        csr = sp.csr_matrix(
+            (np.asarray(vals, np.float32), (rows, cols)), shape=(d, v)
+        )
+        buckets = build_ell_buckets_from_csr(
+            csr.copy(), d, max_buckets=mb, row_align=ra)
+        real = sum(b.tok.shape[0] * b.tok.shape[1] for b in buckets)
+        est = _ell_slot_estimate(np.diff(csr.indptr), mb, ra)
+        assert est == real, (
+            f"trial {trial}: estimate {est} != built {real}"
+        )
