@@ -26,6 +26,16 @@ def get():
         from .text_native import NativeTextPipeline
 
         _cached = NativeTextPipeline(so_path)
-    except Exception:
+    except Exception as e:
+        # a broken/stale .so must not silently demote every build to the
+        # ~2.6x-slower pure-Python path for the process lifetime
+        import warnings
+
+        warnings.warn(
+            f"{so_path} exists but failed to load ({type(e).__name__}: {e})"
+            " — falling back to the pure-Python tokenizer; rebuild with"
+            " `make -C bm25_tpu/native`",
+            stacklevel=2,
+        )
         _cached = None
     return _cached

@@ -50,17 +50,31 @@ void run_parallel(int threads, F&& body) {
   for (auto& th : pool) th.join();
 }
 
+// diagnostic for the Python wrapper: why the last bm25_build_csc returned
+// null (0 = ok, 1 = token id out of [0, v), 2 = allocation failure).
+// Builds are heavyweight host calls; concurrent builders could race this,
+// in which case the wrapper's fallback classification still applies.
+std::atomic<int> g_csc_last_error{0};
+
 }  // namespace
 
 extern "C" {
 
+int bm25_csc_last_error() { return g_csc_last_error.load(); }
+
 // flat: n token ids (doc-major); lengths: d per-doc token counts summing to
-// n; v: vocab size (all ids in [0, v)).  Returns a CscHandle* or null.
+// n; v: vocab size (all ids in [0, v)).  Returns a CscHandle* or null
+// (bm25_csc_last_error() tells why).  Exceptions (std::bad_alloc from the
+// large vectors, std::system_error from thread creation) must never cross
+// the extern "C"/ctypes boundary — that is UB and in practice aborts the
+// whole Python process — so the body is wrapped.
 void* bm25_build_csc(const int32_t* flat, int64_t n, const int32_t* lengths,
                      int64_t d, int64_t v) {
+  g_csc_last_error.store(0);
   if (n < 0 || d < 0 || v < 0) return nullptr;
-  auto* h = new (std::nothrow) CscHandle();
-  if (!h) return nullptr;
+  CscHandle* h = nullptr;
+  try {
+    h = new CscHandle();
 
   // doc boundaries (prefix sums of lengths)
   std::vector<int64_t> doc_end(static_cast<size_t>(d) + 1, 0);
@@ -69,14 +83,29 @@ void* bm25_build_csc(const int32_t* flat, int64_t n, const int32_t* lengths,
   const int threads = pick_threads(n, v);
   const int64_t chunk = threads ? (n + threads - 1) / threads : 0;
 
-  // phase 1: per-thread token histograms
+  // phase 1: per-thread token histograms, bounds-checking every id (the
+  // scatter phase trusts its inputs; an out-of-range id would corrupt
+  // memory).  The branch rides the same pass that already reads each id.
+  std::atomic<bool> bad_id{false};
   std::vector<std::vector<int64_t>> hist(
       threads, std::vector<int64_t>(static_cast<size_t>(v), 0));
   run_parallel(threads, [&](int t) {
     const int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
     auto& hh = hist[t];
-    for (int64_t i = lo; i < hi; ++i) hh[flat[i]]++;
+    for (int64_t i = lo; i < hi; ++i) {
+      const uint32_t id = static_cast<uint32_t>(flat[i]);
+      if (id >= static_cast<uint64_t>(v)) {
+        bad_id.store(true, std::memory_order_relaxed);
+        return;
+      }
+      hh[id]++;
+    }
   });
+  if (bad_id.load()) {
+    delete h;
+    g_csc_last_error.store(1);
+    return nullptr;
+  }
 
   // phase 2: column starts (occurrence-level) + per-thread write offsets
   std::vector<int64_t> occ_start(static_cast<size_t>(v) + 1, 0);
@@ -157,6 +186,11 @@ void* bm25_build_csc(const int32_t* flat, int64_t n, const int32_t* lengths,
   // run_base); only the terminal entry remains
   h->indptr[v] = nnz;
   return h;
+  } catch (...) {
+    delete h;
+    g_csc_last_error.store(2);
+    return nullptr;
+  }
 }
 
 int64_t csc_nnz(void* hp) { return static_cast<CscHandle*>(hp)->docs.size(); }

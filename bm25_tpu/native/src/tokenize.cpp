@@ -49,7 +49,12 @@ extern "C" {
 TokResult* bm25_tokenize_corpus(const char* const* docs, const int64_t* lens,
                                 int64_t n_docs, const char* const* stopwords,
                                 int64_t n_stop, int use_stemmer) {
-    auto* res = new TokResult();
+    // an exception (std::bad_alloc from the unbounded vectors/maps) must
+    // never unwind through the ctypes frames — that aborts the whole
+    // Python process; return null so the wrapper raises MemoryError
+    TokResult* res = nullptr;
+    try {
+    res = new TokResult();
     res->offsets.reserve(n_docs + 1);
     res->offsets.push_back(0);
 
@@ -105,6 +110,10 @@ TokResult* bm25_tokenize_corpus(const char* const* docs, const int64_t* lens,
         res->offsets.push_back((int64_t)res->ids.size());
     }
     return res;
+    } catch (...) {
+        delete res;
+        return nullptr;
+    }
 }
 
 int64_t tok_total_tokens(TokResult* r) { return (int64_t)r->ids.size(); }
@@ -134,13 +143,23 @@ void tok_copy_vocab(TokResult* r, char* out) {
 
 void tok_free(TokResult* r) { delete r; }
 
-// Single-word stem entry point (for tests / query-time use).
+// Single-word stem entry point (for tests / query-time use).  The input
+// is lowercased first — the parity target (NLTK SnowballStemmer.stem)
+// lowercases, and the stemmer's internal 'Y' consonant marker mangles
+// uppercase input otherwise.  Returns -1 on overflow, -2 on exception.
 int64_t bm25_stem(const char* word, int64_t len, char* out, int64_t out_cap) {
-    std::string s = bm25::stem_english(std::string(word, (size_t)len));
-    int64_t n = (int64_t)s.size();
-    if (n > out_cap) return -1;
-    std::memcpy(out, s.data(), (size_t)n);
-    return n;
+    try {
+        std::string w(word, (size_t)len);
+        for (auto& c : w)
+            if (c >= 'A' && c <= 'Z') c = (char)(c - 'A' + 'a');
+        std::string s = bm25::stem_english(w);
+        int64_t n = (int64_t)s.size();
+        if (n > out_cap) return -1;
+        std::memcpy(out, s.data(), (size_t)n);
+        return n;
+    } catch (...) {
+        return -2;
+    }
 }
 
 }  // extern "C"

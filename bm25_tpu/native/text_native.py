@@ -52,6 +52,10 @@ class NativeTextPipeline:
             lib.csc_copy_tf.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
             lib.csc_free.argtypes = [ctypes.c_void_p]
+            self._has_csc_err = hasattr(lib, "bm25_csc_last_error")
+            if self._has_csc_err:
+                lib.bm25_csc_last_error.restype = ctypes.c_int
+                lib.bm25_csc_last_error.argtypes = []
         self._lib = lib
 
     def build_tf_csc(self, flat_tokens: "np.ndarray", doc_lengths: "np.ndarray",
@@ -65,16 +69,22 @@ class NativeTextPipeline:
         """
         if not self._has_csc:
             return None
-        flat = np.ascontiguousarray(flat_tokens, dtype=np.int32)
-        lens = np.ascontiguousarray(doc_lengths, dtype=np.int32)
-        if len(flat):
-            # the native scatter trusts its inputs; an out-of-range id
-            # would corrupt memory instead of raising like numpy
-            lo, hi = int(flat.min()), int(flat.max())
+        if int(vocab_size) < 0:
+            raise ValueError(f"vocab_size must be >= 0; got {vocab_size}")
+        flat_in = np.asarray(flat_tokens)
+        if flat_in.dtype != np.int32 and len(flat_in):
+            # validate BEFORE the int32 cast: a wider id would silently
+            # wrap through ascontiguousarray and bypass every later check
+            lo, hi = int(flat_in.min()), int(flat_in.max())
             if lo < 0 or hi >= vocab_size:
                 raise ValueError(
                     f"token ids must be in [0, {vocab_size}); got [{lo}, {hi}]"
                 )
+        flat = np.ascontiguousarray(flat_in, dtype=np.int32)
+        lens = np.ascontiguousarray(doc_lengths, dtype=np.int32)
+        # int32 inputs skip the host min/max sweeps: the native histogram
+        # pass bounds-checks every id itself (it reads them anyway) and
+        # reports via bm25_csc_last_error
         if len(lens) and int(lens.min()) < 0:
             # a negative length would make doc_end non-monotonic and send
             # the native scatter out of bounds
@@ -87,7 +97,15 @@ class NativeTextPipeline:
             int(vocab_size),
         )
         if not h:
-            raise MemoryError("bm25_build_csc failed")
+            err = (self._lib.bm25_csc_last_error()
+                   if getattr(self, "_has_csc_err", False) else 0)
+            if err == 1:
+                lo = int(flat.min()) if len(flat) else 0
+                hi = int(flat.max()) if len(flat) else 0
+                raise ValueError(
+                    f"token ids must be in [0, {vocab_size}); got [{lo}, {hi}]"
+                )
+            raise MemoryError("bm25_build_csc failed (allocation)")
         try:
             nnz = self._lib.csc_nnz(h)
             indptr = np.empty(vocab_size + 1, dtype=np.int64)
@@ -108,8 +126,10 @@ class NativeTextPipeline:
         buf = ctypes.create_string_buffer(4 * len(word) + 16)
         w = word.encode("utf-8")
         n = self._lib.bm25_stem(w, len(w), buf, len(buf))
-        if n < 0:
+        if n == -1:
             raise ValueError("stem buffer overflow")
+        if n < 0:
+            raise MemoryError("bm25_stem failed")
         return buf.raw[:n].decode("utf-8")
 
     def tokenize_corpus(self, texts, stopwords=frozenset(), use_stemmer=True):
@@ -125,6 +145,8 @@ class NativeTextPipeline:
         handle = self._lib.bm25_tokenize_corpus(
             docs, lens, n, stops, len(stop_enc), 1 if use_stemmer else 0
         )
+        if not handle:
+            raise MemoryError("bm25_tokenize_corpus failed (allocation)")
         try:
             total = self._lib.tok_total_tokens(handle)
             ids = np.empty(total, dtype=np.int32)

@@ -166,3 +166,36 @@ def test_native_csc_build_rejects_out_of_range_ids(native):
         native.build_tf_csc(
             np.array([0, 1], np.int32), np.array([3], np.int32), vocab_size=3
         )
+
+
+def test_native_csc_rejects_wide_dtype_wraparound(native):
+    """int64 ids past 2^32 must raise, not silently wrap through the int32
+    cast into a 'valid' wrong index (reproduced pre-fix)."""
+    with pytest.raises(ValueError, match="token ids must be in"):
+        native.build_tf_csc(np.array([2**32 + 5], dtype=np.int64),
+                            np.array([1], np.int32), vocab_size=10)
+
+
+def test_native_csc_rejects_out_of_range_int32_ids(native):
+    """int32 inputs skip the host sweeps; the native histogram pass itself
+    bounds-checks and the wrapper maps the error to ValueError."""
+    with pytest.raises(ValueError, match="token ids must be in"):
+        native.build_tf_csc(np.array([3, 99], dtype=np.int32),
+                            np.array([2], np.int32), vocab_size=10)
+    with pytest.raises(ValueError, match="token ids must be in"):
+        native.build_tf_csc(np.array([-4], dtype=np.int32),
+                            np.array([1], np.int32), vocab_size=10)
+
+
+def test_native_csc_rejects_negative_vocab(native):
+    with pytest.raises(ValueError, match="vocab_size"):
+        native.build_tf_csc(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                            vocab_size=-5)
+
+
+def test_native_stem_lowercases_like_nltk(native):
+    """NLTK SnowballStemmer.stem lowercases; the native entry point must
+    match (uppercase input mangled the internal 'Y' marker pre-fix)."""
+    assert native.stem("TYPE") == "type"
+    assert native.stem("Feline") == "felin"
+    assert native.stem("Running") == "run"
