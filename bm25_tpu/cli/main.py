@@ -54,7 +54,8 @@ def cmd_index(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from bm25_tpu.index.io import MMapCorpus, load_index
+    from bm25_tpu.index.io import (
+        MMapCorpus, load_index, load_tokenizer_config)
     from bm25_tpu.models.auto import create_engine
     from bm25_tpu.text.tokenizer import Tokenizer
 
@@ -63,7 +64,7 @@ def cmd_query(args) -> int:
         print("index has no vocab.index.json; cannot map text queries", file=sys.stderr)
         return 2
     engine = create_engine(index, mode=args.engine)
-    tok = Tokenizer()
+    tok = load_tokenizer_config(args.index) or Tokenizer()
     try:
         corpus = MMapCorpus.open(args.index)
     except FileNotFoundError:

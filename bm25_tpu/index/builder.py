@@ -13,7 +13,7 @@ from typing import Sequence
 from bm25_tpu.scoring import BM25Params, ScoredIndex, build_scored_index
 from bm25_tpu.text.tokenizer import Tokenizer
 
-from .io import save_index
+from .io import save_index, save_tokenizer_config
 
 
 @dataclass
@@ -100,4 +100,5 @@ def build_index(
     )
     if save_to is not None:
         save_index(save_to, index, corpus=list(corpus) if save_corpus else None)
+        save_tokenizer_config(save_to, tokenizer)
     return index, stats

@@ -104,17 +104,55 @@ def save_index(
         save_corpus(path, corpus, doc_ids=doc_ids)
 
 
-def save_corpus(path: str | os.PathLike, corpus: list[str], doc_ids=None) -> None:
-    """Write corpus.jsonl + corpus.mmindex.json (line byte offsets)."""
+def save_tokenizer_config(path: str | os.PathLike, tokenizer) -> None:
+    """Persist the tokenizer pipeline next to the index (extension record).
+
+    Without it, loading an index built with a non-default tokenizer
+    silently tokenizes queries with the default pipeline — query terms
+    miss the stemmed/filtered vocab with no error.  Skipped (with no
+    file) when the tokenizer carries unserializable custom callables.
+    """
+    cfg = tokenizer.config() if hasattr(tokenizer, "config") else None
+    if cfg is None:
+        return
+    with open(os.path.join(os.fspath(path), "tokenizer.index.json"),
+              "w") as f:
+        json.dump(cfg, f)
+
+
+def load_tokenizer_config(path: str | os.PathLike):
+    """The Tokenizer persisted by save_tokenizer_config, or None."""
+    p = os.path.join(os.fspath(path), "tokenizer.index.json")
+    if not os.path.exists(p):
+        return None
+    from bm25_tpu.text.tokenizer import Tokenizer
+
+    with open(p) as f:
+        return Tokenizer.from_config(json.load(f))
+
+
+def save_corpus(path: str | os.PathLike, corpus, doc_ids=None) -> None:
+    """Write corpus.jsonl + corpus.mmindex.json (line byte offsets).
+
+    ``corpus`` items are plain texts or dict records; dicts pass through
+    with every field intact (an ``id`` is added if absent) so metadata
+    survives a load -> save round trip.  Any indexable sequence streams
+    one document at a time (an ``MMapCorpus`` is never materialized).
+    """
     path = os.fspath(path)
     os.makedirs(path, exist_ok=True)
     offsets = []
     pos = 0
     with open(os.path.join(path, "corpus.jsonl"), "wb") as f:
-        for i, text in enumerate(corpus):
+        for i, doc in enumerate(corpus):
             offsets.append(pos)
             did = doc_ids[i] if doc_ids is not None else i
-            line = json.dumps({"id": did, "text": text}) + "\n"
+            if isinstance(doc, dict):
+                rec = dict(doc)
+                rec.setdefault("id", did)
+            else:
+                rec = {"id": did, "text": doc}
+            line = json.dumps(rec) + "\n"
             data = line.encode("utf-8")
             f.write(data)
             pos += len(data)

@@ -1016,3 +1016,6 @@ class UpdatableRetriever:
             self.compact()
         save_index(path, self.index,
                    corpus=self.corpus if with_corpus else None)
+        from bm25_tpu.index.io import save_tokenizer_config
+
+        save_tokenizer_config(path, self.tokenizer)

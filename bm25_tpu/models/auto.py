@@ -66,15 +66,24 @@ def create_engine(
 
     if dense_budget_bytes is None:
         dense_budget_bytes = _default_dense_budget()
+    # a user-supplied max_bytes is a HARD cap on the dense engine: the
+    # decision must respect it, or auto picks dense and then crashes on
+    # DenseEngine's own MemoryError instead of falling back to sparse
+    if "max_bytes" in kwargs:
+        dense_budget_bytes = min(dense_budget_bytes, kwargs["max_bytes"])
     # mirror DenseEngine.from_scored_index's REAL padded allocation
-    # (v+1 rows rounded to 8; docs rounded to the gather kernel's 1024
-    # quantum) — an optimistic estimate here would pick dense and then
-    # crash on its MemoryError instead of falling back to sparse
+    # (v+1 rows rounded to 8; docs rounded to the gather kernel's true
+    # quantum) at the dtype it will actually allocate — an optimistic
+    # estimate here would pick dense and then crash on its MemoryError
+    import numpy as np
+
+    from bm25_tpu.ops.gather_rows import doc_pad
     from bm25_tpu.utils.padding import next_multiple
 
     v = next_multiple(index.vocab_size + 1, 8)
-    d = next_multiple(max(index.num_docs, 1), 1024)
-    if v * d * 4 <= dense_budget_bytes:
+    d = doc_pad(index.num_docs)
+    itemsize = np.dtype(kwargs.get("dtype", np.float32)).itemsize
+    if v * d * itemsize <= dense_budget_bytes:
         from bm25_tpu.models.dense import DenseEngine
 
         # forward the budget: the engine's own default cap (12 GiB) must

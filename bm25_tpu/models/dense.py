@@ -166,11 +166,13 @@ class DenseEngine:
     ) -> "DenseEngine":
         session = session or get_session()
         v, d = index.vocab_size, index.num_docs
-        # 1024 = the Pallas gather kernel's (8, C, 128) row-tile quantum
-        # (ops/gather_rows.py): padding to 128 only would make the kernel
-        # re-pad the WHOLE (V, D) table inside every jitted query step —
-        # an O(V*D) HBM copy on the hot path
-        d_pad = next_multiple(max(d, 1), 1024)
+        # the Pallas gather kernel's REAL doc-column quantum (1024 up to
+        # 262144 docs, block-balanced beyond): any other padding makes the
+        # kernel re-pad the WHOLE (V, D) table inside every jitted query
+        # step — an O(V*D) HBM copy on the hot path
+        from bm25_tpu.ops.gather_rows import doc_pad
+
+        d_pad = doc_pad(d)
         v_pad = next_multiple(v + 1, 8)  # +1 zero row for pad/OOV ids
         need = v_pad * d_pad * np.dtype(dtype).itemsize
         if need > max_bytes:

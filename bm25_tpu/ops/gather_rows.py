@@ -28,6 +28,30 @@ from bm25_tpu.utils.padding import cdiv, next_multiple
 _MAX_CB = 256
 
 
+def _col_blocks(d: int) -> tuple[int, int]:
+    """(cb, nc): balanced (8, cb, 128) col-block split for d doc columns.
+
+    nc is the fewest blocks that respect the VMEM cap; cb then balances
+    them so the padding waste is < nc tiles (a fixed cb=_MAX_CB would pad
+    d to 256-tile multiples — up to 262143 wasted doc columns per row).
+    """
+    c = next_multiple(max(d, 1), 8 * 128) // (8 * 128)
+    nc = cdiv(c, _MAX_CB)
+    cb = cdiv(c, nc)
+    return cb, nc
+
+
+def doc_pad(d: int) -> int:
+    """The kernel's REAL doc-column padding quantum for d docs.
+
+    Callers that keep a padded table resident (DenseEngine, the sharded
+    dense shards) must pad to THIS width — anything else makes the kernel
+    re-pad the whole (V, D) table inside every jitted query step.
+    """
+    cb, nc = _col_blocks(d)
+    return nc * cb * 8 * 128
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "weighted"))
 def _gather_add_rows_pallas(table: jax.Array, ids: jax.Array, interpret: bool,
                             weights: jax.Array | None = None,
@@ -37,13 +61,14 @@ def _gather_add_rows_pallas(table: jax.Array, ids: jax.Array, interpret: bool,
 
     q, t = ids.shape
     v, d = table.shape
+    if q == 0 or t == 0:
+        # a zero-size grid never runs the kernel, leaving the output
+        # buffer uninitialized garbage; the contract (and the lax path)
+        # is zeros
+        return jnp.zeros((q, d), table.dtype)
     # view each row as a full (8, C, 128) sublane-packed tile so the per-row
     # DMA fills all 8 sublanes (a (1, N) block would use 1 of 8 — 8x slower)
-    cb_max = _MAX_CB  # col-block bound for VMEM
-    d_pad = next_multiple(d, 8 * 128)
-    c = d_pad // (8 * 128)
-    cb = min(c, cb_max)
-    nc = cdiv(c, cb)
+    cb, nc = _col_blocks(d)
     c_pad = nc * cb
     d_pad = c_pad * 8 * 128
     if d_pad != d:

@@ -206,6 +206,13 @@ def _pallas_topk_lastaxis(x: jax.Array, k: int):
     nblocks = min(cdiv(n, chunk), _PALLAS_MAX_BLOCKS)
     chunk = next_multiple(cdiv(n, nblocks), 128)
     nblocks = cdiv(n, chunk)
+    if nblocks > 1 and k > chunk:
+        # a chunk narrower than k cannot supply k DISTINCT candidates:
+        # stage 1's exhausted-row fallback would repeat positions and a
+        # row with < k finite values could surface duplicate indices in
+        # the merged output, breaking the lax.top_k distinct-indices
+        # contract.  The tree path has no such width coupling.
+        return top_k_tree(x, k)
     n_pad = chunk * nblocks
     if n_pad != n:
         x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n)), constant_values=NEG_INF)
@@ -322,11 +329,12 @@ def _tree_level(x2: jax.Array, k: int, branch: int, base: int,
     if maxes is None:
         n_pad = next_multiple(n, branch)
         if n_pad != n:
-            lowest = (
-                NEG_INF
-                if jnp.issubdtype(x2.dtype, jnp.floating)
-                else jnp.iinfo(x2.dtype).min
-            )
+            if jnp.issubdtype(x2.dtype, jnp.floating):
+                lowest = NEG_INF
+            elif x2.dtype == jnp.bool_:
+                lowest = False  # jnp.iinfo rejects bool
+            else:
+                lowest = jnp.iinfo(x2.dtype).min
             x2 = jnp.pad(x2, ((0, 0), (0, n_pad - n)), constant_values=lowest)
         groups = x2.reshape(b, n_pad // branch, branch)
         maxes = jnp.max(groups, axis=-1)  # (b, n/branch)

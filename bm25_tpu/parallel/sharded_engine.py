@@ -187,10 +187,13 @@ class ShardedEngine:
         mesh = mesh or make_mesh()
         n_doc = mesh.shape[DOC_AXIS]
         v, d = index.vocab_size, index.num_docs
-        # 1024 per doc shard = the Pallas gather kernel's row-tile quantum
-        # (ops/gather_rows.py); a smaller local width would make the kernel
-        # re-pad each shard's full table inside every jitted local step
-        d_pad = next_multiple(max(d, 1), 1024 * n_doc)
+        # each shard's local width must be the Pallas gather kernel's REAL
+        # doc-column quantum (ops/gather_rows.py::doc_pad) — anything else
+        # makes the kernel re-pad the shard's full table inside every
+        # jitted local step
+        from bm25_tpu.ops.gather_rows import doc_pad
+
+        d_pad = doc_pad(-(-max(d, 1) // n_doc)) * n_doc
         v_pad = next_multiple(v + 1, 8)
         # host blocks are cast to the target dtype BEFORE upload: a
         # device-side cast would transiently hold f32 + target copies

@@ -41,12 +41,15 @@ class Retriever:
         from bm25_tpu.models.auto import create_engine
 
         tokenizer = tokenizer or Tokenizer()
+        # materialize BEFORE indexing: build_index consumes its input, so
+        # a generator corpus would leave the stored text list empty
+        corpus = list(corpus)
         index, _ = build_index(
             corpus, params=params, tokenizer=tokenizer, save_to=save_to
         )
         engine = create_engine(index, mode=engine_mode)
         return cls(index=index, engine=engine, tokenizer=tokenizer,
-                   corpus=list(corpus))
+                   corpus=corpus)
 
     @classmethod
     def load(
@@ -55,7 +58,14 @@ class Retriever:
         engine_mode: str = "auto",
         tokenizer: Tokenizer | None = None,
     ) -> "Retriever":
-        """Load a saved (bm25s-format) index directory."""
+        """Load a saved (bm25s-format) index directory.
+
+        The tokenizer persisted at build time (tokenizer.index.json) is
+        reconstructed automatically; pass ``tokenizer`` only to override
+        it (e.g. an index built with custom callables, which are not
+        persistable).
+        """
+        from bm25_tpu.index.io import load_tokenizer_config
         from bm25_tpu.models.auto import create_engine
 
         index = load_index(index_dir)
@@ -66,8 +76,10 @@ class Retriever:
             corpus = MMapCorpus.open(index_dir)
         except FileNotFoundError:
             corpus = None
+        if tokenizer is None:
+            tokenizer = load_tokenizer_config(index_dir) or Tokenizer()
         return cls(index=index, engine=engine,
-                   tokenizer=tokenizer or Tokenizer(), corpus=corpus)
+                   tokenizer=tokenizer, corpus=corpus)
 
     # -- retrieval -----------------------------------------------------------
 
@@ -111,11 +123,20 @@ class Retriever:
         return doc["text"] if isinstance(doc, dict) else doc
 
     def save(self, path: str, with_corpus: bool = True) -> None:
-        corpus = None
-        if with_corpus and self.corpus is not None:
-            # an MMapCorpus (a loaded retriever) must persist too — only
-            # saving list corpora silently dropped texts on load->save
-            corpus = [
-                d["text"] if isinstance(d, dict) else d for d in self.corpus
-            ]
+        import os
+
+        from bm25_tpu.index.io import save_tokenizer_config
+
+        corpus = self.corpus if with_corpus else None
+        if isinstance(corpus, MMapCorpus) and os.path.realpath(
+            corpus.path
+        ) == os.path.realpath(os.path.join(os.fspath(path), "corpus.jsonl")):
+            # saving into the directory the mmap corpus is reading from:
+            # rewriting corpus.jsonl would truncate the file under the
+            # reader; the corpus is already persisted there, skip it
+            corpus = None
+        # dict records pass through save_corpus intact (metadata survives)
+        # and any indexable corpus streams one doc at a time — an
+        # MMapCorpus is never materialized in host RAM
         save_index(path, self.index, corpus=corpus)
+        save_tokenizer_config(path, self.tokenizer)

@@ -996,7 +996,10 @@ class Server:
             engine = UpdatableEngine(engine, index)
             corpus = CorpusView(corpus, base_len=index.num_docs)
             stats["updatable"] = True
-        return EngineRuntime(engine=engine, tokenizer=Tokenizer(),
+        from bm25_tpu.index.io import load_tokenizer_config
+
+        tok = load_tokenizer_config(index_dir) or Tokenizer()
+        return EngineRuntime(engine=engine, tokenizer=tok,
                              vocab=index.vocab, corpus=corpus, stats=stats)
 
     def _build_runtime(self, index_dir: str,
@@ -1110,7 +1113,11 @@ class Server:
             "batch_window_ms": batch_window_ms,
             "device_checkpoint": path,
         }
-        return EngineRuntime(engine=engine, tokenizer=Tokenizer(),
+        from bm25_tpu.index.io import load_tokenizer_config
+
+        tok = (load_tokenizer_config(index_dir)
+               if index_dir is not None else None) or Tokenizer()
+        return EngineRuntime(engine=engine, tokenizer=tok,
                              vocab=engine.vocab, corpus=corpus, stats=stats)
 
     def _warmup(self, engine) -> None:

@@ -112,6 +112,40 @@ class Tokenizer:
         self._regex = re.compile(self.token_pattern)
         self._stem_cache = {}
 
+    # -- persistence ---------------------------------------------------------
+
+    def config(self) -> dict | None:
+        """JSON-serializable construction config, or None when a component
+        is a custom callable (not persistable).  Saved next to an index so
+        ``Retriever.load`` reconstructs the SAME pipeline — a mismatched
+        query tokenizer silently misses the stemmed/filtered vocab.
+        """
+        sw = self.stopwords
+        if isinstance(sw, (set, frozenset, tuple)):
+            sw = sorted(sw)
+        elif not (sw is None or isinstance(sw, (str, list))):
+            return None
+        if not (self.stemmer is None or isinstance(self.stemmer, str)):
+            return None
+        return {
+            "stopwords": sw,
+            "stemmer": self.stemmer,
+            "token_pattern": self.token_pattern,
+            "lower": self.lower,
+        }
+
+    @classmethod
+    def from_config(cls, cfg: dict) -> "Tokenizer":
+        sw = cfg.get("stopwords", "en")
+        if isinstance(sw, list):
+            sw = frozenset(sw)
+        return cls(
+            stopwords=sw,
+            stemmer=cfg.get("stemmer", "snowball-en"),
+            token_pattern=cfg.get("token_pattern", TOKEN_PATTERN),
+            lower=bool(cfg.get("lower", True)),
+        )
+
     # -- low level ---------------------------------------------------------
 
     def words(self, text: str) -> list[str]:

@@ -86,3 +86,34 @@ def test_explicit_mode_rejects_unknown_kwargs():
     assert type(eng).__name__ == "DenseEngine"
     with _pytest.raises(ValueError, match="score_dtype"):
         create_engine(idx, mode="sparse", score_dtype="float16")
+
+
+def test_auto_respects_user_max_bytes(idx):
+    """A user max_bytes caps the DECISION too: auto must fall back to
+    sparse instead of picking dense and crashing on its MemoryError."""
+    from bm25_tpu.models.sparse import SparseEngine
+
+    eng = create_engine(idx, mode="auto", max_bytes=1024)
+    assert isinstance(eng, SparseEngine)
+
+
+def test_auto_sizes_by_requested_dtype(idx):
+    """bf16 halves the dense footprint; the auto estimate must use the
+    forwarded dtype's itemsize, not hardcode 4 bytes."""
+    import jax.numpy as jnp
+
+    from bm25_tpu.models.dense import DenseEngine
+    from bm25_tpu.ops.gather_rows import doc_pad
+    from bm25_tpu.utils.padding import next_multiple
+
+    v = next_multiple(idx.vocab_size + 1, 8)
+    d = doc_pad(idx.num_docs)
+    budget = v * d * 3  # fits bf16 (2 B/elt), not f32 (4 B/elt)
+    dense = create_engine(idx, mode="auto", dense_budget_bytes=budget,
+                          dtype=jnp.bfloat16, max_bytes=budget)
+    assert isinstance(dense, DenseEngine)
+    from bm25_tpu.models.sparse import SparseEngine
+
+    sparse = create_engine(idx, mode="auto", dense_budget_bytes=budget,
+                           max_bytes=budget)  # f32 default: over budget
+    assert isinstance(sparse, SparseEngine)

@@ -322,3 +322,35 @@ def test_long_document_corpus_end_to_end():
     dd, ds = eng.search(queries, top_k=9)
     od, os_ = oracle.search(queries, top_k=9)
     np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+
+
+def test_gather_add_rows_doc_pad_quantum():
+    """doc_pad is the kernel's true padding quantum: parity holds past the
+    262144-doc block boundary and the quantum stays close to d (the old
+    fixed cb=256 split padded to 256-tile multiples — up to 262143 wasted
+    columns)."""
+    from bm25_tpu.ops.gather_rows import doc_pad
+
+    assert doc_pad(1000) == 1024           # 1024-quantum below the cap
+    assert doc_pad(262144) == 262144
+    big = doc_pad(300000)
+    assert big >= 300000 and big - 300000 < 4096  # balanced, not 524288
+
+    rng = np.random.default_rng(2)
+    v, d, q, t = 5, 262144 + 640, 2, 3
+    table = jnp.asarray(rng.random((v, d), dtype=np.float32))
+    ids = jnp.asarray(rng.integers(0, v, (q, t)).astype(np.int32))
+    a = np.asarray(gather_add_rows(table, ids, "lax"))
+    b = np.asarray(gather_add_rows(table, ids, "pallas"))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_gather_add_rows_degenerate_shapes_are_zero():
+    """(Q, 0) ids never launch the kernel grid; the output must be zeros
+    (regression: uninitialized memory), matching the lax path."""
+    table = jnp.asarray(np.arange(8, dtype=np.float32).reshape(2, 4))
+    for shape in [(3, 0), (0, 2)]:
+        ids = jnp.zeros(shape, jnp.int32)
+        out = np.asarray(gather_add_rows(table, ids, "pallas"))
+        assert out.shape == (shape[0], 4)
+        np.testing.assert_array_equal(out, 0)

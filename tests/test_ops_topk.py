@@ -460,3 +460,42 @@ def test_fused_sampling_accepts_typed_prng_key():
     vals, idx = top_k_fused_sampling(jax.random.key(0), x, 5,
                                      implementation="pallas")
     assert vals.shape == (2, 5) and idx.shape == (2, 1)
+
+
+def test_top_k_bool_input_tree_path():
+    """bool inputs route through the tree path without the jnp.iinfo(bool)
+    crash; order and tie contracts hold (True > False, smaller index)."""
+    import numpy as np
+
+    from bm25_tpu.ops.topk import top_k
+
+    x = np.zeros((2, 5001), dtype=bool)
+    x[0, [7, 4999]] = True
+    x[1, 0] = True
+    v, i = top_k(jnp.asarray(x), k=3)
+    assert list(np.asarray(i[0])[:2]) == [7, 4999]
+    assert bool(v[0][0]) and bool(v[0][1]) and not bool(v[0][2])
+    assert int(i[1][0]) == 0
+    # smallest=False variant exercises the ~x bool reversal
+    v2, i2 = top_k(jnp.asarray(x), k=2, largest=False)
+    assert not bool(v2[0][0])
+
+
+def test_pallas_topk_k_wider_than_chunk_stays_distinct(monkeypatch):
+    """k > chunk width cannot produce duplicate indices: the pallas path
+    hands off to the tree (regression: exhausted-chunk fallback repeated
+    position 0 at -inf on rows with < k finite values)."""
+    import numpy as np
+
+    from bm25_tpu.ops import topk as T
+
+    monkeypatch.setattr(T, "_PALLAS_CHUNK", 256)
+    monkeypatch.setattr(T, "_PALLAS_MAX_BLOCKS", 3)
+    rng = np.random.default_rng(0)
+    x = np.full((4, 600), -np.inf, np.float32)
+    x[:, :40] = rng.random((4, 40))  # far fewer than k finite values
+    v, i = T.top_k(jnp.asarray(x), k=300, implementation="pallas")
+    for row in np.asarray(i):
+        assert len(set(row.tolist())) == len(row), "duplicate indices"
+    lv, li = T.top_k(jnp.asarray(x), k=300, implementation="lax")
+    np.testing.assert_array_equal(np.asarray(v)[:, :40], np.asarray(lv)[:, :40])

@@ -3,6 +3,7 @@
 import numpy as np
 
 from bm25_tpu.retriever import Retriever
+from bm25_tpu.text.tokenizer import Tokenizer
 
 
 def test_fit_retrieve_save_load(tmp_path, animal_corpus):
@@ -72,3 +73,64 @@ def test_save_persists_mmap_corpus(tmp_path, animal_corpus):
     docs, scores, texts = r2.retrieve(["bird that can fly"], k=1,
                                       return_text=True)
     assert "fly" in texts[0][0]
+
+
+def test_fit_accepts_generator_corpus():
+    """build_index consumes the input; the stored corpus must still hold
+    every text (regression: list(corpus) after consumption was empty)."""
+    texts = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
+    r = Retriever.fit(iter(texts), tokenizer=Tokenizer(stopwords=None,
+                                                       stemmer=None))
+    assert r.text(2) == texts[2]
+    docs, scores, out = r.retrieve(["delta epsilon"], k=1, return_text=True)
+    assert out[0][0] == texts[1]
+
+
+def test_tokenizer_config_round_trips_through_save_load(tmp_path):
+    """An index built with a custom tokenizer must query with the SAME
+    pipeline after load (regression: load silently used the default,
+    missing the stemmed/filtered vocab)."""
+    corpus = ["the running dogs are racing", "a sleeping cat sits quietly",
+              "birds were flying southwards"]
+    tok = Tokenizer(stopwords=None, stemmer="snowball-en")
+    d = str(tmp_path / "idx")
+    Retriever.fit(corpus, tokenizer=tok, save_to=d)
+    r = Retriever.load(d)
+    assert r.tokenizer.stopwords is None  # persisted config, not default
+    assert r.tokenizer.stemmer == "snowball-en"
+    # 'racing' only matches via the stemmer ('race' ~ 'racing' -> 'race')
+    docs, scores = r.retrieve(["race dog"], k=1)
+    assert scores[0][0] > 0 and docs[0][0] == 0
+    # explicit override still wins
+    r2 = Retriever.load(d, tokenizer=Tokenizer(stopwords=None, stemmer=None))
+    assert r2.tokenizer.stemmer is None
+
+
+def test_save_preserves_dict_corpus_metadata(tmp_path):
+    """dict documents keep every field across save (regression: save
+    flattened records to bare text, dropping metadata)."""
+    from bm25_tpu.index.io import MMapCorpus, save_corpus
+
+    recs = [{"id": "a7", "title": "T", "text": "quick brown fox"},
+            {"id": "b9", "title": "U", "text": "lazy dog sleeps"}]
+    d = str(tmp_path / "c")
+    save_corpus(d, recs)
+    mm = MMapCorpus.open(d)
+    assert mm[0]["title"] == "T" and mm[0]["id"] == "a7"
+
+    # a loaded retriever re-saving elsewhere streams + preserves dicts
+    corpus = ["quick brown fox", "lazy dog sleeps"]
+    src = str(tmp_path / "src")
+    r = Retriever.fit(corpus, tokenizer=Tokenizer(stopwords=None,
+                                                  stemmer=None), save_to=src)
+    loaded = Retriever.load(src)
+    dst = str(tmp_path / "dst")
+    loaded.save(dst)
+    mm2 = MMapCorpus.open(dst)
+    assert mm2[1]["text"] == "lazy dog sleeps"
+    # saving back into the SOURCE dir must not truncate the mmap corpus
+    # out from under its own reader
+    loaded.save(src)
+    assert loaded.text(0) == "quick brown fox"
+    again = Retriever.load(src)
+    assert again.text(1) == "lazy dog sleeps"
