@@ -208,3 +208,38 @@ def test_updatable_retriever_state_machine_fuzz(seed):
     for d in sorted(live)[:10]:
         docs, _ = r.retrieve([marker_of[d]], k=1)
         assert int(docs[0, 0]) == d
+
+
+@pytest.mark.parametrize("engine_name", list(ENGINES))
+@pytest.mark.parametrize("seed,density", [(6, 0.5), (7, 0.05)])
+def test_masked_weighted_composition_fuzz(engine_name, seed, density):
+    """doc_mask x weights x padded/dup queries through every engine family
+    vs the masked oracle, including a near-empty allowlist (shortfall
+    sentinels) — the composition surface unit tests cover one pair at a
+    time."""
+    method = "bm25+" if seed % 2 else "lucene"
+    idx = build(seed, method)
+    oracle = ReferenceEngine.from_scored_index(idx)
+    engine = ENGINES[engine_name](idx)
+    rng = np.random.default_rng(seed + 300)
+    queries = rng.integers(-1, idx.vocab_size, size=(8, 5), dtype=np.int32)
+    queries[0] = -1
+    queries[1, :3] = queries[1, 0]
+    weights = rng.uniform(0.0, 2.5, size=queries.shape).astype(np.float32)
+    mask = rng.random(idx.num_docs) < density
+    k = 9
+
+    dd, ds = engine.search(queries, top_k=k, weights=weights, doc_mask=mask)
+    od, os_ = oracle.search(queries, top_k=k, weights=weights, doc_mask=mask)
+    np.testing.assert_allclose(ds, os_, rtol=5e-5, atol=5e-5)
+    np.testing.assert_array_equal(dd == -1, od == -1)  # same shortfall
+    real = dd >= 0
+    assert mask[dd[real]].all(), "ineligible doc returned"
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict & real], od[strict & real])
+
+    # unweighted masked pass on the same mask
+    dd, ds = engine.search(queries, top_k=k, doc_mask=mask)
+    od, os_ = oracle.search(queries, top_k=k, doc_mask=mask)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(dd == -1, od == -1)
