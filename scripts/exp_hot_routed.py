@@ -27,9 +27,10 @@ def main() -> None:
     cfg = BenchConfig()
     index = make_synthetic_index(cfg)
     queries = make_queries(cfg)
-    for h in (512, 1024):
+    hs = tuple(int(a) for a in sys.argv[1:]) or (512, 1024)
+    for h in hs:
         eng = SparseEngine.from_scored_index(
-            index, hot_tokens=h, hot_budget_bytes=8 << 30,
+            index, hot_tokens=h, hot_budget_bytes=12 << 30,
             max_buckets=cfg.max_buckets,
         )
         hot_gb = sum(

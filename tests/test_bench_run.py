@@ -1,0 +1,55 @@
+"""End-to-end smoke of the driver bench pipeline (bench.py -> run()).
+
+The driver runs ``bench.py`` on real hardware every round; this pins the
+result schema at a tiny shape on the CPU mesh so a refactor cannot break
+the driver's JSON contract, and covers the memory-parity row (the
+BASELINE.md "index memory equal to reference CSC footprint" target).
+"""
+
+import numpy as np
+
+from bm25_tpu.bench.query_bench import BenchConfig, run
+
+
+def test_run_schema_and_memory_parity():
+    cfg = BenchConfig(
+        num_docs=256, vocab=512, avg_len=16, num_queries=64, batch=32,
+        top_k=20, top_k2=5, baseline_queries=8, engine="sparse",
+        max_buckets=2, eval_docs=200, eval_queries=8,
+    )
+    res = run(cfg, log=lambda *a: None)
+
+    assert res["metric"] == "bm25_query_throughput"
+    assert res["unit"] == "queries/sec"
+    assert res["value"] > 0 and res["vs_baseline"] > 0
+    extra = res["extra"]
+    head = extra["headline"]
+    assert head["top_k"] == 20
+    assert head["recall_vs_reference"] == 1.0
+    assert [r["top_k"] for r in extra["secondary"]] == [5]
+    assert extra["secondary"][0]["recall_vs_reference"] == 1.0
+    assert extra["upload_init_s"] >= 0
+    assert extra["index_memory"]["csc_bytes"] > 0
+    for mode in ("dense", "sparse"):
+        ev = extra["beir_synthetic_eval"][mode]
+        assert 0 < ev["recall@10"] <= 1.0 and 0 <= ev["ndcg@10"] <= 1.0
+
+    # memory-parity row: hot-tier-free engine, exact, near-CSC footprint
+    mp = extra["memory_parity"]
+    assert mp["top_k"] == 20
+    assert mp["recall_vs_reference"] == 1.0
+    ratio = mp["index_memory"]["overhead_ratio"]
+    # ELL padding at tiny shapes is relatively worse than at scale; the
+    # bound just pins "no hot tier" (the default engine here carries one)
+    assert ratio < extra["index_memory"]["overhead_ratio"] or ratio <= 2.0
+
+
+def test_memory_parity_opt_out():
+    cfg = BenchConfig(
+        num_docs=128, vocab=256, avg_len=12, num_queries=32, batch=16,
+        top_k=10, top_k2=10, baseline_queries=4, engine="sparse",
+        max_buckets=1, memory_parity=0, eval_docs=120, eval_queries=4,
+    )
+    res = run(cfg, log=lambda *a: None)
+    assert "memory_parity" not in res["extra"]
+    assert res["extra"]["headline"]["recall_vs_reference"] == 1.0
