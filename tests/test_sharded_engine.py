@@ -420,3 +420,37 @@ def test_cluster_detection_env_markers(monkeypatch):
     monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
     monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
     assert dist._cluster_detected()
+
+
+def test_sharded_sparse_wide_bucket_slot_tiled(setup):
+    """A long-document corpus whose widest ELL bucket exceeds SLOT_TILE
+    must run the slot-tiled kernel inside the shard_map local step and
+    still match the oracle (the tiling adds a grid axis; the sharded
+    step was only ever exercised with single-tile buckets before)."""
+    from bm25_tpu.ops.ell_score import SLOT_TILE
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    vocab = 2048
+    rng = np.random.default_rng(5)
+    docs = [rng.integers(0, vocab, size=int(n)).astype(np.int32)
+            for n in rng.integers(4, 24, size=56)]
+    # article-length docs: > SLOT_TILE unique terms each
+    for _ in range(8):
+        docs.append(rng.choice(vocab, size=SLOT_TILE + 200,
+                               replace=False).astype(np.int32))
+    idx = build_scored_index(docs, vocab_size=vocab)
+    oracle = ReferenceEngine.from_scored_index(idx)
+
+    mesh = make_mesh(8, data=1)
+    eng = ShardedSparseEngine.from_scored_index(
+        idx, mesh=mesh, hot_tokens=0, max_buckets=2
+    )
+    widths = [b["tokT"].shape[0] for b in eng.buckets if "tokT" in b]
+    assert max(widths) > SLOT_TILE, f"bucket widths {widths} all single-tile"
+
+    queries = rng.integers(-1, vocab, size=(16, 6), dtype=np.int32)
+    dd, ds = eng.search(queries, top_k=11)
+    od, os_ = oracle.search(queries, top_k=11)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(np.asarray(dd)[strict], od[strict])
