@@ -243,3 +243,81 @@ def test_masked_weighted_composition_fuzz(engine_name, seed, density):
     od, os_ = oracle.search(queries, top_k=k, doc_mask=mask)
     np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=1e-5)
     np.testing.assert_array_equal(dd == -1, od == -1)
+
+
+@pytest.fixture(scope="module")
+def longdoc_idx():
+    """Corpus whose widest ELL bucket exceeds SLOT_TILE: a handful of
+    article-length docs (> SLOT_TILE unique terms) among short ones."""
+    from bm25_tpu.ops.ell_score import SLOT_TILE
+
+    vocab = 1024
+    rng = np.random.default_rng(42)
+    docs = [rng.integers(0, vocab, size=int(n)).astype(np.int32)
+            for n in rng.integers(4, 20, size=80)]
+    for _ in range(6):
+        docs.append(rng.choice(vocab, size=SLOT_TILE + 160,
+                               replace=False).astype(np.int32))
+    return build_scored_index(docs, vocab_size=vocab)
+
+
+# tier knobs pinned so the widest bucket deterministically exceeds
+# SLOT_TILE (auto hot-sizing can absorb a tiny vocab entirely, leaving
+# no ELL tier at all — fine in production, defeats this test)
+LONGDOC_ENGINES = {
+    "dense": lambda idx: DenseEngine.from_scored_index(idx),
+    "sparse": lambda idx: SparseEngine.from_scored_index(
+        idx, hot_tokens=0, max_buckets=2
+    ),
+    "sparse_hot": lambda idx: SparseEngine.from_scored_index(
+        idx, hot_tokens=64, max_buckets=2
+    ),
+    "sparse_3tier": lambda idx: SparseEngine.from_scored_index(
+        idx, hot_tokens=16, tail_cap=1, max_buckets=2
+    ),
+    "sharded": lambda idx: ShardedEngine.from_scored_index(
+        idx, mesh=make_mesh(4, data=2)
+    ),
+    "sharded_sparse": lambda idx: ShardedSparseEngine.from_scored_index(
+        idx, mesh=make_mesh(4, data=2), hot_tokens=0, max_buckets=2
+    ),
+}
+
+
+@pytest.mark.parametrize("engine_name", list(LONGDOC_ENGINES))
+def test_longdoc_slot_tiled_composition_fuzz(engine_name, longdoc_idx):
+    """weights x doc_mask x padded/dup queries over a corpus that engages
+    the slot-tiled kernel path (multi-tile accumulation + the fused
+    epilogue on the final tile) in every engine family."""
+    from bm25_tpu.ops.ell_score import SLOT_TILE
+
+    idx = longdoc_idx
+    oracle = ReferenceEngine.from_scored_index(idx)
+    engine = LONGDOC_ENGINES[engine_name](idx)
+    buckets = getattr(engine, "buckets", None)
+    if buckets is not None:
+        widths = [b["tokT"].shape[0] for b in buckets if "tokT" in b]
+        assert max(widths) > SLOT_TILE, f"widths {widths} all single-tile"
+
+    rng = np.random.default_rng(43)
+    queries = rng.integers(-1, idx.vocab_size, size=(8, 5), dtype=np.int32)
+    queries[0] = -1
+    queries[1, :3] = queries[1, 0]
+    weights = rng.uniform(0.0, 2.5, size=queries.shape).astype(np.float32)
+    mask = rng.random(idx.num_docs) < 0.5
+    k = 9
+
+    dd, ds = engine.search(queries, top_k=k, weights=weights, doc_mask=mask)
+    od, os_ = oracle.search(queries, top_k=k, weights=weights, doc_mask=mask)
+    np.testing.assert_allclose(ds, os_, rtol=5e-5, atol=5e-5)
+    np.testing.assert_array_equal(dd == -1, od == -1)
+    real = dd >= 0
+    assert mask[dd[real]].all(), "ineligible doc returned"
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict & real], od[strict & real])
+
+    dd, ds = engine.search(queries, top_k=k)
+    od, os_ = oracle.search(queries, top_k=k)
+    np.testing.assert_allclose(ds, os_, rtol=2e-5, atol=1e-5)
+    strict = strict_positions(os_)
+    np.testing.assert_array_equal(dd[strict], od[strict])
