@@ -279,6 +279,43 @@ def cmd_checkpoint(args) -> int:
     return 0
 
 
+def cmd_cache(args) -> int:
+    """Persistent compile-cache lifecycle: info / export / import.
+
+    Deploy flow: ``bm25-tpu warm`` on a build host populates the cache,
+    ``cache export`` tars it with an environment manifest, ``cache
+    import`` on each serving host validates + unpacks it — the first
+    ``serve`` there starts warm instead of paying minutes of compiles.
+    """
+    from bm25_tpu.runtime import cache as cc
+
+    if args.action == "info":
+        print(json.dumps(cc.cache_info(args.dir)))
+        return 0
+    if args.archive is None:
+        print(f"error: cache {args.action} requires an archive path",
+              file=sys.stderr)
+        return 2
+    if args.action == "export":
+        try:
+            out = cc.export_cache(args.archive, path=args.dir)
+        except (FileNotFoundError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps(out))
+        return 0
+    # import
+    try:
+        out = cc.import_cache(args.archive, path=args.dir, force=args.force)
+    except (FileNotFoundError, ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    for m in out["mismatches"]:
+        print(f"warning: fingerprint mismatch ({m})", file=sys.stderr)
+    print(json.dumps(out))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bm25-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -378,6 +415,22 @@ def build_parser() -> argparse.ArgumentParser:
     pw.add_argument("--score-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     pw.set_defaults(fn=cmd_warm)
+
+    pcc = sub.add_parser(
+        "cache",
+        help="persistent compile-cache lifecycle: ship warm compiles to "
+             "new serving hosts (info / export <tar.gz> / import <tar.gz>)")
+    pcc.add_argument("action", choices=["info", "export", "import"])
+    pcc.add_argument("archive", nargs="?", default=None,
+                     help="archive path (required for export/import)")
+    pcc.add_argument("--dir", default=None,
+                     help="cache directory (default: the configured/"
+                          "BM25_TPU_COMPILE_CACHE/~/.cache/jax_bm25 dir)")
+    pcc.add_argument("--force", action="store_true",
+                     help="import even if the archive's jax/device "
+                          "fingerprint does not match this host (entries "
+                          "will simply never hit)")
+    pcc.set_defaults(fn=cmd_cache)
 
     ps = sub.add_parser("serve", help="HTTP search daemon over a saved index")
     ps.add_argument("index", nargs="?", default=None)

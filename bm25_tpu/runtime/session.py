@@ -53,7 +53,12 @@ def enable_persistent_compile_cache(path: str | None = None) -> None:
             return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
+            # don't stomp an operator's explicit threshold (e.g. 0 to
+            # persist sub-second compiles when pre-warming a cache to ship
+            # via `bm25-tpu cache export`)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
         _cache_configured = True
     except (OSError, AttributeError):  # read-only fs / old jax: best effort
         pass
