@@ -221,7 +221,13 @@ def import_cache(src: str, path: str | None = None,
             )
         os.makedirs(cache_dir, exist_ok=True)
         for m in rest:
-            tar.extract(m, cache_dir)
+            # belt and braces on top of _safe_members: the stdlib 'data'
+            # filter also strips mode bits/ownership and re-checks paths
+            # (and silences the Python 3.12+ unfiltered-extract warning)
+            try:
+                tar.extract(m, cache_dir, filter="data")
+            except TypeError:  # Python < 3.12
+                tar.extract(m, cache_dir)
     return {
         "path": cache_dir,
         "imported": len(rest),
