@@ -907,3 +907,29 @@ def dryrun_sharded_step(n_devices: int) -> None:
     dm2, _ = sp.search(queries, top_k=7, doc_mask=mask)
     np.testing.assert_array_equal(dm2 == -1, om == -1)
     assert mask[dm2[dm2 >= 0]].all()
+
+    # slot-tiled wide bucket under shard_map: a long-document corpus
+    # whose widest ELL bucket exceeds SLOT_TILE adds a third grid axis
+    # to the local-step kernel — validate the multi-chip composition
+    # compiles and matches the oracle (BASELINE Wikipedia config class)
+    from bm25_tpu.ops.ell_score import SLOT_TILE
+
+    wvocab = 2048
+    wdocs = [
+        rng.integers(0, wvocab, size=int(n)).astype(np.int32)
+        for n in rng.integers(3, 12, size=24)
+    ] + [
+        rng.choice(wvocab, size=SLOT_TILE + 104, replace=False)
+        .astype(np.int32)
+        for _ in range(4)
+    ]
+    widx = build_scored_index(wdocs, vocab_size=wvocab)
+    wsp = ShardedSparseEngine.from_scored_index(
+        widx, mesh=mesh, hot_tokens=0, max_buckets=2
+    )
+    widths = [b["tokT"].shape[0] for b in wsp.buckets if "tokT" in b]
+    assert max(widths) > SLOT_TILE, f"bucket widths {widths} single-tile"
+    wq = rng.integers(-1, wvocab, size=(6, 5), dtype=np.int32)
+    wd, ws = wsp.search(wq, top_k=5)
+    wod, wos = ReferenceEngine.from_scored_index(widx).search(wq, top_k=5)
+    np.testing.assert_allclose(ws, wos, rtol=1e-5, atol=1e-6)
