@@ -42,10 +42,22 @@ SLOT_TILE = 512
 
 
 def _slot_tiling(l_pad: int) -> tuple[int, int]:
-    """(l_tile, l_tiles) for a bucket of padded width l_pad."""
+    """(l_tile, l_tiles) for a bucket of padded width l_pad.
+
+    Tiles are BALANCED, not fixed-width: the scan covers l_tile*l_tiles
+    slots (the bucket is padded up to it), so fixed SLOT_TILE tiles
+    would scan up to SLOT_TILE-1 dead slots — measured +16% on the
+    long-document shape, where the widest bucket (1208 slots) padded to
+    3x512=1536.  Picking the tile count first and sizing tiles evenly
+    (8-aligned) bounds the waste to <8 slots per tile: 1208 -> 3x408 =
+    1224 scanned.  l_tile never exceeds SLOT_TILE, so the VMEM bound
+    that motivated tiling is preserved.
+    """
     if l_pad <= SLOT_TILE:
         return l_pad, 1
-    return SLOT_TILE, cdiv(l_pad, SLOT_TILE)
+    n = cdiv(l_pad, SLOT_TILE)
+    l_tile = next_multiple(cdiv(l_pad, n), 8)
+    return l_tile, cdiv(l_pad, l_tile)
 
 
 def max_hot_for_vmem(l_pad: int, vmem_bytes: int = 12 << 20,

@@ -60,12 +60,20 @@ def main() -> None:
     oracle = ReferenceEngine.from_scored_index(index)
     od, _ = oracle.search(queries[:64], top_k=100)
 
+    tiles = tuple(
+        int(x) for x in os.environ.get("TILES", "128,256,512,768").split(",")
+    )
+    # PIN_HOT isolates the tile effect from the VMEM-cap coupling (a
+    # smaller tile frees VMEM, raising the auto hot-tier cap)
+    pin_hot = int(os.environ.get("PIN_HOT", "0"))
+    kwargs = {"hot_tokens": pin_hot} if pin_hot else {}
+
     default = ell_score.SLOT_TILE
     try:
-        for tile in (128, 256, 512, 768):
+        for tile in tiles:
             ell_score.SLOT_TILE = tile
             eng = sparse_mod.SparseEngine.from_scored_index(
-                index, max_buckets=4)
+                index, max_buckets=4, **kwargs)
             widths = [b["tokT"].shape[0] for b in eng.buckets if "tokT" in b]
             line = f"[tile] SLOT_TILE={tile} widths={widths} hot_h={eng.hot_h}"
             for k in (1000, 100):

@@ -218,9 +218,17 @@ def test_ell_score_slot_tiled_wide_bucket():
     """Buckets wider than SLOT_TILE run the slot-tiled accumulation path
     (VMEM legality for long-document corpora) and match the lax oracle."""
     from bm25_tpu.ops.ell_score import SLOT_TILE, _slot_tiling, ell_score
+    from bm25_tpu.utils.padding import next_multiple
 
     assert _slot_tiling(SLOT_TILE) == (SLOT_TILE, 1)
-    assert _slot_tiling(SLOT_TILE + 8) == (SLOT_TILE, 2)
+    # balanced tiling: tiles are sized evenly (8-aligned) so the padded
+    # scan width l_tile*l_tiles overshoots l_pad by < 8 slots per tile
+    lt, n = _slot_tiling(SLOT_TILE + 8)
+    assert n == 2 and lt == next_multiple((SLOT_TILE + 8) // 2, 8)
+    for l_pad in (SLOT_TILE + 8, 1208, 1536, 4096, 5000):
+        lt, n = _slot_tiling(l_pad)
+        assert lt <= SLOT_TILE and lt % 8 == 0
+        assert lt * n >= l_pad and lt * n - l_pad < 8 * n
 
     rng = np.random.default_rng(7)
     rows, q, t = BLOCK_ROWS, 6, 4
