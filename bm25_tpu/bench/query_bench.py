@@ -45,6 +45,15 @@ class BenchConfig:
     # adversarial synthetic-BEIR eval shape (shrunk only by tests)
     eval_docs: int = 5000
     eval_queries: int = 50
+    # long-document row (the BASELINE Wikipedia config class): a second
+    # corpus whose article-length docs push ELL buckets past SLOT_TILE so
+    # the slot-tiled kernel path is measured on real hardware every round
+    # (0 = off).  Kept smaller than the headline corpus — it exists to
+    # characterize the wide-bucket path, not to re-run the headline
+    longdoc_docs: int = 65536
+    longdoc_long_len: int = 4000
+    longdoc_short_len: int = 150
+    longdoc_long_pct: int = 20
 
     @classmethod
     def from_env(cls) -> "BenchConfig":
@@ -87,6 +96,84 @@ def make_queries(cfg: BenchConfig) -> np.ndarray:
     cum = np.cumsum(_zipf_probs(cfg.vocab))
     q = np.searchsorted(cum, rng.random((cfg.num_queries, cfg.query_len)))
     return np.clip(q, 0, cfg.vocab - 1).astype(np.int32)
+
+
+def make_longdoc_index(cfg: BenchConfig):
+    """Mixed-length corpus: ``longdoc_long_pct`` article-length docs.
+
+    Same Zipf vocabulary as the headline corpus; the long mode's unique
+    term count per doc is what widens ELL buckets past SLOT_TILE and
+    engages the slot-tiled kernels (ops/ell_score.py::_slot_tiling)."""
+    from bm25_tpu.scoring import build_scored_index_flat
+
+    rng = np.random.default_rng(cfg.seed + 7)
+    cum = np.cumsum(_zipf_probs(cfg.vocab))
+    n = cfg.longdoc_docs
+    is_long = rng.random(n) < cfg.longdoc_long_pct / 100.0
+    lengths = np.where(
+        is_long,
+        np.maximum(cfg.longdoc_long_len // 2,
+                   rng.poisson(cfg.longdoc_long_len, n)),
+        np.maximum(8, rng.poisson(cfg.longdoc_short_len, n)),
+    ).astype(np.int32)
+    flat = np.searchsorted(
+        cum, rng.random(int(lengths.sum()))
+    ).astype(np.int32)
+    np.clip(flat, 0, cfg.vocab - 1, out=flat)
+    return build_scored_index_flat(flat, lengths, vocab_size=cfg.vocab)
+
+
+def _measure_longdoc(cfg: BenchConfig, queries: np.ndarray, log) -> dict:
+    from bm25_tpu.models.sparse import SparseEngine, choose_layout
+    from bm25_tpu.ops.ell_score import SLOT_TILE
+    from bm25_tpu.reference import ReferenceEngine
+
+    t0 = time.perf_counter()
+    index = make_longdoc_index(cfg)
+    build_s = time.perf_counter() - t0
+    k = min(cfg.top_k, cfg.longdoc_docs)
+    layout = choose_layout(index, k=k, q=cfg.batch,
+                           t=max(cfg.query_len, 8))
+    t0 = time.perf_counter()
+    engine = SparseEngine.from_scored_index(
+        index, max_buckets=layout["max_buckets"]
+    )
+    upload_s = time.perf_counter() - t0
+    widths = [b["tokT"].shape[0] for b in engine.buckets if "tokT" in b]
+    log(f"[bench] longdoc: {cfg.longdoc_docs} docs nnz={index.nnz} "
+        f"widths={widths} hot_h={engine.hot_h} "
+        f"(build {build_s:.1f}s, up {upload_s:.1f}s)")
+
+    plan = None
+    if hasattr(engine, "plan_chunks"):
+        plan = engine.plan_chunks(queries.astype(np.int32), k=k)
+    step_ms = measure_device_step_ms(engine, queries, k, plan=plan,
+                                     batch=cfg.batch)
+    nb = min(cfg.baseline_queries, len(queries))
+    docs, _ = engine.search(queries[:nb], top_k=k)
+    ref_docs, _ = ReferenceEngine.from_scored_index(index).search(
+        queries[:nb], top_k=k
+    )
+    recall = recall_at_k(np.asarray(docs), ref_docs)
+
+    from bm25_tpu.eval import index_memory_stats
+
+    mem = index_memory_stats(index, engine)
+    row = {
+        "top_k": k,
+        "num_docs": cfg.longdoc_docs,
+        "nnz": int(index.nnz),
+        "bucket_widths": widths,
+        "slot_tiled": bool(widths and max(widths) > SLOT_TILE),
+        "device_step_ms": None if step_ms is None else round(step_ms, 2),
+        "recall_vs_reference": round(recall, 4),
+        "overhead_ratio": mem.as_dict().get("overhead_ratio"),
+        "upload_init_s": round(upload_s, 1),
+    }
+    log(f"[bench] longdoc: k={k} device_step={row['device_step_ms']}ms "
+        f"recall@{k}={recall:.4f} slot_tiled={row['slot_tiled']}")
+    del engine
+    return row
 
 
 def recall_at_k(got_docs: np.ndarray, want_docs: np.ndarray) -> float:
@@ -473,6 +560,12 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
             f"device_step={parity['device_step_ms']}ms "
             f"recall@{k0}={parity['recall_vs_reference']}")
         del peng
+    elif cfg.longdoc_docs:
+        del engine  # free the headline index before the long-doc one
+
+    longdoc = None
+    if cfg.longdoc_docs:
+        longdoc = _measure_longdoc(cfg, queries, log)
 
     return {
         "metric": "bm25_query_throughput",
@@ -495,5 +588,6 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
             "index_memory": mem.as_dict(),
             "beir_synthetic_eval": beir,
             **({"memory_parity": parity} if parity is not None else {}),
+            **({"longdoc": longdoc} if longdoc is not None else {}),
         },
     }

@@ -16,6 +16,7 @@ def test_run_schema_and_memory_parity():
         num_docs=256, vocab=512, avg_len=16, num_queries=64, batch=32,
         top_k=20, top_k2=5, baseline_queries=8, engine="sparse",
         max_buckets=2, eval_docs=200, eval_queries=8,
+        longdoc_docs=96, longdoc_long_len=320, longdoc_short_len=16,
     )
     res = run(cfg, log=lambda *a: None)
 
@@ -43,13 +44,26 @@ def test_run_schema_and_memory_parity():
     # bound just pins "no hot tier" (the default engine here carries one)
     assert ratio < extra["index_memory"]["overhead_ratio"] or ratio <= 2.0
 
+    # long-document row: schema + exactness (slot_tiled only engages when
+    # a bucket exceeds SLOT_TILE — not guaranteed at this tiny shape; the
+    # kernel-level tests pin the tiled path itself)
+    ld = extra["longdoc"]
+    assert ld["top_k"] == 20 and ld["num_docs"] == 96
+    assert ld["recall_vs_reference"] == 1.0
+    # at tiny shapes the auto hot tier can absorb every posting, leaving
+    # zero ELL buckets — widths just has to be reported
+    assert ld["nnz"] > 0 and isinstance(ld["bucket_widths"], list)
+    assert isinstance(ld["slot_tiled"], bool)
+
 
 def test_memory_parity_opt_out():
     cfg = BenchConfig(
         num_docs=128, vocab=256, avg_len=12, num_queries=32, batch=16,
         top_k=10, top_k2=10, baseline_queries=4, engine="sparse",
         max_buckets=1, memory_parity=0, eval_docs=120, eval_queries=4,
+        longdoc_docs=0,
     )
     res = run(cfg, log=lambda *a: None)
     assert "memory_parity" not in res["extra"]
+    assert "longdoc" not in res["extra"]
     assert res["extra"]["headline"]["recall_vs_reference"] == 1.0
