@@ -32,6 +32,11 @@ _LAZY = {
     "StreamingIndexBuilder": ("bm25_tpu.index.streaming", "StreamingIndexBuilder"),
     "save_snapshot": ("bm25_tpu.index.snapshot", "save_snapshot"),
     "load_snapshot": ("bm25_tpu.index.snapshot", "load_snapshot"),
+    "UpdatableRetriever": ("bm25_tpu.index.updates", "UpdatableRetriever"),
+    "save_device_checkpoint": (
+        "bm25_tpu.index.device_checkpoint", "save_device_checkpoint"),
+    "load_device_checkpoint": (
+        "bm25_tpu.index.device_checkpoint", "load_device_checkpoint"),
 }
 
 
