@@ -659,3 +659,59 @@ def test_streaming_spill_file_removed_after_finalize(tmp_path):
     assert index.num_docs == 100
     leftovers = [p for p in tmp_path.iterdir() if p.name.startswith("tokens.")]
     assert leftovers == []
+
+
+def test_updatable_over_sharded_base_matches_reference_base():
+    """The docstring's 'wraps any single-chip or sharded engine' claim,
+    exercised: an UpdatableEngine over a ShardedSparseEngine (8-device CPU
+    mesh) must match one over the host oracle through adds, deletes, a
+    doc_mask, and weights."""
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    rng = np.random.default_rng(5)
+    docs_tok = [
+        rng.integers(0, 64, size=rng.integers(3, 12)).astype(np.int32)
+        for _ in range(96)
+    ]
+    idx = build_scored_index(docs_tok, vocab_size=64)
+    mesh = make_mesh(8, data=2)
+    upd_s = UpdatableEngine(
+        ShardedSparseEngine.from_scored_index(idx, mesh=mesh), idx)
+    upd_r = UpdatableEngine(ReferenceEngine.from_scored_index(idx), idx)
+
+    q = rng.integers(-1, 64, size=(6, 5)).astype(np.int32)
+
+    def check(**kw):
+        ds, ss = upd_s.search(q, top_k=10, **kw)
+        dr, sr = upd_r.search(q, top_k=10, **kw)
+        # the sharded base's f32 accumulation order differs from the
+        # oracle's at the ~1e-6 level, so a delta doc that exactly ties a
+        # base doc can legitimately swap positions (the known boundary-tie
+        # class) — require score-sequence equality and that any doc-set
+        # difference sits at the k-th score boundary
+        np.testing.assert_allclose(ss, sr, atol=2e-4)
+        for a_d, a_s, b_d, b_s in zip(ds, ss, dr, sr):
+            only = set(a_d.tolist()) ^ set(b_d.tolist())
+            only.discard(-1)
+            kth = min(a_s[-1], b_s[-1])
+            for d in only:
+                row_s, row_d = (a_s, a_d) if d in a_d else (b_s, b_d)
+                sc = float(row_s[list(row_d).index(d)])
+                assert abs(sc - kth) <= 2e-4, (d, sc, kth)
+
+    check()
+    added = [rng.integers(0, 80, size=7).astype(np.int32) for _ in range(5)]
+    ids_s = upd_s.add(added)
+    ids_r = upd_r.add(added)
+    np.testing.assert_array_equal(ids_s, ids_r)
+    check()
+    upd_s.delete([1, 3, int(ids_s[0])])
+    upd_r.delete([1, 3, int(ids_r[0])])
+    check()
+    mask = np.ones(upd_s.num_docs, bool)
+    mask[rng.choice(upd_s.num_docs, 30, replace=False)] = False
+    check(doc_mask=mask)
+    w = np.abs(rng.standard_normal(q.shape)).astype(np.float32)
+    w[q < 0] = 0.0
+    check(weights=w)
