@@ -53,6 +53,9 @@ def _slot_tiling(l_pad: int) -> tuple[int, int]:
     1224 scanned.  l_tile never exceeds SLOT_TILE, so the VMEM bound
     that motivated tiling is preserved.
     """
+    assert SLOT_TILE % 8 == 0, (
+        f"SLOT_TILE={SLOT_TILE} must be 8-aligned (balanced tiles are "
+        "8-quantized and capped at SLOT_TILE)")
     if l_pad <= SLOT_TILE:
         return l_pad, 1
     n = cdiv(l_pad, SLOT_TILE)
@@ -71,7 +74,13 @@ def max_hot_for_vmem(l_pad: int, vmem_bytes: int = 12 << 20,
     transposed group maxima.  The 12 MB default leaves ~4 MB of v5e's
     VMEM for Mosaic scratch/semaphores.
     """
-    l_tile, _ = _slot_tiling(next_multiple(max(l_pad, 1), 8))
+    # worst-case slot width over ANY bucket the build can produce under
+    # this l_pad, NOT the balanced tiling of l_pad itself: balanced tiles
+    # are non-monotonic in width (l_pad=1032 tiles at 344 while a
+    # narrower 1024-wide bucket tiles at 512), so modeling the exact
+    # tiling of the max doc nnz would inflate the hot cap past what a
+    # different bucket's wider tile leaves room for
+    l_tile = min(next_multiple(max(l_pad, 1), 8), SLOT_TILE)
     slot = 2 * 2 * l_tile * BLOCK_ROWS * 4
     fixed = tq * BLOCK_ROWS * 4 * 2 + (BLOCK_ROWS // GROUP) * tq * 4 * 2
     rem = vmem_bytes - slot - fixed

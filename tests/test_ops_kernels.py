@@ -230,6 +230,18 @@ def test_ell_score_slot_tiled_wide_bucket():
         assert lt <= SLOT_TILE and lt % 8 == 0
         assert lt * n >= l_pad and lt * n - l_pad < 8 * n
 
+    # the VMEM hot cap must model the worst-case slot width over ANY
+    # bucket (<= min(l_pad, SLOT_TILE)), not the balanced tiling of
+    # l_pad itself: balanced tiles are non-monotonic in width (1032
+    # tiles at 344 while a narrower 1024-wide bucket tiles at 512), so
+    # the cap for a wide corpus must never exceed the SLOT_TILE cap
+    from bm25_tpu.ops.ell_score import max_hot_for_vmem
+
+    cap_at_tile = max_hot_for_vmem(SLOT_TILE)
+    for l_pad in (SLOT_TILE + 8, 1032, 1208, 4096):
+        assert max_hot_for_vmem(l_pad) == cap_at_tile
+    assert max_hot_for_vmem(SLOT_TILE - 64) > cap_at_tile
+
     rng = np.random.default_rng(7)
     rows, q, t = BLOCK_ROWS, 6, 4
     l_pad = SLOT_TILE + 64  # 2 tiles, ragged final tile
