@@ -67,3 +67,18 @@ def test_memory_parity_opt_out():
     assert "memory_parity" not in res["extra"]
     assert "longdoc" not in res["extra"]
     assert res["extra"]["headline"]["recall_vs_reference"] == 1.0
+
+
+def test_longdoc_row_with_dense_headline_engine():
+    """The longdoc row frees the headline engine via the non-parity path
+    (engine='dense' skips the memory-parity block) and still reports."""
+    cfg = BenchConfig(
+        num_docs=128, vocab=256, avg_len=12, num_queries=32, batch=16,
+        top_k=10, top_k2=10, baseline_queries=4, engine="dense",
+        memory_parity=1, eval_docs=120, eval_queries=4,
+        longdoc_docs=64, longdoc_long_len=200, longdoc_short_len=12,
+    )
+    res = run(cfg, log=lambda *a: None)
+    assert "memory_parity" not in res["extra"]  # dense headline: no row
+    ld = res["extra"]["longdoc"]
+    assert ld["recall_vs_reference"] == 1.0 and ld["num_docs"] == 64
