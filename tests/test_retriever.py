@@ -134,3 +134,102 @@ def test_save_preserves_dict_corpus_metadata(tmp_path):
     assert loaded.text(0) == "quick brown fox"
     again = Retriever.load(src)
     assert again.text(1) == "lazy dog sleeps"
+
+
+# -- explain (per-term score breakdown) --------------------------------------
+
+
+def _oracle_score(r, query_ids, doc_id):
+    from bm25_tpu.reference import ReferenceEngine
+
+    eng = ReferenceEngine.from_scored_index(r.index)
+    return float(eng.get_scores(np.asarray(query_ids))[doc_id])
+
+
+def test_explain_matches_engine_scores(animal_corpus):
+    r = Retriever.fit(animal_corpus)
+    q = "does the fish purr like a cat?"
+    docs, scores = r.retrieve([q], k=4)
+    for d, s in zip(docs[0], scores[0]):
+        exp = r.explain(q, int(d))
+        assert exp["doc_id"] == int(d)
+        np.testing.assert_allclose(exp["score"], float(s), rtol=1e-5)
+        # contributions sum to the reported score
+        np.testing.assert_allclose(
+            sum(t["contribution"] for t in exp["terms"]), exp["score"],
+            rtol=1e-5,
+        )
+        # matched terms carry positive df and idf; tf_score = data value
+        for t in exp["terms"]:
+            if t["matched"]:
+                assert t["df"] > 0 and t["idf"] > 0 and t["tf_score"] > 0
+            else:
+                assert t["tf_score"] == 0.0
+
+
+def test_explain_aggregates_repeats_and_flags_oov(animal_corpus):
+    r = Retriever.fit(animal_corpus)
+    exp = r.explain("cat cat zzzunknownzzz", 0)
+    by_term = {t["term"]: t for t in exp["terms"]}
+    assert by_term["cat"]["weight"] == 2.0
+    oov = by_term["zzzunknownzzz"]
+    assert oov["token_id"] == -1 and not oov["matched"]
+    assert oov["contribution"] == 0.0
+    # repeated token scores per occurrence: equals the oracle on [cat, cat]
+    cat_id = r.index.vocab[r.tokenizer.words("cat")[0]]
+    np.testing.assert_allclose(
+        exp["score"], _oracle_score(r, [cat_id, cat_id], 0), rtol=1e-6
+    )
+
+
+def test_explain_weighted_and_multiword_terms(animal_corpus):
+    r = Retriever.fit(animal_corpus)
+    q = {"fish swims": 2.5, "purr": 0.5, "zzznope": 3.0}
+    exp = r.explain(q, 3)
+    # multi-word term contributes one entry per token at the term weight
+    fish_entries = [t for t in exp["terms"] if t["term"] == "fish swims"]
+    assert len(fish_entries) == 2
+    assert all(t["weight"] == 2.5 for t in fish_entries)
+    # OOV dict term surfaces (token_id -1, no silent drop)
+    assert any(t["term"] == "zzznope" and t["token_id"] == -1
+               for t in exp["terms"])
+    # total matches what retrieve reports for this doc
+    docs, scores = r.retrieve([q], k=4)
+    row = {int(d): float(s) for d, s in zip(docs[0], scores[0])}
+    np.testing.assert_allclose(exp["score"], row[3], rtol=1e-5)
+
+
+def test_explain_nonoccurrence_offset_methods(animal_corpus):
+    """bm25+ carries a per-query-token offset for every doc — explain must
+    include it even for unmatched tokens (reference semantics: the oracle
+    adds token_offsets[q].sum() uniformly)."""
+    from bm25_tpu.scoring import BM25Params
+
+    r = Retriever.fit(animal_corpus, params=BM25Params(method="bm25+"))
+    assert r.index.token_offsets is not None
+    # doc 1 (dog doc) does not contain "fish": offset-only contribution
+    exp = r.explain("fish", 1)
+    (t,) = exp["terms"]
+    assert not t["matched"] and t["offset"] > 0
+    np.testing.assert_allclose(t["contribution"], t["offset"], rtol=1e-6)
+    fish_id = r.index.vocab[r.tokenizer.words("fish")[0]]
+    np.testing.assert_allclose(
+        exp["score"], _oracle_score(r, [fish_id], 1), rtol=1e-6
+    )
+    # and a matched doc (3: the fish doc) combines tf_score + offset
+    exp0 = r.explain("fish", 3)
+    (t0,) = exp0["terms"]
+    assert t0["matched"]
+    np.testing.assert_allclose(
+        t0["contribution"], t0["tf_score"] + t0["offset"], rtol=1e-6
+    )
+
+
+def test_explain_validates_inputs(animal_corpus):
+    import pytest
+
+    r = Retriever.fit(animal_corpus)
+    with pytest.raises(ValueError, match="out of range"):
+        r.explain("cat", 99)
+    with pytest.raises(ValueError, match="out of range"):
+        r.explain("cat", -1)
