@@ -75,22 +75,25 @@ def cmd_query(args) -> int:
         # positional queries run first (argparse accepted them; silently
         # dropping them surprised users), then the interactive loop
         if queries:
-            _run_queries(engine, tok, index, corpus, queries, args.top_k)
+            _run_queries(engine, tok, index, corpus, queries, args.top_k,
+                         explain_n=args.explain)
         print("enter queries (empty line to quit):")
         for line in sys.stdin:
             line = line.strip()
             if not line:
                 break
-            _run_queries(engine, tok, index, corpus, [line], args.top_k)
+            _run_queries(engine, tok, index, corpus, [line], args.top_k,
+                         explain_n=args.explain)
         return 0
     if not queries:
         print("no queries given (use positional args or --interactive)", file=sys.stderr)
         return 2
-    _run_queries(engine, tok, index, corpus, queries, args.top_k)
+    _run_queries(engine, tok, index, corpus, queries, args.top_k,
+                 explain_n=args.explain)
     return 0
 
 
-def _run_queries(engine, tok, index, corpus, queries, top_k):
+def _run_queries(engine, tok, index, corpus, queries, top_k, explain_n=0):
     # Lucene-style term boosts: "fish^2.5 cat" scores fish at 2.5x
     parsed = [tok.parse_boosted(q) or q for q in queries]
     t0 = time.perf_counter()
@@ -109,6 +112,16 @@ def _run_queries(engine, tok, index, corpus, queries, top_k):
             if corpus is not None:
                 text = " " + repr(corpus[d].get("text", ""))[:80]
             print(f"  {rank + 1}. doc={d} score={s:.4f}{text}")
+            if rank < explain_n and d >= 0:
+                from bm25_tpu.scoring import explain_score
+
+                exp = explain_score(index, tok, parsed[qi], d)
+                for t in exp["terms"]:
+                    mark = "+" if t["matched"] else "-"
+                    print(f"     {mark} {t['term']!r} (token={t['token']!r} "
+                          f"id={t['token_id']} df={t['df']} "
+                          f"idf={t['idf']:.4f} weight={t['weight']:g}): "
+                          f"contribution={t['contribution']:.4f}")
 
 
 def cmd_bench(args) -> int:
@@ -341,6 +354,11 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--engine", default="auto",
                     choices=["auto", "dense", "sparse", "sharded", "sharded_sparse"])
     pq.add_argument("-i", "--interactive", action="store_true")
+    pq.add_argument(
+        "--explain", type=int, default=0, metavar="N",
+        help="print a per-term score breakdown for the top N results "
+             "of each query",
+    )
     pq.set_defaults(fn=cmd_query)
 
     pb = sub.add_parser("bench", help="run a benchmark suite (JSON to stdout)")

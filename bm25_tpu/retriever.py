@@ -139,69 +139,9 @@ class Retriever:
         contributions — equal (up to float32 accumulation order) to the
         score ``retrieve`` would report for this document.
         """
-        from bm25_tpu.scoring import idf as idf_fn
+        from bm25_tpu.scoring import explain_score
 
-        idx = self.index
-        if idx.vocab is None:
-            raise ValueError("explain needs a vocab on the index")
-        doc_id = int(doc_id)
-        if not 0 <= doc_id < idx.num_docs:
-            raise ValueError(
-                f"doc_id {doc_id} out of range [0, {idx.num_docs})"
-            )
-
-        # (display term, token string, token id, weight) — mirrors the
-        # two tokenization paths retrieve() uses
-        entries: list[tuple[str, str | None, int, float]] = []
-        vocab = idx.vocab
-        if isinstance(query, dict):
-            for term, wt in query.items():
-                toks = self.tokenizer.words(str(term))
-                if not toks:
-                    entries.append((str(term), None, -1, float(wt)))
-                for w in toks:
-                    entries.append((str(term), w, vocab.get(w, -1), float(wt)))
-        else:
-            agg: dict[str, int] = {}
-            for w in self.tokenizer.words(str(query)):
-                agg[w] = agg.get(w, 0) + 1
-            entries = [(w, w, vocab.get(w, -1), float(c))
-                       for w, c in agg.items()]
-
-        df_all = idx.df()
-        method = idx.params.effective_idf_method
-        terms = []
-        total = np.float32(0.0)
-        for term, token, tok_id, weight in entries:
-            if tok_id >= 0:
-                lo, hi = int(idx.indptr[tok_id]), int(idx.indptr[tok_id + 1])
-                # postings are doc-id ascending (invariant pinned by tests)
-                j = lo + int(np.searchsorted(idx.indices[lo:hi], doc_id))
-                matched = j < hi and int(idx.indices[j]) == doc_id
-                tf_score = float(idx.data[j]) if matched else 0.0
-                offset = (float(idx.token_offsets[tok_id])
-                          if idx.token_offsets is not None else 0.0)
-                df = int(df_all[tok_id])
-                idf_val = float(
-                    idf_fn(method, idx.num_docs, np.asarray([df]))[0]
-                )
-            else:
-                matched, tf_score, offset, df, idf_val = False, 0.0, 0.0, 0, 0.0
-            contribution = np.float32(weight) * np.float32(tf_score + offset)
-            total = total + contribution
-            terms.append({
-                "term": term,
-                "token": token,
-                "token_id": int(tok_id),
-                "weight": float(weight),
-                "df": df,
-                "idf": idf_val,
-                "tf_score": tf_score,
-                "offset": offset,
-                "contribution": float(contribution),
-                "matched": bool(matched),
-            })
-        return {"doc_id": doc_id, "score": float(total), "terms": terms}
+        return explain_score(self.index, self.tokenizer, query, doc_id)
 
     def text(self, doc_id: int) -> str:
         if self.corpus is None:

@@ -304,3 +304,83 @@ def build_scored_index_flat(
         vocab=vocab,
         token_offsets=token_offsets,
     )
+
+
+def explain_score(index: ScoredIndex, tokenizer, query, doc_id: int) -> dict:
+    """Per-term score breakdown for one (query, document) pair.
+
+    Lucene-``explain``-style relevance debugging, absent from the
+    reference: decomposes exactly the quantity the engines score
+    (reference semantics ``/root/reference/bm25_native.py:129-158`` —
+    sum of gathered pre-scored CSC columns, plus the per-token
+    nonoccurrence offset for bm25l/bm25+) into one entry per query
+    term, so "why did/didn't this document rank" is answerable.
+
+    ``query`` is a plain string or a ``{term: weight}`` mapping — the
+    same surface the retrieval paths accept.  Plain-query duplicates
+    aggregate into one entry with their occurrence count as the weight
+    (the engines score per occurrence; the sum is identical).
+    OOV/stopword-only terms appear with ``token_id=-1`` and zero
+    contribution rather than being silently dropped.
+
+    Returns ``{"doc_id", "score", "terms": [{"term", "token",
+    "token_id", "weight", "df", "idf", "tf_score", "offset",
+    "contribution", "matched"}, ...]}`` where ``score`` is the sum of
+    contributions — equal (up to float32 accumulation order) to the
+    score a search would report for this document.
+    """
+    if index.vocab is None:
+        raise ValueError("explain needs a vocab on the index")
+    doc_id = int(doc_id)
+    if not 0 <= doc_id < index.num_docs:
+        raise ValueError(f"doc_id {doc_id} out of range [0, {index.num_docs})")
+
+    # (display term, token string, token id, weight) — mirrors the two
+    # tokenization paths the retrieval surfaces use
+    entries: list[tuple[str, str | None, int, float]] = []
+    vocab = index.vocab
+    if isinstance(query, dict):
+        for term, wt in query.items():
+            toks = tokenizer.words(str(term))
+            if not toks:
+                entries.append((str(term), None, -1, float(wt)))
+            for w in toks:
+                entries.append((str(term), w, vocab.get(w, -1), float(wt)))
+    else:
+        agg: dict[str, int] = {}
+        for w in tokenizer.words(str(query)):
+            agg[w] = agg.get(w, 0) + 1
+        entries = [(w, w, vocab.get(w, -1), float(c)) for w, c in agg.items()]
+
+    df_all = index.df()
+    method = index.params.effective_idf_method
+    terms = []
+    total = np.float32(0.0)
+    for term, token, tok_id, weight in entries:
+        if tok_id >= 0:
+            lo, hi = int(index.indptr[tok_id]), int(index.indptr[tok_id + 1])
+            # postings are doc-id ascending (invariant pinned by tests)
+            j = lo + int(np.searchsorted(index.indices[lo:hi], doc_id))
+            matched = j < hi and int(index.indices[j]) == doc_id
+            tf_score = float(index.data[j]) if matched else 0.0
+            offset = (float(index.token_offsets[tok_id])
+                      if index.token_offsets is not None else 0.0)
+            df = int(df_all[tok_id])
+            idf_val = float(idf(method, index.num_docs, np.asarray([df]))[0])
+        else:
+            matched, tf_score, offset, df, idf_val = False, 0.0, 0.0, 0, 0.0
+        contribution = np.float32(weight) * np.float32(tf_score + offset)
+        total = total + contribution
+        terms.append({
+            "term": term,
+            "token": token,
+            "token_id": int(tok_id),
+            "weight": float(weight),
+            "df": df,
+            "idf": idf_val,
+            "tf_score": tf_score,
+            "offset": offset,
+            "contribution": float(contribution),
+            "matched": bool(matched),
+        })
+    return {"doc_id": doc_id, "score": float(total), "terms": terms}

@@ -13,6 +13,11 @@ Stdlib-only JSON-over-HTTP:
                    "filter_ids": [id, ...] restricts results to that doc
                    allowlist (filtered search, exact on-device masking;
                    rows end early when fewer docs are eligible than top_k)
+    POST /explain  {"query": "text" | {term: weight}, "doc_id": N}
+                -> per-term score breakdown for that (query, doc) pair
+                   (scoring.explain_score; host-side, no device work).
+                   409 when no host index matches the served docs
+                   (updatable or device-checkpoint serving)
     POST /reload   {"index_dir": "..."} (optional; defaults to the served
                    dir) — load the index fresh and swap the engine
                    atomically; in-flight requests finish on the old engine
@@ -90,6 +95,10 @@ class EngineRuntime:
     vocab: dict
     corpus: object | None
     stats: dict = field(default_factory=dict)
+    # host ScoredIndex backing /explain; None when no host CSC matches the
+    # served docs (updatable serving: adds/compaction remap ids past the
+    # base index; device-checkpoint serving: no host index at all)
+    index: object | None = None
 
 
 class CorpusView:
@@ -591,6 +600,9 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         if self.path in ("/add", "/delete", "/compact"):
             self._do_update()
             return
+        if self.path == "/explain":
+            self._do_explain()
+            return
         if self.path != "/search":
             self._send(404, {"error": "not found"})
             return
@@ -605,6 +617,41 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         finally:
             if srv is not None:
                 srv._inflight_exit()
+
+    def _do_explain(self):
+        """POST /explain {"query": str | {term: weight}, "doc_id": N} —
+        per-term score breakdown (host-side; never touches the device)."""
+        rt = self.runtime
+        try:
+            req = self._read_body()
+            query = req.get("query")
+            # reuse the /search query validation (type/term/weight caps)
+            _validate_request(
+                {"queries": [query], "top_k": 1}, self.limits
+            )
+            doc_id = req.get("doc_id")
+            if not isinstance(doc_id, int) or isinstance(doc_id, bool):
+                raise ValueError("'doc_id' must be an integer")
+        except (TypeError, ValueError, json.JSONDecodeError) as e:
+            self._send(400, {"error": str(e)})
+            return
+        if rt.index is None:
+            self._send(409, {"error": (
+                "explain unavailable: no host index matches the served "
+                "docs (updatable or device-checkpoint serving)"
+            )})
+            return
+        from bm25_tpu.scoring import explain_score
+
+        t0 = time.monotonic()
+        try:
+            out = explain_score(rt.index, rt.tokenizer, query, doc_id)
+        except ValueError as e:
+            self._send(400, {"error": str(e)})
+            return
+        if self.metrics is not None:
+            self.metrics.record(1, time.monotonic() - t0)
+        self._send(200, out)
 
     def _do_search(self):
         rt = self.runtime  # one snapshot: engine+vocab+corpus stay coherent
@@ -1000,7 +1047,8 @@ class Server:
 
         tok = load_tokenizer_config(index_dir) or Tokenizer()
         return EngineRuntime(engine=engine, tokenizer=tok,
-                             vocab=index.vocab, corpus=corpus, stats=stats)
+                             vocab=index.vocab, corpus=corpus, stats=stats,
+                             index=None if self._updatable else index)
 
     def _build_runtime(self, index_dir: str,
                        batch_window_ms: float = 0.0) -> EngineRuntime:

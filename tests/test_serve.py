@@ -1633,3 +1633,47 @@ def test_compact_apply_failure_poisons_mutations(tmp_path_factory, request):
         assert srv2._handler.runtime.engine.delta_docs == 1
     finally:
         srv2.shutdown()
+
+
+# -- /explain (per-term score breakdown) ------------------------------------
+
+
+def test_explain_endpoint_matches_search(server):
+    q = "does the fish purr like a cat?"
+    out = _post(server, {"queries": [q], "top_k": 2})
+    top = out["results"][0][0]
+    exp = _post_path(server, "/explain", {"query": q, "doc_id": top["doc"]})
+    assert exp["doc_id"] == top["doc"]
+    assert abs(exp["score"] - top["score"]) < 1e-4
+    matched = [t for t in exp["terms"] if t["matched"]]
+    assert matched and all(t["df"] > 0 for t in matched)
+    # weighted form works too
+    expw = _post_path(
+        server, "/explain", {"query": {"cat": 2.0}, "doc_id": 0}
+    )
+    (t,) = expw["terms"]
+    assert t["weight"] == 2.0 and t["matched"]
+
+
+def test_explain_endpoint_validation(server):
+    for bad in (
+        {"query": "cat"},                        # missing doc_id
+        {"query": "cat", "doc_id": "zero"},      # non-int doc_id
+        {"query": "cat", "doc_id": True},        # bool is not a doc id
+        {"query": "cat", "doc_id": 99},          # out of range
+        {"doc_id": 0},                           # missing query
+        {"query": ["cat"], "doc_id": 0},         # wrong query type
+        {"query": {"cat": float("inf")}, "doc_id": 0},  # non-finite weight
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(server, "/explain", bad)
+        assert e.value.code == 400
+
+
+def test_explain_unavailable_on_updatable(upd_server):
+    """Updatable serving has no host CSC matching live ids -> 409, not
+    wrong answers."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_path(upd_server, "/explain", {"query": "cat", "doc_id": 0})
+    assert e.value.code == 409
+    assert "explain unavailable" in json.loads(e.value.read())["error"]
