@@ -9,7 +9,8 @@ Import layering: ``import bm25_tpu`` stays host-only (numpy/scipy); JAX is
 pulled in lazily on first access to device engines / ops / parallel.
 """
 
-from bm25_tpu.scoring import BM25Params, ScoredIndex, build_scored_index
+from bm25_tpu.scoring import (
+    BM25Params, ScoredIndex, build_scored_index, explain_score)
 from bm25_tpu.reference import ReferenceEngine, topk_descending
 from bm25_tpu.text.tokenizer import Tokenizer, TokenizedCorpus, pad_token_lists
 from bm25_tpu.index.builder import build_index
@@ -51,7 +52,7 @@ def __getattr__(name):
 
 
 __all__ = [
-    "BM25Params", "ScoredIndex", "build_scored_index",
+    "BM25Params", "ScoredIndex", "build_scored_index", "explain_score",
     "ReferenceEngine", "topk_descending",
     "Tokenizer", "TokenizedCorpus", "pad_token_lists",
     "build_index", "load_index", "save_index", "MMapCorpus",
