@@ -33,7 +33,12 @@ def _device_time(a, b, algo: str, iters: int) -> float:
         def f(a, b):
             def body(i, acc):
                 out = matmul(a + acc * 0, b, algorithm=algo)
-                return out[0, 0]
+                # consume the FULL output: an `out[0, 0]` consumption let
+                # XLA slice-simplify jnp.dot to a single output element
+                # (measured: "xla" reported 2000+ fake TFLOPS once, 0.5
+                # real GFLOPS another time, both artifacts); max() needs
+                # every element and has no algebraic shortcut
+                return jnp.max(out).astype(jnp.float32)
 
             return lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -41,7 +46,7 @@ def _device_time(a, b, algo: str, iters: int) -> float:
 
     def timed(fn):
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             float(fn(a, b))
             best = min(best, time.perf_counter() - t0)
@@ -55,8 +60,16 @@ def _device_time(a, b, algo: str, iters: int) -> float:
 
 
 def bench_matmul(m: int = 1028, k: int = 1028, n: int = 1028,
-                 iters: int = 10, algorithms=("xla", "naive", "optimized"),
+                 iters: int = 2048, algorithms=("xla", "naive", "optimized"),
                  log=print) -> list[dict]:
+    """Benchmark the matmul algorithms at the reference's problem size.
+
+    ``iters`` must be large enough that the chained device time dwarfs
+    host/relay timing noise: the 1028^3 problem runs in ~11 us at the
+    MXU ceiling, so a 30-iteration chain (~0.3 ms) vanishes inside ~1 ms
+    of relay jitter and over-reports by orders of magnitude (observed);
+    2048 iterations put even the fastest algorithm at ~20+ ms.
+    """
     rng = np.random.default_rng(0)
     a = jax.device_put(rng.random((m, k), dtype=np.float32))
     b = jax.device_put(rng.random((k, n), dtype=np.float32))

@@ -33,6 +33,24 @@ def _pad2(x, m, n):
     return x
 
 
+def _auto_tile(dim: int, candidates: tuple[int, ...]) -> int:
+    """Largest tile with <= 12.5% pad waste, else the least-padding one.
+
+    Tile choice is a padded-FLOPs vs MXU-efficiency trade (measured sweep
+    in scripts/exp_matmul_tiles.py: (1024, 512, 512) wins at 2048/4096
+    cubed, but a 1024-wide N tile would DOUBLE the work at n=1028) — so
+    prefer big tiles only when the padding they induce is small.
+    """
+    best = None
+    for c in sorted(candidates, reverse=True):
+        padded = next_multiple(dim, c)
+        if padded <= dim * 1.125:
+            return c
+        if best is None or padded < best[0]:
+            best = (padded, c)
+    return best[1]
+
+
 def _naive_kernel(a_ref, b_ref, o_ref):
     o_ref[:] = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32).astype(
         o_ref.dtype
@@ -60,11 +78,16 @@ def matmul(
     a: jax.Array,
     b: jax.Array,
     algorithm: str = "optimized",
-    tile_m: int = 256,
-    tile_n: int = 256,
-    tile_k: int = 512,
+    tile_m: int | None = None,
+    tile_n: int | None = None,
+    tile_k: int | None = None,
 ) -> jax.Array:
-    """C = A @ B with a selectable kernel (reference graph.py:24 semantics)."""
+    """C = A @ B with a selectable kernel (reference graph.py:24 semantics).
+
+    Tiles default to an auto choice (``_auto_tile``) that reproduces the
+    measured sweep optimum (scripts/exp_matmul_tiles.py): (1024, 512, 512)
+    at MXU-aligned sizes, smaller tiles when padding would dominate.
+    """
     if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[0]:
         raise ValueError(f"incompatible shapes {a.shape} @ {b.shape}")
     if algorithm == "xla":
@@ -78,8 +101,21 @@ def matmul(
     interpret = jax.devices()[0].platform != "tpu"
 
     if algorithm == "naive":
-        tm = min(next_multiple(m, 8), tile_m)
-        tn = min(next_multiple(n, 128), tile_n)
+        tm = min(next_multiple(m, 8), tile_m or 256)
+        tn = min(next_multiple(n, 128), tile_n or 256)
+        # full-K strips must fit VMEM with Pallas double-buffering; shrink
+        # the tile until ~2x the live blocks stay under budget (fixes an
+        # HBM/VMEM OOM first seen at 4096^3: 2 x (4 MB + 4 MB) strips)
+        budget = 10 << 20
+        kb = next_multiple(k, 128) * a.dtype.itemsize
+
+        def strip_bytes(tm_, tn_):
+            return 2 * (tm_ * kb + kb * tn_ + tm_ * tn_ * 4)
+
+        while strip_bytes(tm, tn) > budget and tm > 8:
+            tm //= 2
+        while strip_bytes(tm, tn) > budget and tn > 128:
+            tn //= 2
         ap = _pad2(a, tm, 1)
         bp = _pad2(b, 1, tn)
         grid = (ap.shape[0] // tm, bp.shape[1] // tn)
@@ -99,9 +135,23 @@ def matmul(
         return out[:m, :n]
 
     if algorithm == "optimized":
-        tm = min(next_multiple(m, 8), tile_m)
-        tn = min(next_multiple(n, 128), tile_n)
-        tk = min(next_multiple(k, 128), tile_k)
+        tm = min(next_multiple(m, 8), tile_m or _auto_tile(m, (1024, 512, 256)))
+        tn = min(next_multiple(n, 128), tile_n or _auto_tile(n, (512, 256)))
+        if tile_k is None:
+            # K-splitting costs accumulator traffic; prefer the largest
+            # K tile (ideally all of K: k_steps=1, no accumulation loop)
+            # whose double-buffered a/b blocks + out/acc fit VMEM
+            full_k = next_multiple(k, 128)
+            isz = a.dtype.itemsize
+            fixed = tm * tn * (4 + a.dtype.itemsize)
+            tk = 512
+            for c in (full_k, 2048, 1024):
+                if c <= full_k and 2 * (tm + tn) * c * isz + fixed <= 12 << 20:
+                    tk = c
+                    break
+        else:
+            tk = tile_k
+        tk = min(next_multiple(k, 128), tk)
         ap = _pad2(a, tm, tk)
         bp = _pad2(b, tk, tn)
         k_steps = ap.shape[1] // tk
