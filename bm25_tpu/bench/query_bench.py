@@ -199,9 +199,14 @@ def _time_step_chunk(engine, step, ids, cold, iters: int) -> float:
         # relay rejects the oversized program with HTTP 413)
         def probe(out):
             # packed steps return one array; unpacked (>= 2^24 docs) and
-            # non-f32 score_dtype steps return a (scores, docs) tuple
+            # non-f32 score_dtype steps return a (scores, docs) tuple.
+            # Consume via a FULL reduction: a [0, 0] element probe risks
+            # XLA slicing work away (it gutted the matmul bench — see
+            # bench/matmul_bench.py); on-chip A/B (scripts/exp_probe_ab
+            # .py) shows both probes time identically here, so this is
+            # insurance, not a correction
             leaf = out[0] if isinstance(out, tuple) else out
-            return leaf[0, 0].astype(jnp.float32)
+            return jnp.max(leaf).astype(jnp.float32)
 
         if cold is None:
             @jax.jit
