@@ -60,7 +60,8 @@ def _device_time(a, b, algo: str, iters: int) -> float:
 
 
 def bench_matmul(m: int = 1028, k: int = 1028, n: int = 1028,
-                 iters: int = 2048, algorithms=("xla", "naive", "optimized"),
+                 iters: int | None = None,
+                 algorithms=("xla", "naive", "optimized"),
                  log=print) -> list[dict]:
     """Benchmark the matmul algorithms at the reference's problem size.
 
@@ -68,8 +69,13 @@ def bench_matmul(m: int = 1028, k: int = 1028, n: int = 1028,
     host/relay timing noise: the 1028^3 problem runs in ~11 us at the
     MXU ceiling, so a 30-iteration chain (~0.3 ms) vanishes inside ~1 ms
     of relay jitter and over-reports by orders of magnitude (observed);
-    2048 iterations put even the fastest algorithm at ~20+ ms.
+    2048 iterations put even the fastest algorithm at ~20+ ms.  On
+    non-TPU hosts the Pallas kernels run in interpret mode (10-100x
+    slower), so the default drops to a chain that finishes in minutes —
+    those numbers characterize the harness, not the hardware, anyway.
     """
+    if iters is None:
+        iters = 2048 if jax.devices()[0].platform == "tpu" else 10
     rng = np.random.default_rng(0)
     a = jax.device_put(rng.random((m, k), dtype=np.float32))
     b = jax.device_put(rng.random((k, n), dtype=np.float32))

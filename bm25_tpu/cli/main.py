@@ -309,18 +309,21 @@ def cmd_cache(args) -> int:
         print(f"error: cache {args.action} requires an archive path",
               file=sys.stderr)
         return 2
+    import tarfile
+
     if args.action == "export":
         try:
             out = cc.export_cache(args.archive, path=args.dir)
-        except (FileNotFoundError, ValueError) as e:
+        except (FileNotFoundError, ValueError, OSError, tarfile.TarError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
         print(json.dumps(out))
         return 0
-    # import
+    # import — tarfile.ReadError (corrupt/truncated/non-gzip archive) is a
+    # TarError, not an OSError; catch it so a bad file gets the clean path
     try:
         out = cc.import_cache(args.archive, path=args.dir, force=args.force)
-    except (FileNotFoundError, ValueError, OSError) as e:
+    except (FileNotFoundError, ValueError, OSError, tarfile.TarError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     for m in out["mismatches"]:

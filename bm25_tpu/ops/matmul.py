@@ -51,6 +51,24 @@ def _auto_tile(dim: int, candidates: tuple[int, ...]) -> int:
     return best[1]
 
 
+def _shrink_naive_tiles(tm: int, tn: int, kb: int, budget: int) -> tuple[int, int]:
+    """Shrink (tm, tn) until double-buffered full-K strips fit ``budget``.
+
+    Tiles stay Mosaic-legal for f32: sublane tiles are multiples of 8
+    (floor 8), lane tiles multiples of 128 (floor 128) — a bare halving
+    could land on e.g. tm=6 and fail to compile on hardware.
+    """
+
+    def strip_bytes(tm_, tn_):
+        return 2 * (tm_ * kb + kb * tn_ + tm_ * tn_ * 4)
+
+    while strip_bytes(tm, tn) > budget and tm > 8:
+        tm = max(8, next_multiple(tm // 2, 8))
+    while strip_bytes(tm, tn) > budget and tn > 128:
+        tn = max(128, next_multiple(tn // 2, 128))
+    return tm, tn
+
+
 def _naive_kernel(a_ref, b_ref, o_ref):
     o_ref[:] = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32).astype(
         o_ref.dtype
@@ -106,16 +124,8 @@ def matmul(
         # full-K strips must fit VMEM with Pallas double-buffering; shrink
         # the tile until ~2x the live blocks stay under budget (fixes an
         # HBM/VMEM OOM first seen at 4096^3: 2 x (4 MB + 4 MB) strips)
-        budget = 10 << 20
         kb = next_multiple(k, 128) * a.dtype.itemsize
-
-        def strip_bytes(tm_, tn_):
-            return 2 * (tm_ * kb + kb * tn_ + tm_ * tn_ * 4)
-
-        while strip_bytes(tm, tn) > budget and tm > 8:
-            tm //= 2
-        while strip_bytes(tm, tn) > budget and tn > 128:
-            tn //= 2
+        tm, tn = _shrink_naive_tiles(tm, tn, kb, budget=10 << 20)
         ap = _pad2(a, tm, 1)
         bp = _pad2(b, 1, tn)
         grid = (ap.shape[0] // tm, bp.shape[1] // tn)

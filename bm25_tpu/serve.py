@@ -591,7 +591,12 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
                 f"request body {length} bytes exceeds the cap of "
                 f"{self.limits.max_body_bytes}"
             )
-        return json.loads(self.rfile.read(length) or b"{}")
+        body = json.loads(self.rfile.read(length) or b"{}")
+        if not isinstance(body, dict):
+            # every endpoint reads fields via .get(); a top-level list/str/
+            # number would otherwise escape as AttributeError (conn reset)
+            raise ValueError("request body must be a JSON object")
+        return body
 
     def do_POST(self):
         if self.path == "/reload":
@@ -634,6 +639,12 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
                 raise ValueError("'doc_id' must be an integer")
         except (TypeError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
+            return
+        if rt.engine is None:
+            # a mode="drop" reload is rebuilding the runtime: retryable,
+            # unlike the permanent 409 below (the stub runtime also has
+            # index=None, which would misreport this window as permanent)
+            self._send(503, {"error": "index reloading; retry shortly"})
             return
         if rt.index is None:
             self._send(409, {"error": (

@@ -28,7 +28,10 @@ def device_time(fn, *args, iters=30, reps=5):
         def f(*a):
             def body(i, acc):
                 out = fn(a[0] + acc * 0, *a[1:])
-                return out.ravel()[0].astype(jnp.float32)
+                # max-reduce: a single-element probe lets XLA slice-simplify
+                # jnp.dot down to one output element (measured 2000+ fake
+                # TFLOPS); the max depends on every element
+                return jnp.max(out).astype(jnp.float32)
 
             return lax.fori_loop(0, n, body, jnp.float32(0))
 

@@ -108,6 +108,25 @@ def test_matmul_shape_error():
         matmul(jnp.zeros((2, 3)), jnp.zeros((4, 5)))
 
 
+def test_naive_tile_shrink_stays_mosaic_legal():
+    """The VMEM shrink loop must never emit a sublane tile below 8 or off
+    8-alignment (e.g. 48 -> 24 -> 12 -> 6 under a bare halving), nor a
+    lane tile off 128-alignment — those fail to compile on hardware."""
+    from bm25_tpu.ops.matmul import _shrink_naive_tiles
+
+    kb = 8192 * 4  # f32 K=8192 row bytes: forces deep shrinking
+    for tm0 in (48, 24, 40, 256, 8):
+        for tn0 in (256, 128, 384):
+            tm, tn = _shrink_naive_tiles(tm0, tn0, kb, budget=10 << 20)
+            assert tm >= 8 and tm % 8 == 0, (tm0, tn0, tm)
+            assert tn >= 128 and tn % 128 == 0, (tm0, tn0, tn)
+            # and the result actually meets the budget when shrunk to floor
+            if (tm, tn) != (tm0, tn0):
+                assert 2 * (tm * kb + kb * tn + tm * tn * 4) <= 10 << 20 or (
+                    tm == 8 and tn == 128
+                )
+
+
 # -- shape ops ------------------------------------------------------------------
 
 

@@ -63,6 +63,22 @@ def test_unknown_route(server):
     assert e.value.code == 404
 
 
+def test_non_object_body_rejected(server):
+    """A top-level JSON list/string/number gets a clean 400 on every
+    endpoint (previously an AttributeError -> connection reset)."""
+    # (/add checks --updatable before parsing, so it 400s either way)
+    for path in ("/search", "/explain", "/reload"):
+        for raw in (b"[1,2]", b'"x"', b"3"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}{path}", data=raw,
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=30)
+            assert e.value.code == 400, (path, raw)
+            assert "JSON object" in json.loads(e.value.read())["error"]
+
+
 def test_healthz_deep(server):
     with urllib.request.urlopen(
         f"http://127.0.0.1:{server.port}/healthz?deep=1", timeout=60
@@ -660,16 +676,25 @@ def test_reload_drop_mode_releases_engine_and_503s(tmp_path_factory, request):
         )
         t.start()
         deadline = _t.monotonic() + 5
-        saw_503 = False
-        while _t.monotonic() < deadline and not saw_503:
+        saw_503 = saw_503_explain = False
+        while _t.monotonic() < deadline and not (saw_503 and saw_503_explain):
             try:
                 _post(srv, {"queries": ["cat"], "top_k": 1})
             except urllib.error.HTTPError as e:
-                saw_503 = e.code == 503
+                saw_503 = saw_503 or e.code == 503
+            try:
+                # /explain must report the same retryable 503 in the
+                # rebuild window, not the permanent-sounding 409 the
+                # stub runtime's index=None would otherwise trigger
+                _post_path(srv, "/explain", {"query": "cat", "doc_id": 0})
+            except urllib.error.HTTPError as e:
+                assert e.code != 409, "explain 409'd during a reload window"
+                saw_503_explain = saw_503_explain or e.code == 503
             _t.sleep(0.02)
         gate.set()
         t.join(timeout=30)
         assert saw_503, "drop-mode reload never exposed the 503 window"
+        assert saw_503_explain, "explain never exposed the 503 window"
         # and the server recovers with the (re)loaded index
         out = _post(srv, {"queries": ["cat"], "top_k": 1})
         assert "feline" in out["results"][0][0]["text"]
