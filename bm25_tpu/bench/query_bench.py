@@ -54,6 +54,10 @@ class BenchConfig:
     longdoc_long_len: int = 4000
     longdoc_short_len: int = 150
     longdoc_long_pct: int = 20
+    # sharded-engine row (0 = off): ShardedSparseEngine over the local
+    # mesh — a 1-device mesh on the driver's single chip (hardware proof
+    # of the shard_map + merge path each round), real scaling on a slice
+    sharded_docs: int = 131072
 
     @classmethod
     def from_env(cls) -> "BenchConfig":
@@ -172,6 +176,103 @@ def _measure_longdoc(cfg: BenchConfig, queries: np.ndarray, log) -> dict:
     }
     log(f"[bench] longdoc: k={k} device_step={row['device_step_ms']}ms "
         f"recall@{k}={recall:.4f} slot_tiled={row['slot_tiled']}")
+    del engine
+    return row
+
+
+def measure_sharded_step_ms(engine, queries: np.ndarray, k: int,
+                            iters: int = 5) -> float | None:
+    """Relay-proof device-step timing for ShardedSparseEngine.
+
+    Same dependency-chained fori_loop as ``measure_device_step_ms`` (one
+    host fetch for N chained steps) over the engine's own production step
+    (``bench_step_fn``), so the figure is the pure shard_map step —
+    local scan + selection + the ICI all-gather merge — not relay I/O.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    if not isinstance(engine, ShardedSparseEngine):
+        return None
+    step, args, _ = engine.bench_step_fn(queries.astype(np.int32), k)
+
+    def looped(n):
+        @jax.jit
+        def f(*a):
+            def body(i, acc):
+                out = step(a[0], a[1] + (acc * 0).astype(jnp.int32), *a[2:])
+                leaf = out[0] if isinstance(out, tuple) else out
+                return jnp.max(leaf).astype(jnp.float32)
+
+            return lax.fori_loop(0, n, body, jnp.float32(0))
+
+        return f
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    f1, fn_ = looped(1), looped(iters)
+    float(f1(*args))  # compile + warm
+    float(fn_(*args))
+    t1, tn = timed(f1), timed(fn_)
+    return max((tn - t1) / (iters - 1), 0.0) * 1e3
+
+
+def _measure_sharded(cfg: BenchConfig, log) -> dict:
+    """Sharded-engine row: ShardedSparseEngine over the local mesh.
+
+    On the driver's single real chip this is a (data=1, docs=1) mesh —
+    it proves the shard_map + ICI-merge path compiles, runs, and stays
+    exact ON HARDWARE every round, and its device step vs the single-chip
+    engine bounds the sharding machinery's overhead at S=1.  On a
+    multi-chip slice the same row becomes the scaling measurement.
+    """
+    import dataclasses
+
+    from bm25_tpu.parallel.mesh import make_mesh
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+    from bm25_tpu.reference import ReferenceEngine
+
+    scfg = dataclasses.replace(cfg, num_docs=cfg.sharded_docs)
+    t0 = time.perf_counter()
+    index = make_synthetic_index(scfg)
+    build_s = time.perf_counter() - t0
+    queries = make_queries(scfg)
+    k = min(cfg.top_k, cfg.sharded_docs)
+
+    mesh = make_mesh()
+    t0 = time.perf_counter()
+    engine = ShardedSparseEngine.from_scored_index(index, mesh=mesh)
+    upload_s = time.perf_counter() - t0
+    log(f"[bench] sharded: mesh={dict(mesh.shape)} {cfg.sharded_docs} docs "
+        f"nnz={index.nnz} hot_h={engine.hot_h} "
+        f"(build {build_s:.1f}s, up {upload_s:.1f}s)")
+
+    step_ms = measure_sharded_step_ms(engine, queries, k)
+    nb = min(cfg.baseline_queries, len(queries))
+    docs, _ = engine.search(queries[:nb], top_k=k)
+    ref_docs, _ = ReferenceEngine.from_scored_index(index).search(
+        queries[:nb], top_k=k
+    )
+    recall = recall_at_k(np.asarray(docs), ref_docs)
+    row = {
+        "top_k": k,
+        "num_docs": cfg.sharded_docs,
+        "mesh": {str(ax): int(n) for ax, n in mesh.shape.items()},
+        "device_step_ms": None if step_ms is None else round(step_ms, 2),
+        "recall_vs_reference": round(recall, 4),
+        "upload_init_s": round(upload_s, 1),
+    }
+    log(f"[bench] sharded: k={k} device_step={row['device_step_ms']}ms "
+        f"recall@{k}={recall:.4f}")
     del engine
     return row
 
@@ -572,6 +673,10 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
     if cfg.longdoc_docs:
         longdoc = _measure_longdoc(cfg, queries, log)
 
+    sharded = None
+    if cfg.sharded_docs:
+        sharded = _measure_sharded(cfg, log)
+
     return {
         "metric": "bm25_query_throughput",
         "value": head["qps"],
@@ -594,5 +699,6 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
             "beir_synthetic_eval": beir,
             **({"memory_parity": parity} if parity is not None else {}),
             **({"longdoc": longdoc} if longdoc is not None else {}),
+            **({"sharded": sharded} if sharded is not None else {}),
         },
     }

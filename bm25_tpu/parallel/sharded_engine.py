@@ -717,6 +717,64 @@ class ShardedSparseEngine:
         return self._dispatch(queries, top_k, weights, ids_only=True,
                               doc_mask=doc_mask)
 
+    def bench_step_fn(self, queries: np.ndarray, top_k: int):
+        """Compiled production step + device args for the FIRST planned
+        chunk (unweighted, unmasked, scores+ids).
+
+        The bench harness needs the raw jitted step for relay-proof
+        dependency-chained timing (see ``bench/query_bench.py::
+        measure_sharded_step_ms``); keep the planning/config here in
+        sync with ``_dispatch``.  Returns ``(fn, args, n_chunks)`` where
+        ``args[1]`` is the padded (Q, T) query operand.
+        """
+        from bm25_tpu.models.sparse import (
+            _score_sdt, chunk_c0_units, plan_query_dispatch)
+
+        queries, _ = validate_query_batch(queries, self.vocab_size, None)
+        k = min(top_k, self.num_docs)
+        n_data = self.mesh.shape[DATA_AXIS]
+        _, chunks = plan_query_dispatch(
+            queries, None,
+            hot_table_host=self.hot_table_host, hot_h=self.hot_h,
+            has_scan=any("tokT" in b for b in self.buckets),
+            route=self.route_cold,
+            route_min_queries=self.route_min_queries,
+            max_q=next_multiple(self._max_chunk(), 8 * n_data),
+            q_align=8 * n_data,
+            c0_units=chunk_c0_units(k),
+        )
+        _cq, padded, _w, cold_padded, _wc = chunks[0]
+        split = cold_padded is not None
+        if self.k_local == "auto":
+            kl = choose_k_local(k, self.mesh.shape[DOC_AXIS])
+        else:
+            kl = self.k_local
+        # share _dispatch's compile cache so a subsequent search() of the
+        # same shape reuses this compilation (and vice versa)
+        shapes = tuple(
+            tuple((key, tuple(b[key].shape), str(b[key].dtype))
+                  for key in sorted(b))
+            for b in self.buckets
+        )
+        ckey = (k, self.hot_h, padded.shape[0], padded.shape[1], shapes,
+                False, split,
+                None if cold_padded is None else cold_padded.shape[1],
+                False, self.score_dtype, kl, False)
+        fn = self._cache.get(ckey)
+        if fn is None:
+            fn = jax.jit(make_sharded_ell_step(
+                self.mesh, k, self.hot_h, self.buckets, weighted=False,
+                split_cold=split,
+                score_dtype=_score_sdt(self.score_dtype),
+                ids_only=False, k_local=kl, masked=False,
+            ))
+            self._cache[ckey] = fn
+        qsh = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        args = [self.hot_table, jax.device_put(padded, qsh)]
+        if split:
+            args.append(jax.device_put(cold_padded, qsh))
+        return fn, (*args, *self.buckets), len(chunks)
+
     def _dispatch(self, queries, top_k, weights, ids_only: bool,
                   doc_mask=None):
         queries, weights = validate_query_batch(

@@ -17,6 +17,7 @@ def test_run_schema_and_memory_parity():
         top_k=20, top_k2=5, baseline_queries=8, engine="sparse",
         max_buckets=2, eval_docs=200, eval_queries=8,
         longdoc_docs=96, longdoc_long_len=320, longdoc_short_len=16,
+        sharded_docs=128,
     )
     res = run(cfg, log=lambda *a: None)
 
@@ -54,6 +55,12 @@ def test_run_schema_and_memory_parity():
     # zero ELL buckets — widths just has to be reported
     assert ld["nnz"] > 0 and isinstance(ld["bucket_widths"], list)
     assert isinstance(ld["slot_tiled"], bool)
+
+    # sharded row: ShardedSparseEngine over the local mesh, exact
+    sh = extra["sharded"]
+    assert sh["top_k"] == 20 and sh["num_docs"] == 128
+    assert sh["recall_vs_reference"] == 1.0
+    assert isinstance(sh["mesh"], dict) and sh["mesh"]
 
 
 def test_memory_parity_opt_out():
