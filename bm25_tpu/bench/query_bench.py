@@ -666,8 +666,10 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
             f"device_step={parity['device_step_ms']}ms "
             f"recall@{k0}={parity['recall_vs_reference']}")
         del peng
-    elif cfg.longdoc_docs:
-        del engine  # free the headline index before the long-doc one
+    elif cfg.longdoc_docs or cfg.sharded_docs:
+        # free the headline engine before any later row uploads a second
+        # resident index (HBM OOMs at this layer crash the TPU worker)
+        del engine
 
     longdoc = None
     if cfg.longdoc_docs:

@@ -717,24 +717,23 @@ class ShardedSparseEngine:
         return self._dispatch(queries, top_k, weights, ids_only=True,
                               doc_mask=doc_mask)
 
-    def bench_step_fn(self, queries: np.ndarray, top_k: int):
-        """Compiled production step + device args for the FIRST planned
-        chunk (unweighted, unmasked, scores+ids).
+    def _plan(self, queries, weights, k: int):
+        """Dedup + chunk planning with the canonical dispatch arguments.
 
-        The bench harness needs the raw jitted step for relay-proof
-        dependency-chained timing (see ``bench/query_bench.py::
-        measure_sharded_step_ms``); keep the planning/config here in
-        sync with ``_dispatch``.  Returns ``(fn, args, n_chunks)`` where
-        ``args[1]`` is the padded (Q, T) query operand.
+        Single source of truth shared by ``_dispatch`` and
+        ``bench_step_fn`` — planning from two hand-kept copies is how a
+        bench chunk could silently diverge from the production chunk of
+        the same batch (ADVICE r3).
         """
         from bm25_tpu.models.sparse import (
-            _score_sdt, chunk_c0_units, plan_query_dispatch)
+            chunk_c0_units, maybe_dedup, plan_query_dispatch)
 
-        queries, _ = validate_query_batch(queries, self.vocab_size, None)
-        k = min(top_k, self.num_docs)
+        queries, weights = maybe_dedup(
+            queries, weights, self.dedup_queries, self.dedup_min_width
+        )
         n_data = self.mesh.shape[DATA_AXIS]
-        _, chunks = plan_query_dispatch(
-            queries, None,
+        perm, chunks = plan_query_dispatch(
+            queries, weights,
             hot_table_host=self.hot_table_host, hot_h=self.hot_h,
             has_scan=any("tokT" in b for b in self.buckets),
             route=self.route_cold,
@@ -743,36 +742,77 @@ class ShardedSparseEngine:
             q_align=8 * n_data,
             c0_units=chunk_c0_units(k),
         )
-        _cq, padded, _w, cold_padded, _wc = chunks[0]
-        split = cold_padded is not None
-        if self.k_local == "auto":
-            kl = choose_k_local(k, self.mesh.shape[DOC_AXIS])
-        else:
-            kl = self.k_local
-        # share _dispatch's compile cache so a subsequent search() of the
-        # same shape reuses this compilation (and vice versa)
+        return perm, chunks
+
+    def _step_fn(self, k: int, q_pad: int, t_pad: int, *, weighted: bool,
+                 split: bool, t_pad_c: int | None, ids_only: bool,
+                 masked: bool):
+        """Compile-cached sharded step for one chunk configuration.
+
+        The cache key and the ``make_sharded_ell_step`` kwargs are built
+        in exactly one place so ``bench_step_fn`` and ``_dispatch`` can
+        never drift and poison the shared ``self._cache`` (ADVICE r3).
+        """
+        from bm25_tpu.models.sparse import _score_sdt
+
         shapes = tuple(
             tuple((key, tuple(b[key].shape), str(b[key].dtype))
                   for key in sorted(b))
             for b in self.buckets
         )
-        ckey = (k, self.hot_h, padded.shape[0], padded.shape[1], shapes,
-                False, split,
-                None if cold_padded is None else cold_padded.shape[1],
-                False, self.score_dtype, kl, False)
-        fn = self._cache.get(ckey)
+        if self.k_local == "auto":
+            kl = choose_k_local(k, self.mesh.shape[DOC_AXIS])
+        else:
+            kl = self.k_local
+        key = (k, self.hot_h, q_pad, t_pad, shapes, weighted, split,
+               t_pad_c, ids_only, self.score_dtype, kl, masked)
+        fn = self._cache.get(key)
         if fn is None:
             fn = jax.jit(make_sharded_ell_step(
-                self.mesh, k, self.hot_h, self.buckets, weighted=False,
-                split_cold=split,
-                score_dtype=_score_sdt(self.score_dtype),
-                ids_only=False, k_local=kl, masked=False,
+                self.mesh, k, self.hot_h, self.buckets,
+                weighted=weighted, split_cold=split,
+                score_dtype=None if ids_only else _score_sdt(
+                    self.score_dtype),
+                ids_only=ids_only, k_local=kl, masked=masked,
             ))
-            self._cache[ckey] = fn
+            self._cache[key] = fn
+        return fn
+
+    def bench_step_fn(self, queries: np.ndarray, top_k: int):
+        """Compiled production step + device args for the FIRST planned
+        chunk (unweighted, unmasked, scores+ids).
+
+        The bench harness needs the raw jitted step for relay-proof
+        dependency-chained timing (see ``bench/query_bench.py::
+        measure_sharded_step_ms``).  Planning and compilation go through
+        the same ``_plan``/``_step_fn`` helpers as ``_dispatch`` (incl.
+        query dedup), so the timed chunk is exactly the production chunk
+        and the compile cache is shared both ways.  Returns
+        ``(fn, args, n_chunks)`` where ``args[1]`` is the padded (Q, T)
+        query operand.
+        """
+        queries, _ = validate_query_batch(queries, self.vocab_size, None)
+        k = min(top_k, self.num_docs)
+        _, chunks = self._plan(queries, None, k)
+        _cq, padded, wpadded, cold_padded, wc_padded = chunks[0]
+        split = cold_padded is not None
+        # dedup of a wide unweighted batch introduces count weights —
+        # mirror _dispatch so the timed step is the production step
+        weighted = wpadded is not None
+        fn = self._step_fn(
+            k, padded.shape[0], padded.shape[1], weighted=weighted,
+            split=split,
+            t_pad_c=None if cold_padded is None else cold_padded.shape[1],
+            ids_only=False, masked=False,
+        )
         qsh = NamedSharding(self.mesh, P(DATA_AXIS, None))
         args = [self.hot_table, jax.device_put(padded, qsh)]
         if split:
             args.append(jax.device_put(cold_padded, qsh))
+        if weighted:
+            args.append(jax.device_put(wpadded, qsh))
+            if split:
+                args.append(jax.device_put(wc_padded, qsh))
         return fn, (*args, *self.buckets), len(chunks)
 
     def _dispatch(self, queries, top_k, weights, ids_only: bool,
@@ -797,35 +837,13 @@ class ShardedSparseEngine:
                 m.astype(bool), NamedSharding(self.mesh, P())
             )
         masked = dmask is not None
-        from bm25_tpu.models.sparse import _score_sdt, maybe_dedup
-
-        sdt = _score_sdt(self.score_dtype)
-        queries, weights = maybe_dedup(
-            queries, weights, self.dedup_queries, self.dedup_min_width
-        )
-        # cold-width routing + chunking through the shared planner (see
-        # models/sparse.py::plan_query_dispatch); per-chip query slices
-        # must land on legal kernel tilings, handled by _max_chunk
-        from bm25_tpu.models.sparse import (
-            chunk_c0_units, plan_query_dispatch)
-
-        n_data = self.mesh.shape[DATA_AXIS]
-        weighted = weights is not None
-        perm, chunks = plan_query_dispatch(
-            queries, weights,
-            hot_table_host=self.hot_table_host, hot_h=self.hot_h,
-            has_scan=any("tokT" in b for b in self.buckets),
-            route=self.route_cold,
-            route_min_queries=self.route_min_queries,
-            max_q=next_multiple(self._max_chunk(), 8 * n_data),
-            q_align=8 * n_data,
-            c0_units=chunk_c0_units(k),
-        )
-        shapes = tuple(
-            tuple((key, tuple(b[key].shape), str(b[key].dtype))
-                  for key in sorted(b))
-            for b in self.buckets
-        )
+        # dedup + cold-width routing + chunking through the shared
+        # planner (models/sparse.py::plan_query_dispatch via _plan);
+        # per-chip query slices must land on legal kernel tilings,
+        # handled by _max_chunk.  Dedup of an unweighted wide batch
+        # introduces count weights, so `weighted` reads off the plan.
+        perm, chunks = self._plan(queries, weights, k)
+        weighted = bool(chunks) and chunks[0][2] is not None
         if not ids_only and self._offsets_host is None:
             self._offsets_host = np.asarray(self.offsets)
         futures = []
@@ -833,21 +851,10 @@ class ShardedSparseEngine:
             q_pad, t_pad = padded.shape
             split = cold_padded is not None
             t_pad_c = None if cold_padded is None else cold_padded.shape[1]
-            if self.k_local == "auto":
-                kl = choose_k_local(k, self.mesh.shape[DOC_AXIS])
-            else:
-                kl = self.k_local
-            key = (k, self.hot_h, q_pad, t_pad, shapes, weighted, split,
-                   t_pad_c, ids_only, self.score_dtype, kl, masked)
-            fn = self._cache.get(key)
-            if fn is None:
-                fn = jax.jit(make_sharded_ell_step(
-                    self.mesh, k, self.hot_h, self.buckets,
-                    weighted=weighted, split_cold=split,
-                    score_dtype=None if ids_only else sdt,
-                    ids_only=ids_only, k_local=kl, masked=masked,
-                ))
-                self._cache[key] = fn
+            fn = self._step_fn(
+                k, q_pad, t_pad, weighted=weighted, split=split,
+                t_pad_c=t_pad_c, ids_only=ids_only, masked=masked,
+            )
             qsh = NamedSharding(self.mesh, P(DATA_AXIS, None))
             args = [self.hot_table, jax.device_put(padded, qsh)]
             if split:

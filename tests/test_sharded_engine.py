@@ -454,3 +454,42 @@ def test_sharded_sparse_wide_bucket_slot_tiled(setup):
     np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
     strict = strict_positions(os_)
     np.testing.assert_array_equal(np.asarray(dd)[strict], od[strict])
+
+
+def test_bench_step_fn_shares_dispatch_cache(setup):
+    """bench_step_fn must plan and compile EXACTLY like _dispatch so the
+    shared compile cache can never hand search() a mismatched step
+    (ADVICE r3): after bench_step_fn, a search() of the same batch adds
+    no new cache entry, and dedup engages identically on wide batches."""
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    idx, oracle = setup
+    mesh = make_mesh(8, data=1)
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=mesh)
+    rng = np.random.default_rng(11)
+
+    # narrow batch (no dedup)
+    queries = rng.integers(-1, idx.vocab_size, size=(16, 6), dtype=np.int32)
+    fn, args, n_chunks = eng.bench_step_fn(queries, top_k=9)
+    keys_after_bench = set(eng._cache)
+    dd, ds = eng.search(queries, top_k=9)
+    assert set(eng._cache) == keys_after_bench, (
+        "search() compiled a step bench_step_fn did not — the planners "
+        "drifted"
+    )
+    od, os_ = oracle.search(queries, top_k=9)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+
+    # wide batch: dedup_queries='auto' engages (width >= dedup_min_width)
+    # and introduces count weights — bench_step_fn must mirror that
+    wide = np.repeat(
+        rng.integers(0, idx.vocab_size, size=(8, 2), dtype=np.int32),
+        eng.dedup_min_width // 2, axis=1,
+    )
+    fn, args, _ = eng.bench_step_fn(wide, top_k=9)
+    keys_after_bench = set(eng._cache)
+    eng.search(wide, top_k=9)
+    assert set(eng._cache) == keys_after_bench
+    # the benched step must be the deduped (weighted, narrow) config:
+    # padded query operand is narrower than the raw batch
+    assert args[1].shape[1] < wide.shape[1]
