@@ -58,6 +58,14 @@ class BenchConfig:
     # mesh — a 1-device mesh on the driver's single chip (hardware proof
     # of the shard_map + merge path each round), real scaling on a slice
     sharded_docs: int = 131072
+    # headline score-payload dtype.  bfloat16 halves the d2h result bytes
+    # with EXACT rankings (selection runs in f32 on-device; only the
+    # returned score values round) — through the relay's transfer-bound
+    # link that is the difference between ~0.56x and ~0.82x of the
+    # device-step-implied qps at k=1000 (scripts/exp_r4_pipeline.py).
+    # _measure_k always measures BOTH dtypes, so the f32 figure stays a
+    # reported row either way.
+    score_dtype: str = "bfloat16"
 
     @classmethod
     def from_env(cls) -> "BenchConfig":
@@ -65,15 +73,17 @@ class BenchConfig:
         for f, spec in cls.__dataclass_fields__.items():
             v = os.environ.get(f"BM25_BENCH_{f.upper()}")
             if v is not None:
-                kw[f] = v if f == "engine" else int(v)
+                kw[f] = v if f in ("engine", "score_dtype") else int(v)
         return cls(**kw)
 
     def engine_kwargs(self) -> dict:
-        # max_buckets only exists on the sparse engines; explicit non-sparse
-        # modes use strict kwargs (auto filters them itself)
+        # max_buckets/score_dtype only exist on the sparse engines;
+        # explicit non-sparse modes use strict kwargs (auto filters them
+        # itself)
         if self.engine in ("dense", "sharded"):
             return {}
-        return {"max_buckets": self.max_buckets}
+        return {"max_buckets": self.max_buckets,
+                "score_dtype": self.score_dtype}
 
 
 def _zipf_probs(vocab: int) -> np.ndarray:
@@ -495,28 +505,54 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
         lat.append(time.perf_counter() - t0)
     p50 = float(np.percentile(lat, 50))
     p99 = float(np.percentile(lat, 99))
-    # sustained throughput: all batches dispatched through one pipelined
-    # call (device compute overlaps host<->device transfers); best of two
+    # sustained throughput: double-buffered pipeline (batch i+1's device
+    # step dispatches before batch i's results are fetched, so one
+    # batch's d2h rides under the next batch's compute); best of two
     # passes — the relay's transfer rate varies ~1.5-2x run to run
     search_all = getattr(engine, "search_pipelined", None)
-    qps = 0.0
-    for _ in range(2):
-        t_all = time.perf_counter()
-        if search_all is not None:
-            search_all(queries, top_k=k, batch=cfg.batch)
-        else:
-            engine.search(queries, top_k=k)
-        qps = max(qps, len(queries) / (time.perf_counter() - t_all))
+
+    def sustained():
+        best = 0.0
+        for _ in range(2):
+            t_all = time.perf_counter()
+            if search_all is not None:
+                search_all(queries, top_k=k, batch=cfg.batch)
+            else:
+                engine.search(queries, top_k=k)
+            best = max(best, len(queries) / (time.perf_counter() - t_all))
+        return best
+
+    qps = sustained()
+    # the score payload dtype halves/doubles result bytes; measure BOTH
+    # so the trade is a recorded pair (doc ids stay exact int32 either
+    # way — only returned score values round under bfloat16)
+    qps_other = None
+    other_dtype = None
+    if hasattr(engine, "score_dtype"):
+        configured = engine.score_dtype
+        other_dtype = ("bfloat16" if configured == "float32" else "float32")
+        engine.score_dtype = other_dtype
+        try:
+            engine.search(queries[: cfg.batch], top_k=k)  # warm the shape
+            qps_other = sustained()
+        finally:
+            engine.score_dtype = configured
     # rankings-only mode (no score transfer) — the realistic serving path
     # for IR eval loops; halves result bytes, which matters through any
     # transfer-limited link
     qps_ids = None
     search_ids = getattr(engine, "search_ids", None)
     if search_ids is not None:
+        if search_all is not None:
+            ids_fn = lambda: search_all(queries, top_k=k, batch=cfg.batch,  # noqa: E731
+                                        ids_only=True)
+        else:
+            ids_fn = lambda: search_ids(queries, top_k=k)  # noqa: E731
+        ids_fn()  # warm the ids-only epilogue's compile
         qps_ids = 0.0
         for _ in range(2):
             t_all = time.perf_counter()
-            search_ids(queries, top_k=k)
+            ids_fn()
             qps_ids = max(qps_ids, len(queries) / (time.perf_counter() - t_all))
     recall = recall_at_k(docs0, ref_docs)
 
@@ -529,6 +565,10 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
         "p99_batch_ms": round(p99 * 1e3, 2),
         "recall_vs_reference": round(recall, 4),
     }
+    if hasattr(engine, "score_dtype"):
+        row["score_dtype"] = engine.score_dtype
+    if qps_other is not None:
+        row[f"qps_{other_dtype}_scores"] = round(qps_other, 1)
     if qps_ids is not None:
         row["qps_rankings_only"] = round(qps_ids, 1)
     # full query set: the plan sorts by cold width, so the mean chunk step
@@ -633,39 +673,65 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
         for mode in ("dense", "sparse")
     }
 
-    # BASELINE.md memory row: the SAME corpus scored by an engine whose
-    # device footprint is CSC-parity (ELL postings only, no hot tier) —
-    # the speed-optimal default above deliberately spends HBM on the hot
-    # matmul tier, so the memory target gets its own measured row
+    # BASELINE.md memory rows: the SAME corpus scored at three points on
+    # the memory/speed dial — "parity" (hot_tokens=0, the ~1.4x ELL-only
+    # floor), "mid" (overhead_target=3.0, the user-facing budget knob),
+    # and "speed" (the headline engine's speed-optimal default) — so the
+    # trade the auto policy makes is a measured CURVE, not a default
     parity = None
+    trade = None
     engine_name = type(engine).__name__
     engine_hot_h = getattr(engine, "hot_h", 0)
     from bm25_tpu.models.sparse import SparseEngine
 
     if cfg.memory_parity and isinstance(engine, SparseEngine):
+        head_step = rows[ks[0]].get("device_step_ms")
+        head_recall = rows[ks[0]]["recall_vs_reference"]
         del engine  # free the hot tier before the second resident index
-        peng = SparseEngine.from_scored_index(
-            index, hot_tokens=0, max_buckets=kwargs.get("max_buckets", 4)
-        )
         k0 = ks[0]
-        pstep = measure_device_step_ms(peng, queries, k0, batch=cfg.batch)
         nb = min(cfg.baseline_queries, len(queries))
-        pdocs, _ = peng.search(queries[:nb], top_k=k0)
         pref_docs, _ = ref.search(queries[:nb], top_k=k0)
-        pmem = index_memory_stats(index, peng)
-        parity = {
+        trade = []
+        for point, build_kw in (
+            ("parity", {"hot_tokens": 0}),
+            ("mid", {"overhead_target": 3.0}),
+        ):
+            peng = SparseEngine.from_scored_index(
+                index, max_buckets=kwargs.get("max_buckets", 4), **build_kw
+            )
+            pstep = measure_device_step_ms(peng, queries, k0,
+                                           batch=cfg.batch)
+            pdocs, _ = peng.search(queries[:nb], top_k=k0)
+            pmem = index_memory_stats(index, peng)
+            row = {
+                "point": point,
+                **build_kw,
+                "hot_h": peng.hot_h,
+                "top_k": k0,
+                "device_step_ms": None if pstep is None else round(pstep, 2),
+                "recall_vs_reference": round(
+                    recall_at_k(np.asarray(pdocs), pref_docs), 4
+                ),
+                "index_memory": pmem.as_dict(),
+            }
+            trade.append(row)
+            log(f"[bench] memory-trade {point}: "
+                f"overhead_ratio={pmem.as_dict().get('overhead_ratio')} "
+                f"hot_h={peng.hot_h} device_step={row['device_step_ms']}ms "
+                f"recall@{k0}={row['recall_vs_reference']}")
+            if point == "parity":
+                parity = {key: row[key] for key in (
+                    "top_k", "device_step_ms", "recall_vs_reference",
+                    "index_memory")}
+            del peng
+        trade.append({
+            "point": "speed",
+            "hot_h": engine_hot_h,
             "top_k": k0,
-            "device_step_ms": None if pstep is None else round(pstep, 2),
-            "recall_vs_reference": round(
-                recall_at_k(np.asarray(pdocs), pref_docs), 4
-            ),
-            "index_memory": pmem.as_dict(),
-        }
-        log(f"[bench] memory-parity engine (hot_tokens=0): "
-            f"overhead_ratio={pmem.as_dict().get('overhead_ratio')} "
-            f"device_step={parity['device_step_ms']}ms "
-            f"recall@{k0}={parity['recall_vs_reference']}")
-        del peng
+            "device_step_ms": head_step,
+            "recall_vs_reference": head_recall,
+            "index_memory": mem.as_dict(),
+        })
     elif cfg.longdoc_docs or cfg.sharded_docs:
         # free the headline engine before any later row uploads a second
         # resident index (HBM OOMs at this layer crash the TPU worker)
@@ -700,6 +766,7 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
             "index_memory": mem.as_dict(),
             "beir_synthetic_eval": beir,
             **({"memory_parity": parity} if parity is not None else {}),
+            **({"memory_trade": trade} if trade is not None else {}),
             **({"longdoc": longdoc} if longdoc is not None else {}),
             **({"sharded": sharded} if sharded is not None else {}),
         },

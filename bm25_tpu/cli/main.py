@@ -212,6 +212,8 @@ def cmd_serve(args) -> int:
     engine_kwargs = {}
     if args.score_dtype != "float32":
         engine_kwargs["score_dtype"] = args.score_dtype
+    if args.overhead_target is not None:
+        engine_kwargs["overhead_target"] = args.overhead_target
     Server(args.index, host=args.host, port=args.port,
            engine_mode=args.engine,
            batch_window_ms=args.batch_window_ms,
@@ -250,6 +252,8 @@ def cmd_warm(args) -> int:
         engine_kwargs = {}
         if args.score_dtype != "float32":
             engine_kwargs["score_dtype"] = args.score_dtype
+        if args.overhead_target is not None:
+            engine_kwargs["overhead_target"] = args.overhead_target
         engine = create_engine(load_index(args.index), mode=args.engine,
                                **engine_kwargs)
     ints = lambda s: tuple(int(x) for x in s.split(","))  # noqa: E731
@@ -282,7 +286,10 @@ def cmd_checkpoint(args) -> int:
 
     t0 = time.perf_counter()
     index = load_index(args.index)
-    engine = create_engine(index, mode=args.engine)
+    engine_kwargs = {}
+    if getattr(args, "overhead_target", None) is not None:
+        engine_kwargs["overhead_target"] = args.overhead_target
+    engine = create_engine(index, mode=args.engine, **engine_kwargs)
     print(f"engine built in {time.perf_counter() - t0:.1f}s "
           f"({type(engine).__name__})")
     t0 = time.perf_counter()
@@ -395,6 +402,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pc.add_argument("index")
     pc.add_argument("-o", "--out", required=True)
+    pc.add_argument("--overhead-target", type=float, default=None,
+                    help="cap device memory at this ratio of the raw CSC "
+                         "footprint (auto hot-tier policy dial)")
     pc.add_argument("--engine", default="auto",
                     choices=["auto", "dense", "sparse", "sharded",
                              "sharded_sparse"])
@@ -433,6 +443,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "filter_ids) path — it bypasses the batcher, so "
                          "its first production request pays any cold "
                          "compile directly")
+    pw.add_argument("--overhead-target", type=float, default=None,
+                    help="cap device memory at this ratio of the raw CSC "
+                         "footprint (auto hot-tier policy dial; ~1.4 = "
+                         "parity floor, unset = speed-optimal)")
     pw.add_argument("--score-dtype", default="float32",
                     choices=["float32", "bfloat16"])
     pw.set_defaults(fn=cmd_warm)
@@ -470,6 +484,9 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--warmup-top-k", type=int, default=0,
                     help="compile the query path for this top_k before "
                          "accepting traffic (0 = no warmup)")
+    ps.add_argument("--overhead-target", type=float, default=None,
+                    help="cap device memory at this ratio of the raw CSC "
+                         "footprint (auto hot-tier policy dial)")
     ps.add_argument("--score-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="bfloat16 halves result-transfer bytes (sparse "

@@ -567,6 +567,7 @@ class ShardedSparseEngine:
         cls, index: ScoredIndex, mesh: Mesh | None = None, dtype=jnp.float32,
         hot_tokens: int | str = "auto", hot_budget_bytes: int | None = None,
         max_buckets: int = 4, score_dtype: str = "float32",
+        overhead_target: float | None = None,
     ) -> "ShardedSparseEngine":
         from bm25_tpu.models.sparse import (
             PAD_TOK, build_ell_buckets_from_csr, choose_hot_tokens)
@@ -575,6 +576,11 @@ class ShardedSparseEngine:
 
         mesh = mesh or make_mesh()
         n_doc = mesh.shape[DOC_AXIS]
+        if overhead_target is not None and hot_tokens != "auto":
+            raise ValueError(
+                "overhead_target steers the auto hot-tier policy; it "
+                "cannot combine with an explicit hot_tokens count"
+            )
         if hot_tokens == "auto":
             # same cost model as the single-chip engine; each shard scores
             # rows/n_doc of every bucket so the per-chip trade is unchanged
@@ -583,6 +589,7 @@ class ShardedSparseEngine:
                 budget_bytes=hot_budget_bytes,
                 row_align=BLOCK_ROWS * n_doc,
                 device=mesh.devices.flat[0],
+                overhead_target=overhead_target,
             )
         else:
             budget = hot_budget_bytes
@@ -815,27 +822,28 @@ class ShardedSparseEngine:
                 args.append(jax.device_put(wc_padded, qsh))
         return fn, (*args, *self.buckets), len(chunks)
 
-    def _dispatch(self, queries, top_k, weights, ids_only: bool,
-                  doc_mask=None):
-        queries, weights = validate_query_batch(
-            queries, self.vocab_size, weights
-        )
-        dmask = None
-        if doc_mask is not None:
-            m = np.asarray(doc_mask)
-            if m.shape != (self.num_docs,):
-                raise ValueError(
-                    f"doc_mask shape {m.shape} != ({self.num_docs},)"
-                )
-        k = min(top_k, self.num_docs)
-        if len(queries) == 0 or k <= 0:
-            return empty_results(len(queries), k, ids_only=ids_only)
-        if doc_mask is not None:
-            # replicated: bucket rows interleave global ids, so the mask
-            # cannot shard over the doc axis (gathered by did per shard)
-            dmask = jax.device_put(
-                m.astype(bool), NamedSharding(self.mesh, P())
+    def _prepare_doc_mask(self, doc_mask):
+        if doc_mask is None:
+            return None
+        m = np.asarray(doc_mask)
+        if m.shape != (self.num_docs,):
+            raise ValueError(
+                f"doc_mask shape {m.shape} != ({self.num_docs},)"
             )
+        # replicated: bucket rows interleave global ids, so the mask
+        # cannot shard over the doc axis (gathered by did per shard)
+        return jax.device_put(
+            m.astype(bool), NamedSharding(self.mesh, P())
+        )
+
+    def _dispatch_batch(self, queries, k: int, weights, ids_only: bool,
+                        dmask):
+        """Plan + enqueue one query batch; returns unfetched device state.
+
+        Starts ``copy_to_host_async`` on every result leaf so the d2h
+        transfer begins the moment the device step finishes — the caller
+        can keep dispatching while results stream back (same structure
+        as ``SparseEngine._dispatch_batch``)."""
         masked = dmask is not None
         # dedup + cold-width routing + chunking through the shared
         # planner (models/sparse.py::plan_query_dispatch via _plan);
@@ -866,6 +874,8 @@ class ShardedSparseEngine:
             if masked:
                 args.append(dmask)
             out = fn(*args, *self.buckets)
+            for leaf in (out if isinstance(out, tuple) else (out,)):
+                leaf.copy_to_host_async()
             if ids_only:
                 futures.append((cq, None, out))
                 continue
@@ -879,6 +889,10 @@ class ShardedSparseEngine:
                 valid, off[np.where(valid, padded[:cq], 0)], 0.0
             ) * wv).sum(1)
             futures.append((cq, qoff, (docs, scores)))
+        return perm, futures
+
+    def _collect_batch(self, perm, futures, ids_only: bool, masked: bool):
+        """Fetch + assemble one dispatched batch's results."""
 
         def unpermute(arr):
             if perm is None:
@@ -893,8 +907,9 @@ class ShardedSparseEngine:
                 [np.asarray(d)[:cq] for (cq, _, _), d in zip(futures, flat)]
             )
             return unpermute(docs)
-        # one batched fetch of every chunk's (docs, scores) — 1.5x the
-        # serial rate through the relay (same as SparseEngine)
+        # one batched fetch of every chunk's (docs, scores) — faster than
+        # the serial rate through the relay (same as SparseEngine); the
+        # futures' transfers were already started at dispatch time
         flat = jax.device_get(
             [x for _, _, pair in futures for x in pair]
         )
@@ -912,6 +927,63 @@ class ShardedSparseEngine:
         return unpermute(np.concatenate(out_docs)), unpermute(
             np.concatenate(out_scores)
         )
+
+    def _dispatch(self, queries, top_k, weights, ids_only: bool,
+                  doc_mask=None):
+        queries, weights = validate_query_batch(
+            queries, self.vocab_size, weights
+        )
+        dmask = self._prepare_doc_mask(doc_mask)
+        k = min(top_k, self.num_docs)
+        if len(queries) == 0 or k <= 0:
+            return empty_results(len(queries), k, ids_only=ids_only)
+        perm, futures = self._dispatch_batch(queries, k, weights, ids_only,
+                                             dmask)
+        return self._collect_batch(perm, futures, ids_only,
+                                   masked=dmask is not None)
+
+    def search_pipelined(
+        self, queries: np.ndarray, top_k: int = 100, batch: int = 512,
+        weights: np.ndarray | None = None,
+        doc_mask: np.ndarray | None = None, ids_only: bool = False,
+    ):
+        """Double-buffered large-batch search: batch i+1's sharded device
+        step is dispatched BEFORE batch i's results are fetched, so one
+        batch's d2h rides under the next batch's compute.  Same contract
+        as :meth:`search` (ids only with ``ids_only``); mirrors
+        ``SparseEngine.search_pipelined``.
+        """
+        queries, weights = validate_query_batch(
+            queries, self.vocab_size, weights
+        )
+        dmask = self._prepare_doc_mask(doc_mask)
+        masked = dmask is not None
+        k = min(top_k, self.num_docs)
+        if len(queries) == 0 or k <= 0:
+            return empty_results(len(queries), k, ids_only=ids_only)
+        out_docs, out_scores = [], []
+
+        def collect(pending):
+            res = self._collect_batch(*pending, ids_only, masked=masked)
+            if ids_only:
+                out_docs.append(res)
+            else:
+                out_docs.append(res[0])
+                out_scores.append(res[1])
+
+        pending = None
+        for i in range(0, len(queries), batch):
+            qb = queries[i : i + batch]
+            wb = None if weights is None else weights[i : i + batch]
+            dispatched = self._dispatch_batch(qb, k, wb, ids_only, dmask)
+            if pending is not None:
+                collect(pending)
+            pending = dispatched
+        collect(pending)
+        docs = np.concatenate(out_docs)
+        if ids_only:
+            return docs
+        return docs, np.concatenate(out_scores)
 
 
 def dryrun_sharded_step(n_devices: int) -> None:

@@ -493,3 +493,36 @@ def test_bench_step_fn_shares_dispatch_cache(setup):
     # the benched step must be the deduped (weighted, narrow) config:
     # padded query operand is narrower than the raw batch
     assert args[1].shape[1] < wide.shape[1]
+
+
+def test_sharded_sparse_search_pipelined_matches_search(setup):
+    """Double-buffered sharded search: identical results to search()
+    across batches, with weights, doc_mask, and ids_only."""
+    from bm25_tpu.parallel.sharded_engine import ShardedSparseEngine
+
+    idx, oracle = setup
+    eng = ShardedSparseEngine.from_scored_index(idx, mesh=make_mesh(4),
+                                                hot_tokens=8)
+    rng = np.random.default_rng(31)
+    queries = rng.integers(-1, idx.vocab_size, size=(40, 6), dtype=np.int32)
+    d1, s1 = eng.search(queries, top_k=9)
+    d2, s2 = eng.search_pipelined(queries, top_k=9, batch=16)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+    od, os_ = oracle.search(queries, top_k=9)
+    np.testing.assert_allclose(s2, os_, rtol=1e-5, atol=1e-6)
+
+    w = rng.uniform(0.5, 2.0, size=queries.shape).astype(np.float32)
+    d1, s1 = eng.search(queries, top_k=9, weights=w)
+    d2, s2 = eng.search_pipelined(queries, top_k=9, batch=16, weights=w)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    mask = rng.random(idx.num_docs) < 0.6
+    d1, s1 = eng.search(queries, top_k=9, doc_mask=mask)
+    d2, s2 = eng.search_pipelined(queries, top_k=9, batch=16, doc_mask=mask)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    ids = eng.search_pipelined(queries, top_k=9, batch=16, ids_only=True)
+    np.testing.assert_array_equal(ids, eng.search_ids(queries, top_k=9))

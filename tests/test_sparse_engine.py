@@ -838,3 +838,125 @@ def test_ell_slot_estimate_matches_built_layout():
         assert est == real, (
             f"trial {trial}: estimate {est} != built {real}"
         )
+
+
+def _skewed_index(num_docs=6000, vocab=512, seed=3):
+    """Zipf-skewed corpus big enough that the auto hot tier engages."""
+    from bm25_tpu.scoring import build_scored_index_flat
+
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    p = (1.0 / ranks) / (1.0 / ranks).sum()
+    cum = np.cumsum(p)
+    lengths = np.maximum(4, rng.poisson(40, num_docs)).astype(np.int32)
+    flat = np.searchsorted(cum, rng.random(int(lengths.sum()))).astype(
+        np.int32)
+    np.clip(flat, 0, vocab - 1, out=flat)
+    return build_scored_index_flat(flat, lengths, vocab_size=vocab)
+
+
+def test_overhead_target_memory_budget_knob():
+    """overhead_target=R caps the device footprint at ~R x raw CSC bytes
+    (VERDICT r3 item 4): tighter targets buy smaller hot tiers, the cap is
+    honored within 10% whenever a hot tier fits at all, and results stay
+    oracle-exact at every point on the dial."""
+    from bm25_tpu.models.sparse import SparseEngine
+
+    idx = _skewed_index()
+    csc = idx.data.nbytes + idx.indices.nbytes + idx.indptr.nbytes
+    oracle = ReferenceEngine.from_scored_index(idx)
+    rng = np.random.default_rng(5)
+    queries = rng.integers(-1, idx.vocab_size, size=(16, 6), dtype=np.int32)
+
+    engines = {}
+    for target in (1.6, 3.0, None):
+        eng = SparseEngine.from_scored_index(idx, overhead_target=target)
+        ratio = eng.device_bytes() / csc
+        if target is not None:
+            assert ratio <= target * 1.1, (
+                f"target {target}: ratio {ratio:.2f} over cap"
+            )
+        dd, ds = eng.search(queries, top_k=9)
+        od, os_ = oracle.search(queries, top_k=9)
+        np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+        engines[target] = (eng.hot_h, ratio)
+
+    # the speed-optimal default must spend at least as much as any capped
+    # point, and hot size must grow monotonically with the target
+    assert engines[1.6][0] <= engines[3.0][0] <= engines[None][0]
+    assert engines[None][0] > 0, (
+        "fixture too small: the auto policy never engaged a hot tier, "
+        "so the knob test is vacuous"
+    )
+
+
+def test_overhead_target_rejects_explicit_hot_tokens():
+    from bm25_tpu.models.sparse import SparseEngine
+
+    idx = _skewed_index(num_docs=200, vocab=64)
+    with pytest.raises(ValueError, match="overhead_target"):
+        SparseEngine.from_scored_index(idx, hot_tokens=8,
+                                       overhead_target=2.0)
+    with pytest.raises(ValueError, match="positive"):
+        SparseEngine.from_scored_index(idx, overhead_target=-1.0)
+
+
+def test_overhead_target_below_floor_degrades_to_ell_only():
+    """A target below the ELL-only floor cannot be met; the engine must
+    degrade to hot_tokens=0 (and warn) instead of failing."""
+    from bm25_tpu.models.sparse import SparseEngine
+
+    idx = _skewed_index(num_docs=3000, vocab=256)
+    eng = SparseEngine.from_scored_index(idx, overhead_target=0.1)
+    assert eng.hot_h == 0
+    oracle = ReferenceEngine.from_scored_index(idx)
+    q = np.array([[0, 3, 5, -1]], dtype=np.int32)
+    dd, ds = eng.search(q, top_k=5)
+    od, os_ = oracle.search(q, top_k=5)
+    np.testing.assert_allclose(ds, os_, rtol=1e-5, atol=1e-6)
+
+
+def test_search_pipelined_matches_search():
+    """Double-buffered search returns exactly search()'s results across
+    multiple batches, with weights, and in ids_only mode (VERDICT r3
+    item 1: the overlap pipeline must not change any contract)."""
+    from bm25_tpu.models.sparse import SparseEngine
+
+    idx = _skewed_index(num_docs=800, vocab=128, seed=9)
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=16)
+    rng = np.random.default_rng(21)
+    queries = rng.integers(-1, idx.vocab_size, size=(70, 6), dtype=np.int32)
+    d1, s1 = eng.search(queries, top_k=11)
+    d2, s2 = eng.search_pipelined(queries, top_k=11, batch=32)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    w = rng.uniform(0.5, 2.0, size=queries.shape).astype(np.float32)
+    d1, s1 = eng.search(queries, top_k=11, weights=w)
+    d2, s2 = eng.search_pipelined(queries, top_k=11, batch=32, weights=w)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    ids = eng.search_pipelined(queries, top_k=11, batch=32, ids_only=True)
+    np.testing.assert_array_equal(ids, eng.search_ids(queries, top_k=11))
+
+    # empty batch + ragged final batch
+    assert eng.search_pipelined(queries[:0], top_k=5)[0].shape == (0, 5)
+    d1, _ = eng.search(queries[:33], top_k=11)
+    d2, _ = eng.search_pipelined(queries[:33], top_k=11, batch=32)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_search_pipelined_bf16_scores_exact_rankings():
+    from bm25_tpu.models.sparse import SparseEngine
+
+    idx = _skewed_index(num_docs=500, vocab=96, seed=4)
+    eng = SparseEngine.from_scored_index(idx, hot_tokens=0,
+                                         score_dtype="bfloat16")
+    f32 = SparseEngine.from_scored_index(idx, hot_tokens=0)
+    rng = np.random.default_rng(6)
+    queries = rng.integers(-1, idx.vocab_size, size=(48, 5), dtype=np.int32)
+    d1, s1 = eng.search_pipelined(queries, top_k=9, batch=16)
+    d2, s2 = f32.search_pipelined(queries, top_k=9, batch=16)
+    np.testing.assert_array_equal(d1, d2)  # selection exact on-device
+    np.testing.assert_allclose(s1, s2, rtol=1e-2, atol=1e-2)
