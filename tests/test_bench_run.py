@@ -118,3 +118,32 @@ def test_memory_trade_curve_rows():
     assert (parity["index_memory"]["device_bytes"]
             <= mid["index_memory"]["device_bytes"]
             <= speed["index_memory"]["device_bytes"])
+
+
+def test_cold_start_row(tmp_path):
+    """cold_start reports the cold-compile and cache-import costs of one
+    headline chunk shape (VERDICT r3 item 5) and restores the persistent
+    cache config afterwards."""
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "cc"))
+    try:
+        cfg = BenchConfig(
+            num_docs=256, vocab=512, avg_len=16, num_queries=64, batch=32,
+            top_k=20, top_k2=5, baseline_queries=8, engine="sparse",
+            max_buckets=2, eval_docs=200, eval_queries=8,
+            longdoc_docs=0, sharded_docs=0, memory_parity=0, cold_start=1,
+        )
+        res = run(cfg, log=lambda *a: None)
+        cold = res["extra"]["cold_start"]
+        assert cold["headline_step_cold_compile_s"] >= 0
+        assert cold["upload_init_warm_s"] >= 0
+        # CPU compiles are sub-second, so the persistent store may hold
+        # nothing to export; either the import figure or the recorded
+        # error must be present — silence would mean the path never ran
+        assert ("headline_step_cache_import_s" in cold
+                or "cache_import_error" in cold)
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
