@@ -334,7 +334,8 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
                           split_cold: bool = False, score_dtype=None,
                           ids_only: bool = False,
                           k_local: int | None = None,
-                          masked: bool = False):
+                          masked: bool = False,
+                          local_only: bool = False):
     """Doc-sharded multi-bucket ELL scoring + all-gather top-k merge.
 
     Per bucket: tokT/valT/hotT/hotLo (rows axis) shard P(None, 'docs') and
@@ -445,6 +446,12 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
         kk = min(k, ls.shape[1])
         nss, dd = lax.sort((-ls, li), num_keys=2, is_stable=False)
         ls, li = -nss[:, :kk], dd[:, :kk]
+        if local_only:
+            # instrumentation cut (NOT a user contract): stop after the
+            # per-shard local top-k so the ICI all-gather + replicated
+            # merge cost is measurable as t(full) - t(local_only)
+            # (scripts/exp_r4_sharded_midscale.py's merge-share row)
+            return ls, li
 
         def gather_merge(ls_t, li_t):
             """All-gather candidates over ICI + replicated two-key merge."""
@@ -504,11 +511,14 @@ def make_sharded_ell_step(mesh: Mesh, k: int, hot_h: int,
             in_specs += (P(DATA_AXIS, None),)
     if masked:
         in_specs += (P(),)  # replicated eligibility mask
-    out_specs = (
-        P(DATA_AXIS, None)
-        if ids_only
-        else (P(DATA_AXIS, None), P(DATA_AXIS, None))
-    )
+    if local_only:
+        # each (data, doc) shard holds its own (q_local, kk) candidates
+        out_specs = (P((DATA_AXIS, DOC_AXIS), None),
+                     P((DATA_AXIS, DOC_AXIS), None))
+    elif ids_only:
+        out_specs = P(DATA_AXIS, None)
+    else:
+        out_specs = (P(DATA_AXIS, None), P(DATA_AXIS, None))
     return jax.shard_map(
         local_step,
         mesh=mesh,
@@ -753,7 +763,7 @@ class ShardedSparseEngine:
 
     def _step_fn(self, k: int, q_pad: int, t_pad: int, *, weighted: bool,
                  split: bool, t_pad_c: int | None, ids_only: bool,
-                 masked: bool):
+                 masked: bool, local_only: bool = False):
         """Compile-cached sharded step for one chunk configuration.
 
         The cache key and the ``make_sharded_ell_step`` kwargs are built
@@ -772,7 +782,7 @@ class ShardedSparseEngine:
         else:
             kl = self.k_local
         key = (k, self.hot_h, q_pad, t_pad, shapes, weighted, split,
-               t_pad_c, ids_only, self.score_dtype, kl, masked)
+               t_pad_c, ids_only, self.score_dtype, kl, masked, local_only)
         fn = self._cache.get(key)
         if fn is None:
             fn = jax.jit(make_sharded_ell_step(
@@ -781,6 +791,7 @@ class ShardedSparseEngine:
                 score_dtype=None if ids_only else _score_sdt(
                     self.score_dtype),
                 ids_only=ids_only, k_local=kl, masked=masked,
+                local_only=local_only,
             ))
             self._cache[key] = fn
         return fn
