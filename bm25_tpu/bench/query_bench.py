@@ -96,9 +96,18 @@ def _zipf_probs(vocab: int) -> np.ndarray:
     return p / p.sum()
 
 
-def make_synthetic_index(cfg: BenchConfig):
+def make_synthetic_index(cfg: BenchConfig, timings: dict | None = None):
+    """Synthetic Zipf corpus -> ScoredIndex.
+
+    ``timings`` (if given) receives ``synthesis_s`` (token sampling — a
+    HARNESS cost, not product work) and ``index_build_s`` (the
+    ``build_scored_index_flat`` call — the product indexing pipeline)
+    separately: round 3 billed both to "index build", understating the
+    real build rate ~2x.
+    """
     from bm25_tpu.scoring import build_scored_index_flat
 
+    t0 = time.perf_counter()
     rng = np.random.default_rng(cfg.seed)
     probs = _zipf_probs(cfg.vocab)
     cum = np.cumsum(probs)
@@ -106,7 +115,12 @@ def make_synthetic_index(cfg: BenchConfig):
     # inverse-CDF sampling (much faster than rng.choice with p at 10M+ draws)
     flat = np.searchsorted(cum, rng.random(int(lengths.sum()))).astype(np.int32)
     np.clip(flat, 0, cfg.vocab - 1, out=flat)
-    return build_scored_index_flat(flat, lengths, vocab_size=cfg.vocab)
+    t1 = time.perf_counter()
+    index = build_scored_index_flat(flat, lengths, vocab_size=cfg.vocab)
+    if timings is not None:
+        timings["synthesis_s"] = round(t1 - t0, 2)
+        timings["index_build_s"] = round(time.perf_counter() - t1, 2)
+    return index
 
 
 def make_queries(cfg: BenchConfig) -> np.ndarray:
@@ -721,10 +735,11 @@ def _measure_k(cfg, index, engine, queries, k: int, log, ref=None) -> dict:
 def run(cfg: BenchConfig | None = None, log=print) -> dict:
     cfg = cfg or BenchConfig.from_env()
     log(f"[bench] building synthetic index: {cfg.num_docs} docs, vocab {cfg.vocab}")
-    t0 = time.perf_counter()
-    index = make_synthetic_index(cfg)
-    build_s = time.perf_counter() - t0
-    log(f"[bench] built in {build_s:.1f}s (nnz={index.nnz})")
+    timings: dict = {}
+    index = make_synthetic_index(cfg, timings=timings)
+    build_s = max(timings["index_build_s"], 1e-9)
+    log(f"[bench] built in {build_s:.1f}s (nnz={index.nnz}; corpus "
+        f"synthesis {timings['synthesis_s']:.1f}s, not billed to build)")
     queries = make_queries(cfg)
 
     from bm25_tpu.models.auto import create_engine
@@ -867,7 +882,12 @@ def run(cfg: BenchConfig | None = None, log=print) -> dict:
             "batch": cfg.batch,
             "headline": head,
             "secondary": [rows[k] for k in ks[1:]],
+            # the indexing pipeline only (build_scored_index_flat: native
+            # counting-sort CSC + scoring transform); corpus synthesis is
+            # reported separately — round 3 billed both here
             "index_build_docs_per_sec": round(cfg.num_docs / build_s, 1),
+            "index_build_s": timings["index_build_s"],
+            "corpus_synthesis_s": timings["synthesis_s"],
             # first-class cold-start figure (round-3 target: <= 20 s at the
             # 512K shape with the full hot tier — the device-side hot build
             # took it from 76.9 s to ~13 s warm / ~29 s cold-compile)

@@ -92,10 +92,25 @@ def idf(method: str, num_docs: int, df: np.ndarray) -> np.ndarray:
 
 
 def tf_saturation(
-    method: str, tf: np.ndarray, dl_norm: np.ndarray, k1: float, delta: float
+    method: str, tf: np.ndarray, dl_norm: np.ndarray, k1: float, delta: float,
+    scratch_ok: bool = False,
 ) -> np.ndarray:
-    """Length-normalized tf saturation. dl_norm = 1 - b + b*dl/avgdl per entry."""
+    """Length-normalized tf saturation. dl_norm = 1 - b + b*dl/avgdl per entry.
+
+    ``scratch_ok=True`` lets the lucene branch (the bm25s default and the
+    bench path) reuse ``dl_norm`` as its output buffer — at MS MARCO
+    scale the three fresh 8B/entry temporaries are a measurable slice of
+    build time.  Each in-place op computes the SAME primitive in the
+    same order, so results stay bitwise identical (pinned by
+    tests/test_scoring.py against the reference artifacts).
+    """
     if method == "lucene":
+        if scratch_ok and isinstance(dl_norm, np.ndarray) \
+                and dl_norm.shape == tf.shape:
+            np.multiply(dl_norm, k1, out=dl_norm)   # k1 * dl_norm
+            np.add(dl_norm, tf, out=dl_norm)        # tf + k1 * dl_norm
+            np.divide(tf, dl_norm, out=dl_norm)
+            return dl_norm
         return tf / (tf + k1 * dl_norm)
     if method in ("robertson", "atire", "classic"):
         return tf * (k1 + 1.0) / (tf + k1 * dl_norm)
@@ -267,8 +282,15 @@ def build_scored_index_flat(
         dl_norm_per_doc = np.full(num_docs, 1.0 - params.b)
 
     # Per-nnz transform: data[i] = idf[col(i)] * sat(tf[i], dl_norm[row(i)]).
+    # This is the build's second-largest phase after the native counting
+    # sort (measured round 4: 4.1 s of a 6 s 25M-token build before the
+    # rework), so it runs in as few 8B/entry passes as possible: the
+    # per-entry idf comes from ONE repeat of the f32 idf table (not an
+    # int32 column-id materialization plus a fancy gather), and the
+    # products reuse buffers in place.  Operation ORDER and rounding are
+    # unchanged — bm25s bit-exactness is pinned by tests/test_scoring.py
+    # against the reference artifacts.
     nnz = len(tf_vals)
-    col_of = np.repeat(np.arange(vocab_size, dtype=np.int32), df)
     row_of = row_doc
     # bm25s computes the score arrays in the target dtype (float32): idf and
     # the length norm are rounded to `dtype` BEFORE the saturation/product, so
@@ -280,11 +302,19 @@ def build_scored_index_flat(
         dl_norm_per_doc.astype(dtype)[row_of],
         dtype(params.k1),
         dtype(params.delta),
+        scratch_ok=True,
     )
     base = dtype(zero_tf_offset(params.method, params.k1, params.delta))
     idf_low = idf_vec.astype(dtype)
-    # Sparse entries store score(tf) - score(0); score(0) goes to token_offsets.
-    scores = (idf_low[col_of] * (sat - base)).astype(dtype)
+    # Sparse entries store score(tf) - score(0); score(0) goes to
+    # token_offsets.  `sat` is scratch (scratch_ok above): subtract and
+    # multiply land in place; values are bitwise what
+    # `(idf_low[col_of] * (sat - base)).astype(dtype)` produced.
+    if base != 0.0:
+        np.subtract(sat, base, out=sat)
+    per_entry_idf = np.repeat(idf_low, df)
+    np.multiply(per_entry_idf, sat, out=sat)
+    scores = sat if sat.dtype == dtype else sat.astype(dtype)
     # None (not an all-zero array) for zero-offset methods: the save/load
     # path normalizes all-zero offsets to None, and consumers gate dead
     # per-query offset work on `is not None` — a fresh build must match a
