@@ -48,6 +48,26 @@ _PALLAS_MAX_BLOCKS = 16
 # ---------------------------------------------------------------------------
 
 
+def _auto_impl(n: int, k: int, rows: int) -> str:
+    """Measured selector dispatch (scripts/exp_r4_topk_smallk.py).
+
+    On-chip grid {8,32,128,512} rows x {65K..524K} cols x k in
+    {1,8,16,32,64}, plus the round-2 large-k shapes.  lax.top_k's cost
+    grows ~linearly in k but with a small constant; the tournament tree
+    is nearly k-flat but pays per-level overheads that only amortize
+    over enough rows.  Winners: lax for k < 8 everywhere; tree for
+    k >= 64 (e.g. (512,524288) k=64: 10.2 vs 53.7 ms); between them the
+    tree needs >= 128 rows to win ((128,65536) k=8: 0.21 vs 0.30 ms
+    tree, but (32,524288) k=32: 1.75 vs 1.92 ms lax).  Worst mispredict
+    on the grid is -6% ((512,524288) k=8).  The two-stage Pallas kernel
+    never wins a cell (O(k) extraction rounds; k=1 at (128,65536) ties
+    within noise) and stays opt-in.
+    """
+    if n > max(2 * k, 4096) and (k >= 64 or (k >= 8 and rows >= 128)):
+        return "tree"
+    return "lax"
+
+
 def top_k(
     x: jax.Array,
     k: int,
@@ -87,7 +107,7 @@ def top_k(
     impl = implementation
     if impl == "auto":
         n = x.shape[-1]
-        impl = "tree" if n > max(2 * k, 4096) else "lax"
+        impl = _auto_impl(n, k, x.size // max(n, 1))
 
     if impl == "lax":
         v, i = lax.top_k(xs, k)
@@ -132,24 +152,52 @@ def _extract_topk_rounds(x, col_ids, k, vals_ref, idxs_ref, taken0=None):
     """
     if taken0 is None:
         taken0 = jnp.zeros(x.shape, dtype=bool)
+    # Three Mosaic hardware-legality constraints shape this loop (each
+    # raised a compile error on-chip; interpret mode accepted them all):
+    #  * no i1 vector loop carries (scf.for fails to legalize) — the
+    #    taken mask is carried as f32, 0.0 = open / -1.0 = taken, which
+    #    is ALSO exactly the argmax operand first_open needs (argmax
+    #    lowering is f32-only: bool/int vectors raise NotImplementedError)
+    #  * no dynamic-lane column stores (vals_ref[:, i] = m emits a
+    #    vector<rx1> tpu.vector_store the backend rejects) — results
+    #    accumulate in register tiles via one-hot selects and store once
+    #    at the end; the full-width init also covers stage-1's 128-lane
+    #    output padding (NEG_INF / id 0 = losing candidates for stage 2)
+    #  * no 1-column take_along_axis (the gather rule asserts
+    #    indices.shape == input.shape + (1,)) — exactly one position per
+    #    row is hot, so a one-hot select + sum reads the selected id
+    takenf0 = jnp.where(taken0, jnp.float32(-1.0), jnp.float32(0.0))
+    out_col = lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+    vals0 = jnp.full(vals_ref.shape, NEG_INF, x.dtype)
+    idxs0 = jnp.zeros(idxs_ref.shape, jnp.int32)
 
     def body(i, carry):
-        cur, taken = carry
+        cur, takenf, vals, idxs = carry
         m = jnp.max(cur, axis=1)
         am = jnp.argmax(cur, axis=1)
-        # ~taken is all-False only when every selectable position was
+        # takenf is all -1.0 only when every selectable position was
         # taken; argmax then returns 0, which is at least in range
-        first_open = jnp.argmax(~taken, axis=1)
+        first_open = jnp.argmax(takenf, axis=1)
         am = jnp.where(jnp.isneginf(m), first_open, am)
-        sel = jnp.take_along_axis(col_ids, am[:, None], axis=1)[:, 0]
-        vals_ref[:, i] = m
-        idxs_ref[:, i] = sel
         onehot = (
             lax.broadcasted_iota(jnp.int32, cur.shape, 1) == am[:, None]
         )
-        return jnp.where(onehot, NEG_INF, cur), taken | onehot
+        sel = jnp.sum(jnp.where(onehot, col_ids, 0), axis=1)
+        hit = out_col == i
+        vals = jnp.where(hit, m[:, None], vals)
+        idxs = jnp.where(hit, sel[:, None], idxs)
+        return (
+            jnp.where(onehot, NEG_INF, cur),
+            jnp.where(onehot, jnp.float32(-1.0), takenf),
+            vals,
+            idxs,
+        )
 
-    lax.fori_loop(0, k, body, (x, taken0), unroll=False)
+    _, _, vals, idxs = lax.fori_loop(
+        0, k, body, (x, takenf0, vals0, idxs0), unroll=False
+    )
+    vals_ref[:] = vals
+    idxs_ref[:] = idxs
 
 
 def _stage1_kernel(n_real: int, chunk: int, k: int, kp: int):
@@ -165,11 +213,9 @@ def _stage1_kernel(n_real: int, chunk: int, k: int, kp: int):
         # so an exhausted row's fallback picks real columns first)
         pad = base + col >= n_real
         x = jnp.where(pad, NEG_INF, x)
-        if kp != k:
-            # the output block is 128-lane-padded for Mosaic; fill the
-            # pad lanes so stage 2 sees losing candidates there
-            vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, x.dtype)
-            idxs_ref[:] = jnp.zeros(idxs_ref.shape, jnp.int32)
+        # the output block is 128-lane-padded for Mosaic when kp != k;
+        # _extract_topk_rounds' full-width register init fills the pad
+        # lanes with losing candidates (NEG_INF / id 0) for stage 2
         ids = jnp.minimum(base + col, n_real - 1)  # in-range even for pads
         _extract_topk_rounds(x, ids, k, vals_ref, idxs_ref, taken0=pad)
 

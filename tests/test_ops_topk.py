@@ -292,11 +292,13 @@ def test_pallas_sampling_seed_sensitivity():
 
 
 def test_int_dtype_tree_unaligned_n():
-    """auto-dispatch uses the tree for n > max(2k, 4096); INT_MIN group
-    padding must never win (bitwise-NOT keys, not negation)."""
+    """tree path on ints with unaligned n: INT_MIN group padding must
+    never win (bitwise-NOT keys, not negation).  Forced to the tree —
+    the measured auto dispatch routes 1-row small-k shapes to lax
+    (scripts/exp_r4_topk_smallk.py)."""
     rng = np.random.default_rng(17)
     x = rng.integers(-(2**31) + 1, 2**31 - 1, size=(1, 5001), dtype=np.int32)
-    v, i = top_k(jnp.asarray(x), 3)
+    v, i = top_k(jnp.asarray(x), 3, implementation="tree")
     ev, ei = np_topk(x, 3)
     np.testing.assert_array_equal(np.asarray(v), ev.astype(np.int64))
     np.testing.assert_array_equal(np.asarray(i), ei)
@@ -499,3 +501,17 @@ def test_pallas_topk_k_wider_than_chunk_stays_distinct(monkeypatch):
         assert len(set(row.tolist())) == len(row), "duplicate indices"
     lv, li = T.top_k(jnp.asarray(x), k=300, implementation="lax")
     np.testing.assert_array_equal(np.asarray(v)[:, :40], np.asarray(lv)[:, :40])
+
+
+def test_auto_dispatch_rule():
+    """Pin the measured dispatch table (scripts/exp_r4_topk_smallk.py):
+    lax for k<8 or few rows; the tree for k>=64 or (k>=8 with >=128
+    rows); lax whenever n is too small for the tree to pay off."""
+    from bm25_tpu.ops.topk import _auto_impl
+
+    assert _auto_impl(131072, 1, 8) == "lax"
+    assert _auto_impl(524288, 32, 32) == "lax"      # lax 1.75 vs tree 1.92 ms
+    assert _auto_impl(131072, 64, 8) == "tree"      # tree 0.14 vs lax 0.20 ms
+    assert _auto_impl(65536, 8, 128) == "tree"      # tree 0.21 vs lax 0.30 ms
+    assert _auto_impl(524288, 1000, 512) == "tree"  # production headline
+    assert _auto_impl(4096, 1000, 512) == "lax"     # n too small for the tree
