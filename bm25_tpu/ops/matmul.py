@@ -6,9 +6,14 @@ Mirrors the reference's matmul custom-op family
 * ``naive``      one grid cell computes one (tile_m, tile_n) output tile with
                  the full K in VMEM (the TPU analog of the reference's
                  1-thread-per-element kernel, ``matrix_multiplication.mojo:55``)
-* ``optimized``  block-tiled over (M, N, K) with an f32 VMEM accumulator,
-                 K-innermost grid for accumulator reuse (the analog of the
-                 shared-memory/register-tiled kernel, ``:119-231``)
+* ``optimized``  the analog of the shared-memory/register-tiled kernel
+                 (``:119-231``), as a measured per-shape schedule family:
+                 whole-C-resident K-streaming for small f32 outputs,
+                 no-scratch square-tiled (M, N, K) accumulation into the
+                 f32 output block at large sizes, and the classic
+                 f32-scratch block tiling for narrow output dtypes
+                 (sweeps: scripts/exp_matmul_tiles.py, exp_r4_matmul_
+                 tiles{2,3,4}.py)
 * ``xla``        plain ``jnp.dot`` — the production path; the Pallas kernels
                  exist to match (and are benchmarked against) it.
 
@@ -91,6 +96,44 @@ def _tiled_kernel(a_ref, b_ref, o_ref, acc_ref, *, k_steps):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _noacc_kernel(a_ref, b_ref, o_ref):
+    """K-innermost accumulation straight into the f32 output block.
+
+    The output index_map is constant over the K grid axis, so Mosaic
+    keeps the block VMEM-resident across the K steps and writes it to
+    HBM once — dropping the acc scratch frees tm*tn*4 bytes, which is
+    what admits the square (1024, 1024, 512) tiling (138.6 TFLOPS at
+    4096^3 vs 105 with the scratch variant; scripts/exp_r4_matmul_
+    tiles3.py).  f32 outputs only — a narrower o_ref would accumulate
+    in the narrow dtype.
+    """
+    import jax.experimental.pallas as pl
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+
+
+def _resident_kernel(a_ref, b_ref, o_ref):
+    """Whole-C-resident schedule: 1-cell (M, N) grid, K streamed.
+
+    For outputs that fit VMEM, A and B stream exactly once (the HBM
+    traffic floor) and C never round-trips.  Needs an explicit
+    vmem_limit_bytes above Mosaic's conservative default — v5e VMEM is
+    physically 128 MB.  Measured 77.9 TFLOPS at 1028^3 vs 47.7 for the
+    tiled variant (scripts/exp_r4_matmul_tiles3.py).
+    """
+    import jax.experimental.pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("algorithm", "tile_m", "tile_n", "tile_k"))
 def matmul(
     a: jax.Array,
@@ -145,29 +188,74 @@ def matmul(
         return out[:m, :n]
 
     if algorithm == "optimized":
-        tm = min(next_multiple(m, 8), tile_m or _auto_tile(m, (1024, 512, 256)))
-        tn = min(next_multiple(n, 128), tile_n or _auto_tile(n, (512, 256)))
+        out_f32 = a.dtype == jnp.float32
+        mp, np_, kp = (next_multiple(m, 8), next_multiple(n, 128),
+                       next_multiple(k, 128))
+        isz = a.dtype.itemsize
+
+        # whole-C-resident schedule for small f32 outputs (no tile
+        # overrides): the measured winner at the reference's 1028^3
+        # headline shape (77.9 vs 47.7 TFLOPS tiled — exp_r4_matmul_
+        # tiles3.py).  C stays in VMEM across the K stream, A/B are
+        # read exactly once.
+        if (out_f32 and tile_m is None and tile_n is None and tile_k is None
+                and mp * np_ * 4 <= 8 << 20):
+            tk = kp
+            while (mp * np_ * 4 + 2 * (mp + np_) * tk * isz > 90 << 20
+                   and tk > 512):
+                tk = max(512, next_multiple(tk // 2, 128))
+            ap = _pad2(a, 8, tk)
+            bp = _pad2(b, tk, 128)
+            k_steps = ap.shape[1] // tk
+            out = pl.pallas_call(
+                _resident_kernel,
+                grid=(k_steps,),
+                in_specs=[
+                    pl.BlockSpec((mp, tk), lambda kk: (0, kk),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tk, np_), lambda kk: (kk, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((mp, np_), lambda kk: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                    vmem_limit_bytes=100 << 20,
+                ),
+                interpret=interpret,
+            )(ap, bp)
+            return out[:m, :n]
+
+        # block-tiled path.  f32 outputs accumulate straight into o_ref
+        # (no scratch) — frees tm*tn*4 bytes of VMEM, admitting square
+        # (1024, 1024) output tiles, the measured optimum at large
+        # aligned sizes (138.6 TFLOPS at 4096^3 = 71% of the XLA dot).
+        tm = min(mp, tile_m or _auto_tile(m, (1024, 512, 256)))
+        tn = min(np_, tile_n or _auto_tile(n, (1024, 512, 256) if out_f32
+                                           else (512, 256)))
         if tile_k is None:
-            # K-splitting costs accumulator traffic; prefer the largest
+            # K-splitting costs accumulator revisits; prefer the largest
             # K tile (ideally all of K: k_steps=1, no accumulation loop)
-            # whose double-buffered a/b blocks + out/acc fit VMEM
-            full_k = next_multiple(k, 128)
-            isz = a.dtype.itemsize
-            fixed = tm * tn * (4 + a.dtype.itemsize)
+            # whose double-buffered a/b blocks + resident out (+ acc
+            # scratch on the narrow-dtype path) fit VMEM
+            fixed = tm * tn * (4 if out_f32 else 4 + isz)
             tk = 512
-            for c in (full_k, 2048, 1024):
-                if c <= full_k and 2 * (tm + tn) * c * isz + fixed <= 12 << 20:
+            for c in (kp, 2048, 1024):
+                if c <= kp and 2 * (tm + tn) * c * isz + fixed <= 13 << 20:
                     tk = c
                     break
         else:
             tk = tile_k
-        tk = min(next_multiple(k, 128), tk)
+        tk = min(kp, tk)
         ap = _pad2(a, tm, tk)
         bp = _pad2(b, tk, tn)
         k_steps = ap.shape[1] // tk
         grid = (ap.shape[0] // tm, bp.shape[1] // tn, k_steps)
+        kernel = (_noacc_kernel if out_f32
+                  else functools.partial(_tiled_kernel, k_steps=k_steps))
         out = pl.pallas_call(
-            functools.partial(_tiled_kernel, k_steps=k_steps),
+            kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
@@ -179,7 +267,9 @@ def matmul(
                 (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((ap.shape[0], bp.shape[1]), a.dtype),
-            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            scratch_shapes=(
+                [] if out_f32 else [pltpu.VMEM((tm, tn), jnp.float32)]
+            ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")
             ),

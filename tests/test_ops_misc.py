@@ -168,3 +168,26 @@ def test_registry_dispatch_and_custom():
     for name in ["top_k", "gather", "scatter_nd", "matrix_multiplication",
                  "reshape", "arange", "gather_reduce"]:
         assert name in list_ops()
+
+
+def test_matmul_optimized_large_output_noacc_path():
+    """f32 outputs above the C-resident cap route to the no-scratch
+    square-tiled kernel (accumulates into o_ref); exactness vs numpy."""
+    rng = np.random.default_rng(21)
+    a = rng.standard_normal((1500, 70)).astype(np.float32)
+    b = rng.standard_normal((70, 1500)).astype(np.float32)
+    out = np.asarray(matmul(jnp.asarray(a), jnp.asarray(b), algorithm="optimized"))
+    np.testing.assert_allclose(out, a @ b, rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_optimized_bf16_uses_f32_scratch():
+    """Narrow output dtypes keep the f32 accumulator scratch — a bf16
+    o_ref accumulation would lose low bits every K step."""
+    rng = np.random.default_rng(22)
+    a = rng.standard_normal((64, 700)).astype(np.float32)
+    b = rng.standard_normal((700, 96)).astype(np.float32)
+    out = matmul(jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16),
+                 algorithm="optimized")
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), a @ b,
+                               rtol=0.08, atol=0.5)
