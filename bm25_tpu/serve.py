@@ -530,6 +530,12 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if code == 503:
+            # every 503 here is the retryable kind (drop-mode reload /
+            # rebuild window — measured at tens of seconds through the
+            # compile relay, sub-second to seconds on a local chip);
+            # standard clients and load balancers honor Retry-After
+            self.send_header("Retry-After", "1")
         self.end_headers()
         self.wfile.write(body)
 

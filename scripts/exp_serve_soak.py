@@ -278,6 +278,9 @@ def main() -> None:
         done = threading.Event()
         counts = [0] * 8
 
+        t0 = time.perf_counter()
+        retries = [0] * 8  # retryable-503 count per client (drop window)
+
         def client(ci):
             r = np.random.default_rng(ci)
             while not done.is_set():
@@ -294,31 +297,75 @@ def main() -> None:
                     row = out["results"][0]
                     assert len(row) == 10 and all("doc" in it for it in row)
                     counts[ci] += 1
+                except urllib.error.HTTPError as e:
+                    body = e.read().decode(errors="replace")[:200]
+                    if e.code == 503 and "retry" in body:
+                        # the documented drop-mode reload contract:
+                        # retryable 503 + Retry-After; honor it
+                        if e.headers.get("Retry-After") is None:
+                            errors.append(
+                                f"client {ci}: 503 without Retry-After"
+                            )
+                            return
+                        retries[ci] += 1
+                        time.sleep(0.5)
+                        continue
+                    errors.append(
+                        f"client {ci} t={time.perf_counter()-t0:.1f}s: "
+                        f"{e!r} body={body}"
+                    )
+                    return
                 except Exception as e:  # noqa: BLE001
-                    errors.append(f"client {ci}: {e!r}")
+                    errors.append(
+                        f"client {ci} t={time.perf_counter()-t0:.1f}s: {e!r}"
+                    )
                     return
 
         threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
-        t0 = time.perf_counter()
         for t in threads:
             t.start()
         time.sleep(60)
-        # VERDICT r2 item 6: hot-reload the index MID-TRAFFIC — in-flight
-        # requests finish on the old engine, later ones on the new; zero
-        # errors expected either side of the swap
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/reload", data=b"{}",
-            headers={"Content-Type": "application/json"},
+
+        # VERDICT r2 item 6: hot-reload the index MID-TRAFFIC.  Two
+        # reloads, one per documented contract:
+        #   swap — zero-downtime: both engines coexist in HBM (they fit
+        #          here), in-flight requests finish on the old engine,
+        #          later ones on the new; ZERO client-visible errors
+        #   drop — the default for auto-sized production engines: the
+        #          old engine frees first, /search answers retryable 503
+        #          (+ Retry-After) while the new one builds — measured
+        #          77.5 s through this container's compile relay —
+        #          and contract-following clients ride it out
+        def reload_req(mode=None):
+            payload = b"{}" if mode is None else json.dumps(
+                {"mode": mode}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/reload", data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            t_rl = time.perf_counter()
+            with urllib.request.urlopen(req, timeout=600) as r:
+                rl = json.loads(r.read())
+            print(f"[soak] mid-traffic reload mode={mode or 'drop'}: "
+                  f"{rl['status']} (num_docs={rl['num_docs']}) at "
+                  f"t={t_rl-t0:.1f}s took {time.perf_counter()-t_rl:.1f}s",
+                  flush=True)
+
+        reload_req("swap")
+        time.sleep(30)
+        swap_retries = sum(retries)
+        assert swap_retries == 0, (
+            f"swap-mode reload must be zero-downtime; clients saw "
+            f"{swap_retries} retryable 503s"
         )
-        with urllib.request.urlopen(req, timeout=600) as r:
-            rl = json.loads(r.read())
-        print(f"[soak] mid-traffic reload: {rl['status']} "
-              f"(num_docs={rl['num_docs']})", flush=True)
-        time.sleep(120)
+        reload_req()  # drop mode: the 503 window is expected, retried
+        time.sleep(90)
         done.set()
         for t in threads:
             t.join(timeout=120)
         dt = time.perf_counter() - t0
+        print(f"[soak] drop-window retryable 503s per client: {retries}",
+              flush=True)
 
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/healthz?deep=1", timeout=120
@@ -334,7 +381,9 @@ def main() -> None:
         assert not errors, errors[:3]
         assert h["status"] == "ok"
         assert m.get("requests", 0) >= total
-        assert m.get("reloads", 0) == 1
+        assert m.get("reloads", 0) == 2
+        # every client survived both reloads and kept completing requests
+        assert all(c > 0 for c in counts), counts
         occ = m.get("batch_occupancy", 0)
         print(f"[soak] batch occupancy {occ} (cross-request coalescing "
               f"{'ACTIVE' if occ and occ > 1 else 'inactive'})", flush=True)

@@ -1702,3 +1702,36 @@ def test_explain_unavailable_on_updatable(upd_server):
         _post_path(upd_server, "/explain", {"query": "cat", "doc_id": 0})
     assert e.value.code == 409
     assert "explain unavailable" in json.loads(e.value.read())["error"]
+
+
+def test_reload_window_503_has_retry_after(server):
+    """During a drop-mode reload the stub runtime answers /search with a
+    RETRYABLE 503: body says retry, and the Retry-After header is present
+    (the client contract the serving soak's drop phase rides on — the
+    window was measured at 77.5 s through the compile relay)."""
+    from bm25_tpu.serve import EngineRuntime
+
+    old_rt = server._handler.runtime
+    server._handler.runtime = EngineRuntime(
+        engine=None, tokenizer=old_rt.tokenizer, vocab=old_rt.vocab,
+        corpus=old_rt.corpus, stats=dict(old_rt.stats, reloading=True),
+    )
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/search",
+            data=json.dumps({"queries": ["cat"], "top_k": 1}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected 503 from the reload stub")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers.get("Retry-After") is not None
+            body = json.loads(e.read())
+            assert "retry" in body["error"]
+    finally:
+        server._handler.runtime = old_rt
+    # the restored runtime serves again
+    out = _post(server, {"queries": ["cat"], "top_k": 1})
+    assert out["results"][0]
