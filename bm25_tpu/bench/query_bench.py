@@ -366,13 +366,27 @@ def measure_cold_start(engine, queries: np.ndarray, k: int, batch: int,
         jax.block_until_ready(out)
         return time.perf_counter() - t0
 
+    # jax LATCHES the persistent cache on first use (module-global _cache /
+    # _cache_checked); a config.update alone is a no-op once anything has
+    # compiled, so every toggle below must reset_cache() or the "cold"
+    # timing silently reads the warm cache (this bug shipped in the first
+    # round-4 cut: cold_compile reported 7.8 s of cache deserialize).
+    # Caveat that remains: the axon compile relay keeps its own server-side
+    # cache across processes, so on this rig "cold" means "cold JAX caches",
+    # a lower bound on a genuinely new shape's first compile.
+    from jax._src import compilation_cache as _jax_cc
+
+    def set_cache_dir(path):
+        jax.config.update("jax_compilation_cache_dir", path)
+        _jax_cc.reset_cache()
+
     cache_dir = jax.config.jax_compilation_cache_dir
     out = {"persistent_cache_dir": cache_dir}
     try:
-        jax.config.update("jax_compilation_cache_dir", None)
+        set_cache_dir(None)
         out["headline_step_cold_compile_s"] = round(time_first_call(), 1)
     finally:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        set_cache_dir(cache_dir)
 
     if cache_dir:
         from bm25_tpu.runtime import cache as cc
@@ -390,13 +404,13 @@ def measure_cold_start(engine, queries: np.ndarray, k: int, batch: int,
                 cc.export_cache(archive, path=cache_dir)
                 fresh_dir = os.path.join(tmp, "imported")
                 cc.import_cache(archive, path=fresh_dir, force=True)
-                jax.config.update("jax_compilation_cache_dir", fresh_dir)
+                set_cache_dir(fresh_dir)
                 out["headline_step_cache_import_s"] = round(
                     time_first_call(), 1)
         except (OSError, ValueError, tarfile.TarError) as e:
             out["cache_import_error"] = str(e)
         finally:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            set_cache_dir(cache_dir)
     log(f"[bench] cold start: cold_compile="
         f"{out.get('headline_step_cold_compile_s')}s warm_cache="
         f"{out.get('headline_step_warm_cache_s')}s cache_import="

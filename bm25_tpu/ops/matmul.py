@@ -96,38 +96,27 @@ def _tiled_kernel(a_ref, b_ref, o_ref, acc_ref, *, k_steps):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _noacc_kernel(a_ref, b_ref, o_ref):
+def _noacc_kernel(a_ref, b_ref, o_ref, *, k_axis=2):
     """K-innermost accumulation straight into the f32 output block.
 
-    The output index_map is constant over the K grid axis, so Mosaic
-    keeps the block VMEM-resident across the K steps and writes it to
-    HBM once — dropping the acc scratch frees tm*tn*4 bytes, which is
-    what admits the square (1024, 1024, 512) tiling (138.6 TFLOPS at
-    4096^3 vs 105 with the scratch variant; scripts/exp_r4_matmul_
-    tiles3.py).  f32 outputs only — a narrower o_ref would accumulate
-    in the narrow dtype.
-    """
-    import jax.experimental.pallas as pl
+    The output index_map is constant over the K grid axis (``k_axis``),
+    so Mosaic keeps the block VMEM-resident across the K steps and
+    writes it to HBM once — dropping the acc scratch frees tm*tn*4
+    bytes, which is what admits the square (1024, 1024, 512) tiling
+    (138.6 TFLOPS at 4096^3 vs 105 with the scratch variant; scripts/
+    exp_r4_matmul_tiles3.py).  f32 outputs only — a narrower o_ref
+    would accumulate in the narrow dtype.
 
-    @pl.when(pl.program_id(2) == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-
-    o_ref[:] += jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.float32)
-
-
-def _resident_kernel(a_ref, b_ref, o_ref):
-    """Whole-C-resident schedule: 1-cell (M, N) grid, K streamed.
-
-    For outputs that fit VMEM, A and B stream exactly once (the HBM
-    traffic floor) and C never round-trips.  Needs an explicit
+    With ``k_axis=0`` this is the whole-C-resident schedule: a 1-cell
+    (M, N) grid with K streamed, A and B read exactly once (the HBM
+    traffic floor), C never round-tripping.  Needs an explicit
     vmem_limit_bytes above Mosaic's conservative default — v5e VMEM is
     physically 128 MB.  Measured 77.9 TFLOPS at 1028^3 vs 47.7 for the
     tiled variant (scripts/exp_r4_matmul_tiles3.py).
     """
     import jax.experimental.pallas as pl
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(k_axis) == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
@@ -204,11 +193,21 @@ def matmul(
             while (mp * np_ * 4 + 2 * (mp + np_) * tk * isz > 90 << 20
                    and tk > 512):
                 tk = max(512, next_multiple(tk // 2, 128))
+            resident_fits = (
+                mp * np_ * 4 + 2 * (mp + np_) * tk * isz <= 90 << 20
+            )
+        else:
+            resident_fits = False
+        if resident_fits:
+            # skinny-M/wide-N shapes (e.g. (8, 25600+) outputs) pass the
+            # 8 MB output gate but their double-buffered full-width K
+            # strips exceed VMEM at any tk — those fall through to the
+            # block-tiled path below instead of a Mosaic compile error
             ap = _pad2(a, 8, tk)
             bp = _pad2(b, tk, 128)
             k_steps = ap.shape[1] // tk
             out = pl.pallas_call(
-                _resident_kernel,
+                functools.partial(_noacc_kernel, k_axis=0),
                 grid=(k_steps,),
                 in_specs=[
                     pl.BlockSpec((mp, tk), lambda kk: (0, kk),
