@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Headline benchmark: batched BM25 query throughput on the local accelerator.
 
-Prints ONE JSON line: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Prints the full result JSON line, then a compact headline JSON line
+({"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., ...},
+always < ~500 bytes) as the FINAL line so a tail-capture of stdout still
+ends with one whole parseable object.
 Baseline = the reference's CSC scoring algorithm (scipy, host CPU) on the
 same synthetic Zipf corpus.  Tunable via BM25_BENCH_* env vars.
 """
@@ -26,10 +29,15 @@ def main() -> None:
     except Exception:
         pass
 
-    from bm25_tpu.bench.query_bench import BenchConfig, run
+    from bm25_tpu.bench.query_bench import BenchConfig, compact_headline, run
 
     result = run(BenchConfig.from_env(), log=lambda *a: print(*a, file=sys.stderr))
+    # full record first, then a compact headline as the FINAL line: the
+    # driver captures only the tail of stdout, and round 4's full line
+    # outgrew that capture (BENCH_r04.json parsed null).  The last line is
+    # always a whole, parseable object under ~500 bytes.
     print(json.dumps(result))
+    print(json.dumps(compact_headline(result)))
 
 
 if __name__ == "__main__":

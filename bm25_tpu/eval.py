@@ -119,6 +119,17 @@ def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
     csc = (
         index.indptr.nbytes + index.indices.nbytes + index.data.nbytes
     )
+    dev = engine_device_bytes(engine)
+    return MemoryStats(
+        csc_bytes=csc, device_bytes=dev,
+        overhead_ratio=dev / csc if csc else float("inf"),
+    )
+
+
+def engine_device_bytes(engine) -> int:
+    """Resident device footprint of any engine: every array the query step
+    reads.  Index-free so the serving layer can size a hot reload without
+    holding the old host index (serve.Server._auto_reload_mode)."""
     def _nbytes(x) -> int:
         return int(np.prod(x.shape)) * x.dtype.itemsize
 
@@ -127,7 +138,7 @@ def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
     if name == "UpdatableEngine":
         # the device footprint is the wrapped base engine's (the delta
         # segment is host-side)
-        return index_memory_stats(index, engine.base)
+        return engine_device_bytes(engine.base)
     if name == "DenseEngine":
         dev = _nbytes(engine.st) + _nbytes(engine.offsets)
         # matmul mode lazily caches a bf16 high/residual pair of st —
@@ -159,9 +170,6 @@ def index_memory_stats(index: ScoredIndex, engine) -> MemoryStats:
         # an unknown engine must not silently report a zero footprint —
         # that reads as a 'perfect' result for the BASELINE memory row
         raise TypeError(
-            f"index_memory_stats: unsupported engine type {name}"
+            f"engine_device_bytes: unsupported engine type {name}"
         )
-    return MemoryStats(
-        csc_bytes=csc, device_bytes=dev,
-        overhead_ratio=dev / csc if csc else float("inf"),
-    )
+    return dev

@@ -45,6 +45,45 @@ def capture_trace(log_dir: str, host_tracer_level: int = 2):
         jax.profiler.stop_trace()
 
 
+@contextlib.contextmanager
+def compile_phase_collector():
+    """Collect JAX compile-phase durations inside the with-block.
+
+    Yields a dict that accumulates, in seconds: ``jaxpr_trace_s`` (host
+    tracing), ``lower_to_mlir_s`` (host lowering), ``backend_compile_s``
+    (the PJRT compile call — through a remote-compile relay this is relay
+    round-trip + remote XLA compile), and ``cache_retrieval_s``
+    (persistent-cache reads).  The caller's wall time minus these is
+    execution + host overhead + data transfers.  Built for the serve
+    warmup breakdown (NOTES r4: 312-689 s cross-process first-warmup
+    variance needed attribution — compile vs relay wait).
+
+    Uses ``jax._src.monitoring`` listeners; the event names are the
+    long-stable ``/jax/core/compile/*`` set (jax 0.9, dispatch.py:60-62).
+    """
+    from jax._src import monitoring
+
+    names = {
+        "/jax/core/compile/jaxpr_trace_duration": "jaxpr_trace_s",
+        "/jax/core/compile/jaxpr_to_mlir_module_duration": "lower_to_mlir_s",
+        "/jax/core/compile/backend_compile_duration": "backend_compile_s",
+        "/jax/compilation_cache/cache_retrieval_time_sec":
+            "cache_retrieval_s",
+    }
+    events = {v: 0.0 for v in names.values()}
+
+    def _cb(event: str, duration: float, **kw) -> None:
+        key = names.get(event)
+        if key is not None:
+            events[key] += duration
+
+    monitoring.register_event_duration_secs_listener(_cb)
+    try:
+        yield events
+    finally:
+        monitoring.unregister_event_duration_listener(_cb)
+
+
 @dataclass
 class StepTimer:
     """Wall-clock step timer collecting simple latency stats (p50/p99)."""

@@ -18,9 +18,14 @@ Stdlib-only JSON-over-HTTP:
                    (scoring.explain_score; host-side, no device work).
                    409 when no host index matches the served docs
                    (updatable or device-checkpoint serving)
-    POST /reload   {"index_dir": "..."} (optional; defaults to the served
-                   dir) — load the index fresh and swap the engine
-                   atomically; in-flight requests finish on the old engine
+    POST /reload   {"index_dir": "...", "mode": "auto"|"swap"|"drop"}
+                   (both optional; dir defaults to the served dir) — load
+                   the index fresh and swap the engine atomically;
+                   in-flight requests finish on the old engine.  mode
+                   "auto" (default) builds the new engine side-by-side
+                   (zero downtime) when old+new fit the HBM budget, else
+                   releases the old engine first (brief 503+Retry-After
+                   window); response reports the decided mode + sizing
     POST /add      {"docs": ["text", ...]}        (updatable=True only)
                 -> {"doc_ids": [...]} — live adds via a host delta segment
                    scored with frozen base statistics (index/updates.py);
@@ -570,6 +575,10 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             if "deep=1" in self.path:
                 from bm25_tpu.runtime.health import device_probe, engine_probe
 
+                srv = self.server_ref
+                if (srv is not None
+                        and getattr(srv, "last_warmup_breakdown", None)):
+                    payload["warmup_breakdown"] = srv.last_warmup_breakdown
                 dev = device_probe()
                 eng = engine_probe(rt.engine)
                 payload["device_probe"] = dev.as_dict()
@@ -910,9 +919,9 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             index_dir = req.get("index_dir")
             if index_dir is not None and not isinstance(index_dir, str):
                 raise ValueError("'index_dir' must be a string path")
-            mode = req.get("mode", "drop")
-            if mode not in ("drop", "swap"):
-                raise ValueError("'mode' must be 'drop' or 'swap'")
+            mode = req.get("mode", "auto")
+            if mode not in ("auto", "drop", "swap"):
+                raise ValueError("'mode' must be 'auto', 'drop' or 'swap'")
         except (TypeError, ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
             return
@@ -976,6 +985,9 @@ class Server:
 
         self._wal = None  # UpdateLog when updatable (durable live updates)
         self._wal_broken = False  # a failed append poisons updatability
+        # compile/relay attribution of the most recent warmup (logged by
+        # _warmup; surfaced on /healthz?deep=1 for operators)
+        self.last_warmup_breakdown = None
         if device_checkpoint:
             runtime = self._runtime_from_checkpoint(
                 device_checkpoint, index_dir, batch_window_ms
@@ -1053,6 +1065,10 @@ class Server:
             "engine": type(engine).__name__,
             "batch_window_ms": batch_window_ms,
             "index_dir": index_dir,
+            # host CSC footprint of the served index: the unit the auto
+            # reload-mode decision projects the NEW engine's footprint in
+            "csc_bytes": int(index.indptr.nbytes + index.indices.nbytes
+                             + index.data.nbytes),
         }
         if self._updatable:
             from bm25_tpu.index.updates import UpdatableEngine
@@ -1191,11 +1207,25 @@ class Server:
         # observed 4m22s on the first live request without this)
         # T=8 hits the engines' floor query width (all queries with <= 8
         # terms share this compiled shape)
+        from bm25_tpu.runtime.profiling import compile_phase_collector
+
         t0 = time.monotonic()
-        engine.search(np.full((1, 8), -1, np.int32),
-                      top_k=self._warmup_top_k)
-        print(f"bm25-tpu warmup (top_k={self._warmup_top_k}): "
-              f"{time.monotonic() - t0:.1f}s")
+        with compile_phase_collector() as phases:
+            engine.search(np.full((1, 8), -1, np.int32),
+                          top_k=self._warmup_top_k)
+        wall = time.monotonic() - t0
+        # attribute the warmup bill (NOTES r4: 312-689 s cross-process
+        # variance): host trace/lower vs the PJRT compile call (through a
+        # relay: relay round-trips + remote XLA compile — the part a
+        # cache import removes) vs everything else (execute + transfers)
+        accounted = sum(phases.values())
+        self.last_warmup_breakdown = {
+            "wall_s": round(wall, 1),
+            **{k: round(v, 1) for k, v in phases.items()},
+            "other_s": round(max(0.0, wall - accounted), 1),
+        }
+        print(f"bm25-tpu warmup (top_k={self._warmup_top_k}): {wall:.1f}s "
+              f"breakdown={self.last_warmup_breakdown}")
 
     def _needs_compaction(self, engine) -> bool:
         """Compaction pressure judged against the CONFIGURED thresholds."""
@@ -1225,16 +1255,20 @@ class Server:
             time.sleep(0.05)
 
     def reload(self, index_dir: str | None = None,
-               mode: str = "drop") -> dict:
+               mode: str = "auto") -> dict:
         """Load the index fresh and swap the runtime atomically.
 
         ``mode="swap"`` builds the new engine NEXT TO the old one (true
         zero-downtime, but both engines' device memory coexists — only
-        safe when two indexes fit HBM together).  ``mode="drop"`` (the
-        default) releases the old engine first: production engines are
-        auto-sized to most of the chip's HBM, so a side-by-side build
-        would OOM the worker mid-traffic; the cost is a brief window
-        where /search answers 503 while the new index loads.
+        safe when two indexes fit HBM together).  ``mode="drop"``
+        releases the old engine first: production engines are auto-sized
+        to most of the chip's HBM, so a side-by-side build would OOM the
+        worker mid-traffic; the cost is a brief window where /search
+        answers 503 while the new index loads (77.5 s cold / 7.9 s warm
+        at the bench shape, NOTES r4).  ``mode="auto"`` (the default)
+        picks swap when the modeled footprint of old+new engines fits the
+        device HBM budget (``_auto_reload_mode``), else drop — the
+        zero-error path whenever headroom allows it (VERDICT r4 item 3).
 
         In-flight requests already snapshotted the old runtime and finish
         on the old engine either way; the micro-batcher keys batches by
@@ -1264,6 +1298,9 @@ class Server:
                 from bm25_tpu.index.updates import UpdateLog
 
                 UpdateLog(index_dir).read_pending()
+            sizing = None
+            if mode == "auto":
+                mode, sizing = self._auto_reload_mode(old_rt.engine, index)
             if mode == "drop":
                 # release the old engine before building: serve 503 from
                 # a stub runtime, wait for admitted work to finish, drop
@@ -1307,7 +1344,50 @@ class Server:
                 # a failed apply/append
                 self._wal_broken = False
             self._index_dir = index_dir
-            return dict(runtime.stats)
+            out = dict(runtime.stats)
+            out["mode"] = mode
+            if sizing is not None:
+                out["sizing"] = sizing
+            return out
+
+    def _auto_reload_mode(self, old_engine, new_index) -> tuple[str, dict]:
+        """Pick swap vs drop from the modeled old+new device footprint.
+
+        The new engine does not exist yet, so its footprint is projected
+        at the OLD engine's measured overhead ratio (device bytes per CSC
+        byte — same engine mode, kwargs and auto-sizing policy apply to
+        the new build; the ratio is the policy's output).  With no old
+        ratio available the projection assumes the measured speed-point
+        worst case (~14x CSC, BENCH_r04 ``overhead_ratio`` 13.38), which
+        errs toward drop — the mode that cannot OOM.
+        """
+        from bm25_tpu.models.sparse import (_USABLE_HBM_FRACTION,
+                                            device_hbm_bytes)
+
+        budget = int(device_hbm_bytes() * _USABLE_HBM_FRACTION)
+        new_csc = (new_index.indptr.nbytes + new_index.indices.nbytes
+                   + new_index.data.nbytes)
+        try:
+            from bm25_tpu.eval import engine_device_bytes
+
+            old_dev = engine_device_bytes(old_engine)
+        except TypeError:
+            # unknown engine type (or the stub runtime's None engine mid
+            # previous reload): no measured ratio and nothing to size —
+            # drop is the conservative path
+            return "drop", {"reason": "old engine footprint unknown",
+                            "budget_bytes": budget}
+        old_csc = self._handler.runtime.stats.get("csc_bytes", 0)
+        ratio = (old_dev / old_csc) if old_csc else 14.0
+        est_new = int(ratio * new_csc)
+        fits = old_dev + est_new <= budget
+        sizing = {
+            "old_device_bytes": int(old_dev),
+            "est_new_device_bytes": est_new,
+            "budget_bytes": budget,
+            "fits": fits,
+        }
+        return ("swap" if fits else "drop"), sizing
 
     # -- live updates (updatable=True) -----------------------------------
 

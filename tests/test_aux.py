@@ -46,6 +46,35 @@ def test_op_span_composes_with_jit():
     assert float(f(jnp.float32(3.0))) == 6.0
 
 
+def test_compile_phase_collector_captures_fresh_compile():
+    """The warmup-breakdown collector must see the trace/lower/compile
+    phases of a compilation that happens inside its with-block, and
+    unregister cleanly after."""
+    import jax
+    import jax.numpy as jnp
+
+    from bm25_tpu.runtime.profiling import compile_phase_collector
+
+    def f(x):
+        return (x * 2 + 1).sum()
+
+    with compile_phase_collector() as phases:
+        jax.block_until_ready(jax.jit(f)(jnp.arange(1024, dtype=jnp.float32)))
+    # a fresh jit always traces + lowers; backend compile may be served
+    # from the in-process cache only if an identical jaxpr compiled
+    # before (it hasn't — f is local)
+    assert phases["jaxpr_trace_s"] > 0
+    assert phases["lower_to_mlir_s"] > 0
+    assert phases["backend_compile_s"] > 0
+
+    # after the block the listener is gone: durations stop accumulating
+    snapshot = dict(phases)
+    jax.block_until_ready(
+        jax.jit(lambda x: x - 3)(jnp.arange(8, dtype=jnp.float32))
+    )
+    assert phases == snapshot
+
+
 def test_doc_shard_plan_covers_all_docs():
     plan = DocShardPlan(num_docs=1000, num_hosts=3, num_devices_global=8)
     covered = []

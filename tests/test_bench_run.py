@@ -6,9 +6,11 @@ the driver's JSON contract, and covers the memory-parity row (the
 BASELINE.md "index memory equal to reference CSC footprint" target).
 """
 
+import json
+
 import numpy as np
 
-from bm25_tpu.bench.query_bench import BenchConfig, run
+from bm25_tpu.bench.query_bench import BenchConfig, compact_headline, run
 
 
 def test_run_schema_and_memory_parity():
@@ -61,6 +63,75 @@ def test_run_schema_and_memory_parity():
     assert sh["top_k"] == 20 and sh["num_docs"] == 128
     assert sh["recall_vs_reference"] == 1.0
     assert isinstance(sh["mesh"], dict) and sh["mesh"]
+
+    # the compact headline line (the driver's tail-capture record) stays
+    # whole and small: VERDICT r4 item 1 pins < 1000 bytes
+    compact = compact_headline(res)
+    assert compact["metric"] == "bm25_query_throughput"
+    assert compact["value"] == res["value"]
+    assert compact["recall"] == 1.0
+    assert compact["upload_init_s"] == extra["upload_init_s"]
+    assert len(json.dumps(compact)) < 1000
+
+
+def test_shard_scaling_row_skipped_at_test_shapes():
+    """The shard-scaling subprocess row only engages at driver scale
+    (num_docs >= 100k) — tiny test configs must not pay minutes of CPU
+    mesh compiles."""
+    cfg = BenchConfig(
+        num_docs=128, vocab=256, avg_len=12, num_queries=32, batch=16,
+        top_k=10, top_k2=10, baseline_queries=4, engine="sparse",
+        max_buckets=1, memory_parity=0, eval_docs=120, eval_queries=4,
+        longdoc_docs=0, sharded_docs=0, cold_start=0, shard_scaling=1,
+    )
+    res = run(cfg, log=lambda *a: None)
+    assert "shard_scaling" not in res["extra"]
+
+
+def test_measure_shard_scaling_handles_subprocess_failure(monkeypatch):
+    """A broken scaling subprocess yields an error row, never an
+    exception out of the bench."""
+    import subprocess
+
+    from bm25_tpu.bench import query_bench
+
+    def boom(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd="x", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    cfg = BenchConfig(shard_scaling=2, shard_scaling_docs=64, top_k=5)
+    out = query_bench._measure_shard_scaling(cfg, log=lambda *a: None)
+    assert "error" in out
+
+
+def test_compact_headline_worst_case_size_and_missing_fields():
+    """Size pin with realistic-width fields + graceful handling of a
+    degenerate result (no extra at all)."""
+    fat = {
+        "metric": "bm25_query_throughput",
+        "value": 123456.789,
+        "unit": "queries/sec",
+        "vs_baseline": 12345.678,
+        "extra": {
+            "headline": {"top_k": 100000, "device_step_ms": 123456.78,
+                         "recall_vs_reference": 0.9999,
+                         "qps": 9999999.99},
+            "secondary": [{"top_k": 100000, "qps": 9999999.99,
+                           "device_step_ms": 123456.78}] * 2,
+            "upload_init_s": 9999.9,
+            "index_build_docs_per_sec": 99999999.9,
+            "warning": "upload_init_s 9999.9 exceeds warm budget 14s "
+                       "(expected 6.6-13s warm; see NOTES r4)",
+        },
+    }
+    line = json.dumps(compact_headline(fat))
+    assert len(line) < 1000
+    assert json.loads(line)["warning"].startswith("upload_init_s")
+
+    empty = compact_headline({"metric": "m", "value": 1, "unit": "u",
+                              "vs_baseline": 2})
+    assert empty["device_step_ms"] is None
+    assert len(json.dumps(empty)) < 1000
 
 
 def test_memory_parity_opt_out():

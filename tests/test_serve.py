@@ -646,6 +646,101 @@ def test_microbatcher_infra_errors_not_retried_per_item():
         mb.close()
 
 
+def test_reload_auto_mode_swaps_with_zero_errors(tmp_path_factory, request):
+    """Default (auto) reload picks swap when old+new fit the HBM budget:
+    concurrent searches during the reload must see ZERO errors (the
+    zero-downtime contract, VERDICT r4 item 3)."""
+    import threading
+
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_auto_swap")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0)
+    srv.start_background()
+    try:
+        _post(srv, {"queries": ["cat"], "top_k": 1})  # warm
+        stop = threading.Event()
+        errors = []
+
+        def hammer():
+            while not stop.is_set():
+                try:
+                    out = _post(srv, {"queries": ["cat"], "top_k": 1})
+                    assert "feline" in out["results"][0][0]["text"]
+                except Exception as e:  # noqa: BLE001 — collect, fail below
+                    errors.append(e)
+
+        threads = [threading.Thread(target=hammer) for _ in range(4)]
+        for t in threads:
+            t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/reload", data=b"{}",
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                rl = json.loads(r.read())
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=15)
+        assert rl["status"] == "reloaded"
+        assert rl["mode"] == "swap", rl
+        sizing = rl["sizing"]
+        assert sizing["fits"] is True
+        assert sizing["old_device_bytes"] > 0
+        assert sizing["est_new_device_bytes"] > 0
+        assert not errors, f"auto-swap reload surfaced errors: {errors[:3]}"
+    finally:
+        srv.shutdown()
+
+
+def test_reload_auto_mode_drops_when_over_budget(tmp_path_factory, request,
+                                                 monkeypatch):
+    """Auto reload degrades to drop when the modeled old+new footprint
+    exceeds the device budget (here forced tiny)."""
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_auto_drop")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0)
+    srv.start_background()
+    try:
+        import bm25_tpu.models.sparse as sparse_mod
+
+        monkeypatch.setattr(sparse_mod, "device_hbm_bytes", lambda *a: 64)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/reload", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            rl = json.loads(r.read())
+        assert rl["mode"] == "drop", rl
+        assert rl["sizing"]["fits"] is False
+        out = _post(srv, {"queries": ["cat"], "top_k": 1})
+        assert "feline" in out["results"][0][0]["text"]
+    finally:
+        srv.shutdown()
+
+
+def test_reload_rejects_unknown_mode(tmp_path_factory, request):
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_badmode")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0)
+    srv.start_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/reload",
+            data=json.dumps({"mode": "yolo"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+
+
 def test_reload_drop_mode_releases_engine_and_503s(tmp_path_factory, request):
     """mode='drop' serves 503 while the engine rebuilds, then recovers."""
     import threading
@@ -669,7 +764,8 @@ def test_reload_drop_mode_releases_engine_and_503s(tmp_path_factory, request):
         t = threading.Thread(
             target=lambda: urllib.request.urlopen(
                 urllib.request.Request(
-                    f"http://127.0.0.1:{srv.port}/reload", data=b"{}",
+                    f"http://127.0.0.1:{srv.port}/reload",
+                    data=json.dumps({"mode": "drop"}).encode(),
                     headers={"Content-Type": "application/json"},
                 ), timeout=60,
             ).read()

@@ -101,6 +101,59 @@ def test_parse_boosted_bare_decimal_weights():
     assert out == {"fish": 0.5, "cat": 2.0, "dog": 1.0}
 
 
+def _fixture_lines():
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "english_fixture.txt")
+    with open(path, encoding="utf-8") as f:
+        return f.read().splitlines()
+
+
+def test_english_fixture_is_substantial():
+    """The tokenizer-parity fixture must stay a real corpus: VERDICT r4
+    item 4 found the bm25s-pipeline parity claim resting on a 20-term
+    vocab.  These floors keep a future edit from quietly shrinking it."""
+    lines = _fixture_lines()
+    assert len(lines) >= 250
+    out = Tokenizer(use_native=False).tokenize_corpus(lines)
+    assert len(out.vocab) >= 1200
+    assert sum(len(d) for d in out.ids) >= 1500
+
+
+def test_english_fixture_stopword_delta_bound():
+    """Measured bound on stopword-list disagreement vs bm25s.
+
+    bm25s's exact ``stopwords="en"`` list is not importable here (no
+    egress, bm25s not installed); what IS known is its observable behavior
+    on the bundled index (drops {is, and, to, the, that, in}, keeps
+    {can} — text/stopwords.py).  Our STOPWORDS_EN and the minimal Lucene
+    list bracket any plausible English list: tokens dropped by EN but not
+    by Lucene are the only ones a different list could disagree on.  On
+    this fixture that "borderline" fraction measures ~4.6% of the raw
+    token stream — the documented upper bound in docs/migration.md.  This
+    test pins the measurement so the doc number cannot rot silently.
+    """
+    import re
+
+    from bm25_tpu.text.stopwords import STOPWORDS_EN, STOPWORDS_LUCENE
+
+    rx = re.compile(r"(?u)\b\w\w+\b")
+    toks = [w for line in _fixture_lines()
+            for w in rx.findall(line.lower())]
+    assert len(toks) >= 2500
+    drop_en = sum(1 for w in toks if w in STOPWORDS_EN)
+    border = sum(1 for w in toks
+                 if w in STOPWORDS_EN and w not in STOPWORDS_LUCENE)
+    assert STOPWORDS_LUCENE < STOPWORDS_EN  # bracket holds (strict subset)
+    # measured on the committed fixture: 862/2704 = 31.9% dropped,
+    # 124/2704 = 4.59% borderline.  Loose bands, not exact pins, so
+    # fixture additions don't need test edits — but a band break means
+    # the migration.md numbers need re-measuring
+    assert 0.25 <= drop_en / len(toks) <= 0.40
+    assert border / len(toks) <= 0.07
+
+
 def test_pad_token_lists_pad_to_is_a_hard_cap():
     """Same contract as tokenize_queries: a longer row raises instead of
     silently widening the matrix past what the caller compiled for."""
