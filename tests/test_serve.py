@@ -281,9 +281,21 @@ def test_server_warmup(tmp_path_factory, request, capsys):
     srv = Server(str(d), port=0, warmup_top_k=3)
     try:
         assert "warmup (top_k=3)" in capsys.readouterr().out
+        # the warmup bill is phase-attributed (compile vs relay vs other)
+        bd = srv.last_warmup_breakdown
+        assert bd is not None and bd["wall_s"] >= 0
+        for key in ("jaxpr_trace_s", "lower_to_mlir_s",
+                    "backend_compile_s", "other_s"):
+            assert key in bd
         srv.start_background()
         out = _post(srv, {"queries": ["a cat that purrs"], "top_k": 3})
         assert out["results"][0][0]["doc"] == 0
+        # ... and surfaced to operators on the deep health probe
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz?deep=1", timeout=30
+        ) as r:
+            h = json.loads(r.read())
+        assert h["warmup_breakdown"] == bd
     finally:
         srv.shutdown()
 
