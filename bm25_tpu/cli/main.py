@@ -59,7 +59,7 @@ def cmd_query(args) -> int:
     from bm25_tpu.models.auto import create_engine
     from bm25_tpu.text.tokenizer import Tokenizer
 
-    index = load_index(args.index)
+    index = load_index(args.index, mmap=args.mmap)
     if index.vocab is None:
         print("index has no vocab.index.json; cannot map text queries", file=sys.stderr)
         return 2
@@ -224,6 +224,7 @@ def cmd_serve(args) -> int:
            auto_compact=args.auto_compact,
            auto_compact_delta_docs=args.auto_compact_delta_docs,
            auto_compact_deleted_frac=args.auto_compact_deleted_frac,
+           mmap=args.mmap,
            ).serve_forever()
     return 0
 
@@ -364,6 +365,9 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--engine", default="auto",
                     choices=["auto", "dense", "sparse", "sharded", "sharded_sparse"])
     pq.add_argument("-i", "--interactive", action="store_true")
+    pq.add_argument("--mmap", action="store_true",
+                    help="memory-map the index npy triplet instead of "
+                         "reading it into RAM (bm25s load(mmap=True) analog)")
     pq.add_argument(
         "--explain", type=int, default=0, metavar="N",
         help="print a per-term score breakdown for the top N results "
@@ -508,6 +512,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--auto-compact-deleted-frac", type=float, default=0.2,
                     help="auto-compact when more than this fraction of "
                          "docs is tombstoned")
+    ps.add_argument("--mmap", action="store_true",
+                    help="memory-map the index npy triplet at host load "
+                         "(bm25s load(mmap=True) analog); host RAM stays "
+                         "O(1) in index size")
     ps.set_defaults(fn=cmd_serve)
     return p
 

@@ -160,12 +160,27 @@ def save_corpus(path: str | os.PathLike, corpus, doc_ids=None) -> None:
         json.dump(offsets, f)
 
 
-def load_index(path: str | os.PathLike) -> ScoredIndex:
-    """Load a bm25s-format index directory into a host ScoredIndex."""
+def load_index(path: str | os.PathLike, mmap: bool = False) -> ScoredIndex:
+    """Load a bm25s-format index directory into a host ScoredIndex.
+
+    ``mmap=True`` maps the npy triplet read-only instead of reading it
+    into RAM (the analog of ``bm25s.BM25.load(..., mmap=True)`` —
+    the reference's canonical loader is ``bm25s.BM25.load`` at
+    ``/root/reference/bm25_test.py:40``).  Host memory stays O(1) in nnz;
+    pages stream in as the engine build or the host oracle touches them.
+    Safe because nothing downstream mutates the triplet in place (the
+    engine builders only read/fancy-index it); anything needing a
+    writable array must copy first.
+    """
     path = os.fspath(path)
-    data = np.load(os.path.join(path, "data.csc.index.npy"))
-    indices = np.load(os.path.join(path, "indices.csc.index.npy"))
-    indptr = np.load(os.path.join(path, "indptr.csc.index.npy"))
+    mode = "r" if mmap else None
+    data = np.load(os.path.join(path, "data.csc.index.npy"), mmap_mode=mode)
+    indices = np.load(
+        os.path.join(path, "indices.csc.index.npy"), mmap_mode=mode
+    )
+    indptr = np.load(
+        os.path.join(path, "indptr.csc.index.npy"), mmap_mode=mode
+    )
     with open(os.path.join(path, "params.index.json")) as f:
         pj = json.load(f)
     method = pj.get("method", "lucene")
@@ -188,13 +203,13 @@ def load_index(path: str | os.PathLike) -> ScoredIndex:
     num_docs = int(pj["num_docs"])
     dlpath = os.path.join(path, "doc_lengths.index.npy")
     if os.path.exists(dlpath):
-        doc_lengths = np.load(dlpath)
+        doc_lengths = np.load(dlpath, mmap_mode=mode)
     else:
         doc_lengths = np.zeros(num_docs, dtype=np.int32)
     token_offsets = None
     nopath = os.path.join(path, "nonoccurrence_array.index.npy")
     if os.path.exists(nopath):
-        token_offsets = np.load(nopath)
+        token_offsets = np.load(nopath, mmap_mode=mode)
     return ScoredIndex(
         indptr=indptr,
         indices=indices,

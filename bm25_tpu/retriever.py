@@ -57,18 +57,21 @@ class Retriever:
         index_dir: str,
         engine_mode: str = "auto",
         tokenizer: Tokenizer | None = None,
+        mmap: bool = False,
     ) -> "Retriever":
         """Load a saved (bm25s-format) index directory.
 
         The tokenizer persisted at build time (tokenizer.index.json) is
         reconstructed automatically; pass ``tokenizer`` only to override
         it (e.g. an index built with custom callables, which are not
-        persistable).
+        persistable).  ``mmap=True`` maps the npy triplet read-only
+        (bm25s ``BM25.load(..., mmap=True)`` analog): host RAM stays
+        O(1) in nnz while the engine build streams pages from disk.
         """
         from bm25_tpu.index.io import load_tokenizer_config
         from bm25_tpu.models.auto import create_engine
 
-        index = load_index(index_dir)
+        index = load_index(index_dir, mmap=mmap)
         if index.vocab is None:
             raise ValueError(f"{index_dir} has no vocab.index.json")
         engine = create_engine(index, mode=engine_mode)

@@ -953,9 +953,13 @@ class Server:
                  auto_compact: bool = False,
                  auto_compact_interval_s: float = 30.0,
                  auto_compact_delta_docs: int = 50_000,
-                 auto_compact_deleted_frac: float = 0.2):
+                 auto_compact_deleted_frac: float = 0.2,
+                 mmap: bool = False):
         self._index_dir = index_dir
         self._engine_mode = engine_mode
+        # mmap the npy triplet at host load (bm25s load(mmap=True) analog):
+        # host RAM stays O(1) in nnz; the engine build streams pages in
+        self._mmap = mmap
         self._engine_kwargs = engine_kwargs or {}
         self._warmup_top_k = warmup_top_k
         self._reload_lock = threading.Lock()
@@ -1043,7 +1047,7 @@ class Server:
         """
         from bm25_tpu.index.io import MMapCorpus, load_index
 
-        index = load_index(index_dir)
+        index = load_index(index_dir, mmap=self._mmap)
         if index.vocab is None:
             raise ValueError("index has no vocab; cannot serve text queries")
         try:

@@ -154,3 +154,46 @@ def test_build_index_parallel_accepts_tuple_stopwords(animal_corpus):
     np.testing.assert_array_equal(i1.data, i2.data)
     np.testing.assert_array_equal(i1.indices, i2.indices)
     np.testing.assert_array_equal(i1.indptr, i2.indptr)
+
+
+def test_load_index_mmap_mode(reference_index_dir):
+    """mmap=True (the bm25s ``BM25.load(..., mmap=True)`` analog,
+    ``/root/reference/bm25_test.py:40``) maps the npy triplet read-only;
+    contents and search results are identical to the eager load."""
+    eager = load_index(reference_index_dir)
+    mapped = load_index(reference_index_dir, mmap=True)
+    for name in ("data", "indices", "indptr"):
+        arr = getattr(mapped, name)
+        assert isinstance(arr, np.memmap), name
+        # read-only mapping: nothing downstream may mutate the triplet
+        with pytest.raises(ValueError):
+            arr[0] = 0
+        np.testing.assert_array_equal(arr, getattr(eager, name))
+    assert mapped.vocab == eager.vocab and mapped.params == eager.params
+
+    # the host oracle (and thus every engine builder, which only reads
+    # the same arrays) works straight off the mapping
+    eng_m = ReferenceEngine.from_scored_index(mapped)
+    eng_e = ReferenceEngine.from_scored_index(eager)
+    q = np.array([[17, 16, 0, 2]], dtype=np.int32)
+    dm, sm = eng_m.search(q, top_k=3)
+    de, se = eng_e.search(q, top_k=3)
+    np.testing.assert_array_equal(dm, de)
+    np.testing.assert_array_equal(sm, se)
+
+
+def test_retriever_load_mmap(tmp_path, animal_corpus):
+    """Retriever.load(mmap=True) serves identical results to the eager
+    load through the public text-query boundary."""
+    from bm25_tpu.retriever import Retriever
+
+    texts = [" ".join(doc) for doc in animal_corpus]
+    r0 = Retriever.fit(texts)
+    r0.save(str(tmp_path / "idx"))
+    eager = Retriever.load(str(tmp_path / "idx"))
+    mapped = Retriever.load(str(tmp_path / "idx"), mmap=True)
+    assert isinstance(mapped.index.data, np.memmap)
+    de, se = eager.retrieve(["does the fish purr like a cat?"], k=3)
+    dm, sm = mapped.retrieve(["does the fish purr like a cat?"], k=3)
+    np.testing.assert_array_equal(dm, de)
+    np.testing.assert_array_equal(sm, se)

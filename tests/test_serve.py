@@ -1843,3 +1843,31 @@ def test_reload_window_503_has_retry_after(server):
     # the restored runtime serves again
     out = _post(server, {"queries": ["cat"], "top_k": 1})
     assert out["results"][0]
+
+
+def test_serve_mmap_host_load(tmp_path_factory, request):
+    """Server(mmap=True) memory-maps the host triplet and serves
+    identical results (bm25s load(mmap=True) analog on the daemon)."""
+    import numpy as np
+
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_mmap")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0, mmap=True)
+    srv.start_background()
+    try:
+        idx = srv._handler.runtime.index
+        assert isinstance(idx.data, np.memmap)
+        out = _post(srv, {"queries": ["does the fish purr like a cat"],
+                          "top_k": 2})
+        assert out["results"][0][0]["doc"] == 0
+        # /reload keeps the mmap setting
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/reload", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.loads(r.read())["status"] == "reloaded"
+        assert isinstance(srv._handler.runtime.index.data, np.memmap)
+    finally:
+        srv.shutdown()
