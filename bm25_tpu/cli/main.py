@@ -225,6 +225,7 @@ def cmd_serve(args) -> int:
            auto_compact_delta_docs=args.auto_compact_delta_docs,
            auto_compact_deleted_frac=args.auto_compact_deleted_frac,
            mmap=args.mmap,
+           result_cache=args.result_cache,
            ).serve_forever()
     return 0
 
@@ -516,6 +517,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="memory-map the index npy triplet at host load "
                          "(bm25s load(mmap=True) analog); host RAM stays "
                          "O(1) in index size")
+    ps.add_argument("--result-cache", type=int, default=0, metavar="N",
+                    help="LRU-cache up to N per-query results; repeat "
+                         "queries skip the device entirely (0 = off; "
+                         "invalidated on reload/add/delete/compact)")
     ps.set_defaults(fn=cmd_serve)
     return p
 

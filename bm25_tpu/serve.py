@@ -12,7 +12,10 @@ Stdlib-only JSON-over-HTTP:
                    the device->host score transfer where supported);
                    "filter_ids": [id, ...] restricts results to that doc
                    allowlist (filtered search, exact on-device masking;
-                   rows end early when fewer docs are eligible than top_k)
+                   rows end early when fewer docs are eligible than top_k).
+                   With --result-cache N, repeat plain-string queries are
+                   served from a per-query LRU without touching the device
+                   (invalidated on reload and on every live mutation)
     POST /explain  {"query": "text" | {term: weight}, "doc_id": N}
                 -> per-term score breakdown for that (query, doc) pair
                    (scoring.explain_score; host-side, no device work).
@@ -104,6 +107,78 @@ class EngineRuntime:
     # served docs (updatable serving: adds/compaction remap ids past the
     # base index; device-checkpoint serving: no host index at all)
     index: object | None = None
+    # optional per-query LRU over assembled result rows (--result-cache):
+    # lives ON the runtime so a hot reload naturally drops it with the
+    # old engine; live mutations clear it explicitly (_do_update)
+    result_cache: "ResultCache | None" = None
+
+
+class ResultCache:
+    """Thread-safe LRU over assembled /search result rows.
+
+    Key = (query string, top_k, include_scores); value = the JSON-ready
+    row (docs + scores + texts).  Repeat queries skip tokenization, the
+    device step, and the corpus reads entirely — the standard result
+    cache every production search tier runs in front of the index (no
+    reference counterpart: ``/root/reference/main.py`` is single-shot).
+
+    Only plain string queries cache (weighted dicts and filtered
+    requests bypass: per-request masks/weights explode the key space for
+    near-zero repeat probability).  Staleness cannot occur: the cache
+    rides the runtime (reload swaps it away) and every acked mutation
+    clears it before the 200 (serve.Server._do_update).
+    """
+
+    def __init__(self, max_entries: int):
+        from collections import OrderedDict
+
+        self.max_entries = int(max_entries)
+        self._d = OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        with self._lock:
+            row = self._d.get(key)
+            if row is None:
+                self.misses += 1
+                return None
+            self._d.move_to_end(key)
+            self.hits += 1
+            return row
+
+    def lookup_batch(self, keys) -> list | None:
+        """All-or-nothing batch lookup: the engine call is per-batch, so a
+        partial hit recomputes everything anyway — only a full hit skips
+        the device.  Counters reflect that (a partial hit is counted as
+        misses for the rows that were absent, not as phantom hits)."""
+        with self._lock:
+            rows = [self._d.get(k) for k in keys]
+            absent = sum(r is None for r in rows)
+            if absent:
+                self.misses += absent
+                return None
+            for k in keys:
+                self._d.move_to_end(k)
+            self.hits += len(keys)
+            return rows
+
+    def put(self, key, row) -> None:
+        with self._lock:
+            self._d[key] = row
+            self._d.move_to_end(key)
+            while len(self._d) > self.max_entries:
+                self._d.popitem(last=False)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._d.clear()
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {"entries": len(self._d), "capacity": self.max_entries,
+                    "hits": self.hits, "misses": self.misses}
 
 
 class CorpusView:
@@ -572,6 +647,8 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
                 }
             if self.metrics is not None:
                 payload["metrics"] = self.metrics.snapshot(self.batcher)
+            if rt.result_cache is not None:
+                payload["result_cache"] = rt.result_cache.stats()
             if "deep=1" in self.path:
                 from bm25_tpu.runtime.health import device_probe, engine_probe
 
@@ -720,6 +797,18 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
             return
 
         t0 = time.monotonic()
+        cache = rt.result_cache
+        cache_keys = None
+        if (cache is not None and fmask is None
+                and all(isinstance(q, str) for q in queries)):
+            cache_keys = [(q, top_k, include_scores) for q in queries]
+            rows = cache.lookup_batch(cache_keys)
+            if rows is not None:
+                if self.metrics is not None:
+                    self.metrics.record(len(queries),
+                                        time.monotonic() - t0)
+                self._send(200, {"results": rows})
+                return
         try:
             weighted = any(isinstance(q, dict) for q in queries)
             if weighted:
@@ -832,6 +921,9 @@ class BM25RequestHandler(BaseHTTPRequestHandler):
                     item["text"] = rt.corpus[int(d)].get("text", "")
                 row.append(item)
             results.append(row)
+        if cache_keys is not None:
+            for key, row in zip(cache_keys, results):
+                cache.put(key, row)
         self._send(200, {"results": results})
 
     def _do_update(self):
@@ -954,12 +1046,16 @@ class Server:
                  auto_compact_interval_s: float = 30.0,
                  auto_compact_delta_docs: int = 50_000,
                  auto_compact_deleted_frac: float = 0.2,
-                 mmap: bool = False):
+                 mmap: bool = False,
+                 result_cache: int = 0):
         self._index_dir = index_dir
         self._engine_mode = engine_mode
         # mmap the npy triplet at host load (bm25s load(mmap=True) analog):
         # host RAM stays O(1) in nnz; the engine build streams pages in
         self._mmap = mmap
+        # LRU entries for the per-query result cache (0 = off).  Off by
+        # default so occupancy/latency metrics keep meaning "device work"
+        self._result_cache_entries = int(result_cache)
         self._engine_kwargs = engine_kwargs or {}
         self._warmup_top_k = warmup_top_k
         self._reload_lock = threading.Lock()
@@ -1085,7 +1181,13 @@ class Server:
         tok = load_tokenizer_config(index_dir) or Tokenizer()
         return EngineRuntime(engine=engine, tokenizer=tok,
                              vocab=index.vocab, corpus=corpus, stats=stats,
-                             index=None if self._updatable else index)
+                             index=None if self._updatable else index,
+                             result_cache=self._new_result_cache())
+
+    def _new_result_cache(self) -> "ResultCache | None":
+        if self._result_cache_entries > 0:
+            return ResultCache(self._result_cache_entries)
+        return None
 
     def _build_runtime(self, index_dir: str,
                        batch_window_ms: float = 0.0) -> EngineRuntime:
@@ -1203,7 +1305,8 @@ class Server:
         tok = (load_tokenizer_config(index_dir)
                if index_dir is not None else None) or Tokenizer()
         return EngineRuntime(engine=engine, tokenizer=tok,
-                             vocab=engine.vocab, corpus=corpus, stats=stats)
+                             vocab=engine.vocab, corpus=corpus, stats=stats,
+                             result_cache=self._new_result_cache())
 
     def _warmup(self, engine) -> None:
         # trigger the first-query JIT compile before accepting traffic
@@ -1438,6 +1541,10 @@ class Server:
             self._wal_log({"op": "add", "docs": list(texts)})
             rt.corpus.append_texts(list(texts))
             ids = rt.engine.add(tc.ids)
+            if rt.result_cache is not None:
+                # cached rows predate the add: clear BEFORE acking so no
+                # client ever reads a pre-mutation result after the 200
+                rt.result_cache.clear()
             return {
                 "status": "added",
                 "doc_ids": [int(i) for i in ids],
@@ -1467,6 +1574,8 @@ class Server:
                 {"op": "delete", "doc_ids": [int(i) for i in doc_ids]}
             )
             n = rt.engine.delete(doc_ids)
+            if rt.result_cache is not None:
+                rt.result_cache.clear()
             return {
                 "status": "deleted",
                 "deleted": n,

@@ -1871,3 +1871,104 @@ def test_serve_mmap_host_load(tmp_path_factory, request):
         assert isinstance(srv._handler.runtime.index.data, np.memmap)
     finally:
         srv.shutdown()
+
+
+def test_result_cache_serves_repeats_and_counts(tmp_path_factory, request):
+    """--result-cache: an identical repeat query is served from the LRU
+    (hit counters on /healthz), with a byte-identical response."""
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_rcache")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0, result_cache=8)
+    srv.start_background()
+    try:
+        q = {"queries": ["does the fish purr like a cat"], "top_k": 2}
+        first = _post(srv, q)
+        second = _post(srv, q)
+        assert second == first
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+        ) as r:
+            h = json.loads(r.read())
+        rc = h["result_cache"]
+        assert rc["hits"] == 1 and rc["misses"] == 1 and rc["entries"] == 1
+        # different top_k = different key (no false sharing)
+        third = _post(srv, {"queries": q["queries"][0:1], "top_k": 1})
+        assert len(third["results"][0]) == 1
+        # weighted queries bypass the cache entirely
+        _post(srv, {"queries": [{"cat": 2.0}], "top_k": 1})
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+        ) as r:
+            rc2 = json.loads(r.read())["result_cache"]
+        assert rc2["entries"] == 2  # the weighted query stored nothing
+        # /reload swaps the runtime and with it a FRESH cache
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/reload", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60):
+            pass
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+        ) as r:
+            rc3 = json.loads(r.read())["result_cache"]
+        assert rc3["entries"] == 0 and rc3["hits"] == 0
+    finally:
+        srv.shutdown()
+
+
+def test_result_cache_cleared_by_mutations(tmp_path_factory, request):
+    """A cached row must never outlive an acked /add or /delete: the doc
+    set changed, so the next identical query re-runs on device."""
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_rcache_mut")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0, updatable=True, result_cache=8)
+    srv.start_background()
+    try:
+        q = {"queries": ["purr"], "top_k": 4}
+        base = _post(srv, q)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/add",
+            data=json.dumps({"docs": ["a second cat likes to purr"]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            added = json.loads(r.read())
+        new_id = added["doc_ids"][0]
+        after = _post(srv, q)
+        docs = [item["doc"] for item in after["results"][0]]
+        assert new_id in docs, "stale cached row survived an acked /add"
+        assert after != base
+        # delete clears it again: the new doc disappears from results
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/delete",
+            data=json.dumps({"doc_ids": [new_id]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60):
+            pass
+        gone = _post(srv, q)
+        assert new_id not in [i["doc"] for i in gone["results"][0]]
+    finally:
+        srv.shutdown()
+
+
+def test_result_cache_lru_and_batch_semantics():
+    """ResultCache unit contract: LRU eviction order and the
+    all-or-nothing batch lookup (partial hit = miss, no phantom hits)."""
+    from bm25_tpu.serve import ResultCache
+
+    c = ResultCache(2)
+    c.put(("a", 1, True), ["ra"])
+    c.put(("b", 1, True), ["rb"])
+    assert c.lookup_batch([("a", 1, True)]) == [["ra"]]
+    # partial hit: returns None, counts ONLY the absent key as a miss
+    assert c.lookup_batch([("a", 1, True), ("c", 1, True)]) is None
+    s = c.stats()
+    assert s["hits"] == 1 and s["misses"] == 1
+    # "a" was touched by the full hit above -> "b" is the LRU victim
+    c.put(("c", 1, True), ["rc"])
+    assert c.lookup_batch([("b", 1, True)]) is None
+    assert c.lookup_batch([("a", 1, True), ("c", 1, True)]) == [["ra"], ["rc"]]
