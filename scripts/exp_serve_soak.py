@@ -403,8 +403,113 @@ def main() -> None:
         print("[soak] OK", flush=True)
 
 
+def soak_cache() -> None:
+    """Result-cache A/B under Zipf-skewed repeat traffic (the production
+    query distribution the cache exists for: head queries dominate).
+
+    Same index and client harness, two 60 s phases — cache off, then
+    cache on (64K entries) — clients drawing from a finite 5000-query
+    pool with Zipfian rank probabilities.  Reports req/s, p50, and the
+    measured hit rate; correctness is asserted per response (top_k rows,
+    well-formed items) exactly like the main soak.
+    """
+    import tempfile
+
+    import jax
+
+    if os.environ.get("SOAK_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.cache/jax_bm25")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bm25_tpu.bench.query_bench import (BenchConfig, _zipf_probs,
+                                            make_synthetic_index)
+    from bm25_tpu.index.io import save_index
+    from bm25_tpu.serve import Server
+
+    cfg = BenchConfig()
+    index = make_synthetic_index(cfg)
+    index.vocab = {f"w{i}": i for i in range(index.vocab_size)}
+
+    # finite query pool with Zipf-ranked draw probabilities
+    pool_rng = np.random.default_rng(7)
+    pool = [" ".join(f"w{t}" for t in pool_rng.integers(0, 2000, size=5))
+            for _ in range(5000)]
+    draw_p = _zipf_probs(len(pool))
+
+    def run_phase(result_cache: int, idx_dir: str, seconds: float = 60.0):
+        srv = Server(idx_dir, port=0, engine_mode="sparse",
+                     batch_window_ms=5.0, warmup_top_k=10,
+                     result_cache=result_cache)
+        srv.start_background()
+        port = srv.port
+        errors: list[str] = []
+        done = threading.Event()
+        counts = [0] * 8
+        lats: list[float] = []
+
+        def client(ci):
+            r = np.random.default_rng(100 + ci)
+            while not done.is_set():
+                q = pool[int(r.choice(len(pool), p=draw_p))]
+                try:
+                    t1 = time.perf_counter()
+                    out = post(port, {"queries": [q], "top_k": 10})
+                    lats.append(time.perf_counter() - t1)
+                    row = out["results"][0]
+                    assert len(row) == 10 and all("doc" in it for it in row)
+                    counts[ci] += 1
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"client {ci}: {e!r}")
+                    return
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(8)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        time.sleep(seconds)
+        done.set()
+        for t in threads:
+            t.join(timeout=120)
+        dt = time.perf_counter() - t0
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=120
+        ) as r:
+            h = json.loads(r.read())
+        srv.shutdown()
+        assert not errors, errors[:3]
+        total = sum(counts)
+        rc = h.get("result_cache")
+        hit_rate = (rc["hits"] / max(1, rc["hits"] + rc["misses"])
+                    if rc else 0.0)
+        lat = np.sort(np.asarray(lats)) if lats else np.zeros(1)
+        return {"req_s": round(total / dt, 1), "total": total,
+                "p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 1),
+                "p99_ms": round(float(lat[int(len(lat) * 0.99)]) * 1e3, 1),
+                "hit_rate": round(hit_rate, 3), "cache": rc}
+
+    with tempfile.TemporaryDirectory(dir="/root") as d:
+        idx_dir = os.path.join(d, "idx")
+        save_index(idx_dir, index)
+        print("[soak-cache] phase A: cache OFF", flush=True)
+        off = run_phase(0, idx_dir)
+        print(f"[soak-cache] off: {off}", flush=True)
+        print("[soak-cache] phase B: cache ON (64K entries)", flush=True)
+        on = run_phase(1 << 16, idx_dir)
+        print(f"[soak-cache] on:  {on}", flush=True)
+        print(json.dumps({"off": off, "on": on,
+                          "speedup": round(on["req_s"] / max(1e-9,
+                                           off["req_s"]), 2)}), flush=True)
+
+
 if __name__ == "__main__":
     if "--updates" in sys.argv:
         soak_updates()
+    elif "--cache" in sys.argv:
+        soak_cache()
     else:
         main()
