@@ -174,7 +174,9 @@ def cmd_demo(args) -> int:
 def cmd_info(args) -> int:
     from bm25_tpu.index.io import load_index
 
-    idx = load_index(args.index)
+    # stats only touch shapes + avgdl: mmap keeps info O(1) RAM and
+    # near-instant on multi-GB indexes
+    idx = load_index(args.index, mmap=True)
     print(json.dumps({
         "num_docs": idx.num_docs,
         "vocab_size": idx.vocab_size,
