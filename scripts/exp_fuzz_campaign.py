@@ -112,9 +112,30 @@ def one_round(seed: int, mesh_cache: dict) -> dict:
         kwargs["doc_mask"] = doc_mask
     dd, ds = engine.search(queries, top_k=k, **kwargs)
     od, os_ = oracle.search(queries, top_k=k, **kwargs)
-    tol = 5e-5 if (weights is not None or num_docs > 500) else 2e-5
-    np.testing.assert_allclose(ds, os_, rtol=tol, atol=tol)
+    # tolerance scales with the row's summand magnitude, not the result:
+    # robertson+weights cancels +-35-scale contributions down to ~0.1
+    # results, where f32 accumulation noise is ~1e-4 ABSOLUTE (triaged
+    # seeds 2270/2297: every violation was cancellation, no bug) — an
+    # rtol on the cancelled result would cry wolf forever
+    row_scale = np.maximum(1.0, np.abs(os_).max(axis=1, keepdims=True))
+    diff = np.abs(ds - os_)
+    assert (diff <= 2e-5 * row_scale + 5e-5 * np.abs(os_)).all(), (
+        f"score divergence beyond accumulation noise: "
+        f"max {diff.max():.3e} at row scale {row_scale.max():.1f}"
+    )
+    # exact-tie positions are excluded by strict_positions; ALSO exclude
+    # near-ties (gap < f32 accumulation noise): different summation
+    # orders legitimately swap adjacent docs whose oracle scores differ
+    # by ~1e-5 (triaged seeds 2025/2144/2278 — every mismatch was an
+    # adjacent swap with gap 6e-6..1.4e-5).  Real selection bugs produce
+    # misorderings across LARGE gaps and stay caught.
     strict = strict_positions(os_)
+    gap_eps = 1e-5 * row_scale
+    near_prev = np.zeros_like(strict)
+    near_next = np.zeros_like(strict)
+    near_prev[:, 1:] = (os_[:, :-1] - os_[:, 1:]) < gap_eps
+    near_next[:, :-1] = (os_[:, :-1] - os_[:, 1:]) < gap_eps
+    strict &= ~(near_prev | near_next)
     np.testing.assert_array_equal(dd[strict], od[strict])
     # shortfall sentinels must agree exactly (masked search, k > eligible)
     np.testing.assert_array_equal(dd < 0, od < 0)
@@ -133,12 +154,26 @@ def main() -> int:
     ap.add_argument("--minutes", type=float, default=10.0)
     ap.add_argument("--seed0", type=int, default=0)
     ap.add_argument("--max-failures", type=int, default=5)
+    ap.add_argument("--seeds", type=str, default=None,
+                    help="comma-separated specific seeds to re-run first "
+                         "(triage mode)")
     args = ap.parse_args()
 
     deadline = time.monotonic() + args.minutes * 60
     mesh_cache: dict = {}
     rounds = 0
     failures = []
+    if args.seeds:
+        for s in (int(x) for x in args.seeds.split(",")):
+            try:
+                one_round(s, mesh_cache)
+                rounds += 1
+                print(f"[fuzz] seed {s} clean", flush=True)
+            except Exception:
+                failures.append({"seed": s,
+                                 "trace": traceback.format_exc()[-2000:]})
+                print(f"[fuzz] seed {s} FAILED\n{traceback.format_exc()}",
+                      flush=True)
     seed = args.seed0
     while time.monotonic() < deadline and len(failures) < args.max_failures:
         try:
