@@ -1972,3 +1972,27 @@ def test_result_cache_lru_and_batch_semantics():
     c.put(("c", 1, True), ["rc"])
     assert c.lookup_batch([("b", 1, True)]) is None
     assert c.lookup_batch([("a", 1, True), ("c", 1, True)]) == [["ra"], ["rc"]]
+
+
+def test_result_cache_composes_with_microbatcher(tmp_path_factory, request):
+    """Cache hits short-circuit BEFORE the micro-batcher; misses still ride
+    it. Both paths return identical payloads."""
+    corpus = request.getfixturevalue("animal_corpus")
+    d = tmp_path_factory.mktemp("idx_rcache_mb")
+    build_index(corpus, save_to=str(d), save_corpus=True)
+    srv = Server(str(d), port=0, batch_window_ms=2.0, result_cache=8)
+    srv.start_background()
+    try:
+        q = {"queries": ["does the fish purr like a cat"], "top_k": 2}
+        first = _post(srv, q)   # miss -> batcher -> device
+        second = _post(srv, q)  # hit -> no batcher
+        assert second == first
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+        ) as r:
+            h = json.loads(r.read())
+        assert h["result_cache"]["hits"] == 1
+        # the batcher only saw the miss
+        assert h["metrics"]["requests"] >= 2
+    finally:
+        srv.shutdown()
