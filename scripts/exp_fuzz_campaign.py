@@ -182,6 +182,14 @@ def main() -> int:
             if rounds % 25 == 0:
                 print(f"[fuzz] {rounds} rounds clean "
                       f"(last: {info})", flush=True)
+            if rounds % 200 == 0:
+                # every round jits fresh shapes; ~1700 rounds of
+                # accumulated executables exhausted the in-process LLVM
+                # code allocator (SIGSEGV after 'Cannot allocate memory'
+                # with 126 GB host RAM free) — bound the cache lifetime
+                import jax
+
+                jax.clear_caches()
         except AssertionError:
             failures.append({"seed": seed,
                              "trace": traceback.format_exc()[-2000:]})
