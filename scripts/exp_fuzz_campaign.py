@@ -64,6 +64,16 @@ def make_engine(rng, idx, mesh_cache):
 def one_round(seed: int, mesh_cache: dict) -> dict:
     from conftest import make_zipf_corpus, strict_positions
 
+    if seed % 7 == 3:
+        # every 7th round: the updatable add/delete/compact/search state
+        # machine instead of a static-engine round (reuses the pytest
+        # fuzzer's model checker with a fresh random seed — arbitrary op
+        # interleavings against the id/text/tombstone bookkeeping)
+        from test_fuzz import test_updatable_retriever_state_machine_fuzz
+
+        test_updatable_retriever_state_machine_fuzz(seed)
+        return {"engine": "updatable-state-machine", "seed": seed}
+
     from bm25_tpu.reference import ReferenceEngine
     from bm25_tpu.scoring import BM25Params, build_scored_index
     from bm25_tpu.text.tokenizer import Tokenizer
